@@ -1,0 +1,104 @@
+"""Vectorized string hashing.
+
+The reference partitions every phase with ``FNV32a(blobName) % partitions``
+(``pipeline/ingest/internal/ingestion/processor.go:29-33``; replicated at
+``pipeline/extraction/internal/service/service.go:477-482`` so a key lands on
+the same partition across phases).  We reproduce FNV-1a 32-bit exactly, but
+vectorized: the Arrow string column's data buffer and offsets are viewed
+zero-copy as numpy arrays and the hash runs one vectorized gather per byte
+position — no per-row Python in the hot path.
+
+Also used for: salting hot keys in aggregation (``salt = h(doc_id) % S``),
+shard assignment (reference MD5-byte-sum shard filter,
+``pipeline/ingest/internal/filters/filters.go:160-189``), and content
+fingerprints in the dedup operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FNV_OFFSET_32 = np.uint32(0x811C9DC5)
+FNV_PRIME_32 = np.uint32(0x01000193)
+
+FNV_OFFSET_64 = np.uint64(0xCBF29CE484222325)
+FNV_PRIME_64 = np.uint64(0x100000001B3)
+
+
+def _flat_bytes(strings) -> tuple[np.ndarray, np.ndarray]:
+    """View a string array-like as (data: uint8[], offsets: int64[n+1]).
+
+    Zero-copy for Arrow string arrays (nulls become empty strings first).
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(["" if s is None else s for s in strings], type=pa.string())
+    if strings.null_count:
+        strings = pc.fill_null(strings, "")
+    strings = strings.cast(pa.large_string())  # int64 offsets, uniform view
+    buffers = strings.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+        strings.offset : strings.offset + len(strings) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    return data, offsets
+
+
+def _fnv1a(strings, offset_basis, prime, dtype) -> np.ndarray:
+    data, offsets = _flat_bytes(strings)
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    n = len(starts)
+    h = np.full(n, offset_basis, dtype=dtype)
+    lens = ends - starts
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = np.nonzero(lens > j)[0]
+            if active.size == 0:
+                break
+            hj = h[active]
+            hj ^= data[starts[active] + j].astype(dtype)
+            hj *= prime
+            h[active] = hj
+    return h
+
+
+def fnv1a32(strings) -> np.ndarray:
+    """FNV-1a 32-bit over each string; returns uint32 ndarray.
+
+    Matches the scalar algorithm used by Go's hash/fnv New32a()
+    (reference partitioner semantics, processor.go:29-33).
+    """
+    return _fnv1a(strings, FNV_OFFSET_32, FNV_PRIME_32, np.uint32)
+
+
+def fnv1a64(strings) -> np.ndarray:
+    """FNV-1a 64-bit per string (uint64 ndarray) — content fingerprints."""
+    return _fnv1a(strings, FNV_OFFSET_64, FNV_PRIME_64, np.uint64)
+
+
+def fnv1a32_single(s: str) -> int:
+    """Scalar FNV-1a 32 (oracle / driver-side use)."""
+    h = 0x811C9DC5
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def fnv1a64_single(s: str) -> int:
+    """Scalar FNV-1a 64 (oracle / driver-side use)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def partition_of(strings, num_partitions: int) -> np.ndarray:
+    """``FNV32a(key) % P`` — the reference's partitioner, vectorized."""
+    return (fnv1a32(strings) % np.uint32(num_partitions)).astype(np.int32)

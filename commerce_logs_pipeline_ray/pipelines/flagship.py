@@ -1,0 +1,267 @@
+"""Flagship pipeline: read → parse → enrich → route → fan-out write →
+salted aggregate, with per-shard checkpoint/resume, lineage and metrics.
+
+This is the end-to-end rebuild of the reference's ingest+extraction path
+(SURVEY.md §3.4 lifecycle): one streaming ``ray.data`` pass per shard —
+
+    read_parquet(shard files)                # S1/S2: discovery + columnar read
+      → map_batches(parse_batch)             # M1-M13 vectorized grok parse
+      → map_batches(Enricher, concurrency=N) # ST2/J1 broadcast dict join
+      → map_batches(route_batch)             # F6/R1/R2 predicate fan-out
+      → map_batches(write_routed_batch)      # per-sink Parquet + combiner
+      → groupby(keys).aggregate(Sum, Sum)    # A2/A5 over tiny partials
+
+The write stage is fused with the aggregation combiner: each task writes its
+batch's per-sink files and emits only partial count rows downstream, so the
+only shuffle in the whole pipeline moves pre-aggregated partials
+(SURVEY §7.4).  ``tokens`` flows zero-copy from read to sink files.
+
+Checkpointing: input files are grouped into shards; each completed shard
+commits one manifest row (atomic rename) with lineage id + metrics; a rerun
+skips complete shards and wipes+redoes incomplete ones, making resume
+exactly-once at shard granularity (reference analogue: byte-offset resume +
+compacted blob state, ``processor.go:91-103``, ``worker.go:354-385``).
+Granularity trade-off: shards_per_run=1 → maximum pipelining, no mid-run
+resume; more shards → finer resume, one streaming execution per shard.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..schema import (
+    AGG_KEYS,
+    AGG_SCHEMA,
+    N_TOK_BUCKET_WIDTH,
+    NUM_LOGICAL_PARTITIONS,
+    ROUTED_COLUMNS,
+    SEQUENCES_SCHEMA,
+    SINKS,
+)
+from ..stages.aggregate import add_bucket, final_agg, partial_agg
+from ..stages.enrich import Enricher, build_source_dict
+from ..stages.parse import parse_batch
+from ..stages.route import route_batch
+from ..state import manifest as mstate
+
+
+@dataclass
+class PipelineConfig:
+    input_dir: str
+    output_dir: str
+    sources: list[str] | None = None          # None → schema.SOURCES
+    bucket_width: int = N_TOK_BUCKET_WIDTH
+    num_logical_partitions: int = NUM_LOGICAL_PARTITIONS
+    batch_size: int = 8192
+    enrich_concurrency: int = 4               # actor-pool size (ST2)
+    salt_mod: int = 8                         # >1 → salted two-stage reduce
+    num_shards: int = 1                       # checkpoint granularity
+    write_routed: bool = True                 # False → aggregate-only (bench tail)
+
+    def lineage_repr(self) -> str:
+        d = asdict(self)
+        d.pop("input_dir"); d.pop("output_dir")
+        return json.dumps(d, sort_keys=True)
+
+
+@dataclass
+class RunResult:
+    aggregates: pa.Table
+    manifest: dict[int, dict[str, Any]]
+    output_dir: str
+    rows_in: int = 0
+    shards_run: int = 0
+    shards_skipped: int = 0
+    wall_seconds: float = 0.0
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def _chunk(items: list, n_chunks: int) -> list[list]:
+    n_chunks = max(1, min(n_chunks, len(items)))
+    per = [len(items) // n_chunks + (1 if i < len(items) % n_chunks else 0) for i in range(n_chunks)]
+    out, it = [], iter(items)
+    for p in per:
+        out.append([next(it) for _ in range(p)])
+    return out
+
+
+def write_routed_batch(
+    t: pa.Table,
+    *,
+    out_dir: str,
+    shard_id: int,
+    lineage: str,
+    bucket_width: int,
+    salt_mod: int,
+    write_routed: bool,
+) -> pa.Table:
+    """Fused sink-writer + aggregation combiner (runs inside map_batches).
+
+    Splits the batch by ``sink``, writes one Parquet file per present sink
+    under ``routed/{sink}/shard={shard_id}/`` (cleaned before reprocessing, so
+    rewrites are idempotent), and returns ONLY the partial aggregate rows.
+    """
+    t = add_bucket(t, bucket_width=bucket_width)
+    is_err = pc.equal(t["sink"], "errors")
+    raw = pc.if_else(is_err, t["doc_id"], pa.scalar(None, pa.string()))
+    t = t.append_column("raw", raw)
+    n = len(t)
+    lineage_col = pa.DictionaryArray.from_arrays(
+        pa.array([0] * n, type=pa.int32()), pa.array([lineage])
+    )
+    t = t.append_column("lineage_id", lineage_col)
+
+    if write_routed and n:
+        out_cols = [c for c in ROUTED_COLUMNS if c in t.column_names]
+        projected = t.select(out_cols + ["n_tok_bucket"])
+        for sink in SINKS:
+            sub = projected.filter(pc.equal(projected["sink"], sink))
+            if len(sub) == 0:
+                continue
+            sink_dir = os.path.join(out_dir, "routed", sink, f"shard={shard_id:05d}")
+            os.makedirs(sink_dir, exist_ok=True)
+            pq.write_table(sub, os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.parquet"))
+
+    return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
+
+
+def run_flagship(cfg: PipelineConfig) -> RunResult:
+    """Run (or resume) the full pipeline.  Ray must already be initialised."""
+    t0 = time.perf_counter()
+    files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
+
+    manifest_dir = os.path.join(cfg.output_dir, "manifest")
+    agg_dir = os.path.join(cfg.output_dir, "agg")
+    os.makedirs(agg_dir, exist_ok=True)
+    manifest = mstate.load_manifest(manifest_dir)
+
+    # broadcast the dimension table ONCE (J1/ST2): every enrich actor reads it
+    # from the local object store, it is never re-shipped per batch.
+    lookup_ref = ray.put(build_source_dict(cfg.sources))
+
+    shards = _chunk(files, cfg.num_shards)
+    rows_in_total, shards_run, shards_skipped = 0, 0, 0
+
+    for shard_id, shard_files in enumerate(shards):
+        lineage = mstate.lineage_id(shard_files, cfg.lineage_repr())
+        if mstate.is_complete(manifest, shard_id, lineage):
+            shards_skipped += 1
+            rows_in_total += int(manifest[shard_id]["rows_in"])
+            continue
+
+        # wipe any partial outputs of a previously failed attempt → idempotent
+        for sink in SINKS:
+            shutil.rmtree(
+                os.path.join(cfg.output_dir, "routed", sink, f"shard={shard_id:05d}"),
+                ignore_errors=True,
+            )
+        agg_path = os.path.join(agg_dir, f"shard-{shard_id:05d}.parquet")
+        if os.path.exists(agg_path):
+            os.remove(agg_path)
+
+        t_shard = time.perf_counter()
+        ds = rd.read_parquet(shard_files, columns=list(SEQUENCES_SCHEMA.names))
+        ds = ds.map_batches(
+            parse_batch,
+            fn_kwargs={"num_partitions": cfg.num_logical_partitions},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            Enricher,
+            fn_constructor_kwargs={"lookup": lookup_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.enrich_concurrency,
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            route_batch, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+        )
+        partials = ds.map_batches(
+            write_routed_batch,
+            fn_kwargs={
+                "out_dir": cfg.output_dir,
+                "shard_id": shard_id,
+                "lineage": lineage,
+                "bucket_width": cfg.bucket_width,
+                "salt_mod": cfg.salt_mod,
+                "write_routed": cfg.write_routed,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        shard_agg = final_agg(partials, keys=AGG_KEYS, salted=cfg.salt_mod > 1)
+        agg_table = pa.Table.from_pandas(shard_agg.to_pandas(), preserve_index=False)
+        agg_table = agg_table.select(AGG_SCHEMA.names).cast(AGG_SCHEMA)
+        pq.write_table(agg_table, agg_path)
+
+        rows_in = int(pc.sum(agg_table["row_count"]).as_py() or 0)
+        per_sink: dict[str, int] = {}
+        sink_counts = agg_table.group_by("sink").aggregate([("row_count", "sum")])
+        for sink, cnt in zip(
+            sink_counts["sink"].to_pylist(), sink_counts["row_count_sum"].to_pylist()
+        ):
+            per_sink[sink] = int(cnt)
+        wall = time.perf_counter() - t_shard
+        record = {
+            "partition_id": shard_id,
+            "lineage_id": lineage,
+            "input_files": shard_files,
+            "rows_in": rows_in,
+            "rows_out_per_sink": per_sink,
+            "agg_partial_path": agg_path,
+            "metrics": {
+                "wall_s": round(wall, 4),
+                "rows_per_s": round(rows_in / wall, 2) if wall > 0 else 0.0,
+            },
+            "status": mstate.STATUS_COMPLETE,
+        }
+        mstate.write_shard_record(manifest_dir, record)
+        manifest[shard_id] = record
+        rows_in_total += rows_in
+        shards_run += 1
+
+    # final combine across shard partials (tiny, driver-side)
+    partial_paths = sorted(glob.glob(os.path.join(agg_dir, "*.parquet")))
+    tables = [pq.read_table(p) for p in partial_paths]
+    merged = pa.concat_tables(tables)
+    final = merged.group_by(AGG_KEYS).aggregate([("row_count", "sum"), ("token_count", "sum")])
+    final = pa.table(
+        {
+            **{k: final[k] for k in AGG_KEYS},
+            "row_count": final["row_count_sum"],
+            "token_count": final["token_count_sum"],
+        }
+    ).cast(AGG_SCHEMA)
+    pq.write_table(final, os.path.join(cfg.output_dir, "aggregates.parquet"))
+
+    wall = time.perf_counter() - t0
+    return RunResult(
+        aggregates=final,
+        manifest=manifest,
+        output_dir=cfg.output_dir,
+        rows_in=rows_in_total,
+        shards_run=shards_run,
+        shards_skipped=shards_skipped,
+        wall_seconds=wall,
+        metrics={"rows_per_s": round(rows_in_total / wall, 2) if wall else 0.0},
+    )

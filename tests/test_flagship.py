@@ -1,0 +1,165 @@
+"""End-to-end flagship pipeline vs the row-at-a-time oracle.
+
+Asserts the three BASELINE.json invariants: per-sink aggregate-count
+equality, routed-row-set equality, and per-row token-array bit-exactness;
+plus checkpoint/resume semantics (FIXTURES.md §3-4)."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from commerce_logs_pipeline_ray.oracle import run_oracle
+from commerce_logs_pipeline_ray.pipelines.flagship import PipelineConfig, run_flagship
+from commerce_logs_pipeline_ray.schema import AGG_SCHEMA, SINKS
+
+
+@pytest.fixture(scope="module")
+def flagship_run(small_sequences, tmp_path_factory, ray_session):
+    paths, table = small_sequences
+    out = tmp_path_factory.mktemp("flagship") / "out"
+    cfg = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]),
+        output_dir=str(out),
+        num_shards=2,
+        salt_mod=8,
+        batch_size=1024,
+        enrich_concurrency=2,
+    )
+    res = run_flagship(cfg)
+    orc = run_oracle(table.to_pylist())
+    return cfg, res, orc, table
+
+
+def _routed_files(out_dir, sink):
+    return sorted(glob.glob(os.path.join(out_dir, "routed", sink, "**", "*.parquet"), recursive=True))
+
+
+def test_aggregate_equality(flagship_run):
+    _, res, orc, _ = flagship_run
+    assert res.aggregates.schema.equals(AGG_SCHEMA)
+    got = {
+        (r["sink"], r["source"], r["tenant"], r["n_tok_bucket"]): (r["row_count"], r["token_count"])
+        for r in res.aggregates.to_pylist()
+    }
+    want = {k: tuple(v) for k, v in orc.agg.items()}
+    assert got == want
+
+
+def test_routed_row_set_equality(flagship_run):
+    cfg, res, orc, _ = flagship_run
+    want = orc.doc_ids_by_sink()
+    for sink in SINKS:
+        got = set()
+        for f in _routed_files(cfg.output_dir, sink):
+            got |= set(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+        assert got == want.get(sink, set()), sink
+
+
+def test_counts_close_nothing_dropped(flagship_run):
+    _, res, orc, table = flagship_run
+    assert res.rows_in == table.num_rows
+    assert sum(r[0] for r in orc.agg.values()) == table.num_rows
+
+
+def test_tokens_bit_exact_roundtrip(flagship_run):
+    """tokens must survive read→parse→enrich→route→write bit-exactly int32."""
+    cfg, _, _, table = flagship_run
+    want = {
+        d: t
+        for d, t in zip(table.column("doc_id").to_pylist(), table.column("tokens").to_pylist())
+        if d  # empty doc_id is not unique; checked separately below
+    }
+    seen = 0
+    for sink in SINKS:
+        for f in _routed_files(cfg.output_dir, sink):
+            t = pq.read_table(f, columns=["doc_id", "tokens"])
+            assert t.schema.field("tokens").type == pa.list_(pa.int32())
+            for d, toks in zip(t.column("doc_id").to_pylist(), t.column("tokens").to_pylist()):
+                if d:
+                    assert toks == want[d], f"token mismatch for {d}"
+                    seen += 1
+    assert seen == len(want)
+
+
+def test_error_rows_carry_error_type_and_raw(flagship_run):
+    cfg, _, orc, _ = flagship_run
+    files = _routed_files(cfg.output_dir, "errors")
+    assert files
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert t.column("error_type").null_count == 0
+    assert t.column("raw").to_pylist() == t.column("doc_id").to_pylist()
+    assert set(t.column("error_type").to_pylist()) <= {"empty_doc_id", "malformed_doc_id"}
+
+
+def test_manifest_rows(flagship_run):
+    cfg, res, _, table = flagship_run
+    mdir = os.path.join(cfg.output_dir, "manifest")
+    recs = sorted(os.listdir(mdir))
+    assert len(recs) == 2
+    total = 0
+    for name in recs:
+        with open(os.path.join(mdir, name)) as f:
+            rec = json.load(f)
+        assert rec["status"] == "complete"
+        assert rec["lineage_id"]
+        assert rec["input_files"]
+        assert rec["metrics"]["wall_s"] > 0
+        assert sum(rec["rows_out_per_sink"].values()) == rec["rows_in"]
+        total += rec["rows_in"]
+    assert total == table.num_rows
+
+
+def test_resume_skips_complete_and_redoes_incomplete(small_sequences, tmp_path_factory, ray_session):
+    paths, table = small_sequences
+    out = tmp_path_factory.mktemp("resume") / "out"
+    cfg = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]),
+        output_dir=str(out),
+        num_shards=4,
+        batch_size=1024,
+        enrich_concurrency=2,
+    )
+    first = run_flagship(cfg)
+    agg_first = {tuple(r.values()) for r in first.aggregates.to_pylist()}
+
+    # simulate a crash after 2 of 4 shards: drop manifest rows 2,3 and leave
+    # their (now-stale) outputs on disk — resume must wipe and redo them.
+    for sid in (2, 3):
+        os.remove(os.path.join(str(out), "manifest", f"shard-{sid:05d}.json"))
+    second = run_flagship(cfg)
+    assert second.shards_skipped == 2
+    assert second.shards_run == 2
+    agg_second = {tuple(r.values()) for r in second.aggregates.to_pylist()}
+    assert agg_first == agg_second
+
+    # no duplicate rows in routed outputs
+    n = 0
+    for sink in SINKS:
+        for f in _routed_files(str(out), sink):
+            n += pq.read_table(f, columns=["doc_id"]).num_rows
+    assert n == table.num_rows
+
+    # a third run with nothing missing skips everything
+    third = run_flagship(cfg)
+    assert third.shards_skipped == 4 and third.shards_run == 0
+    assert {tuple(r.values()) for r in third.aggregates.to_pylist()} == agg_first
+
+
+def test_lineage_invalidation_on_config_change(small_sequences, tmp_path_factory, ray_session):
+    paths, _ = small_sequences
+    out = tmp_path_factory.mktemp("lineage") / "out"
+    cfg = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]), output_dir=str(out), num_shards=2,
+        batch_size=1024, enrich_concurrency=2,
+    )
+    run_flagship(cfg)
+    cfg2 = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]), output_dir=str(out), num_shards=2,
+        batch_size=1024, enrich_concurrency=2, bucket_width=64,
+    )
+    res2 = run_flagship(cfg2)  # config change → old checkpoints invalid
+    assert res2.shards_run == 2 and res2.shards_skipped == 0
