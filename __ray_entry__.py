@@ -4,41 +4,63 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001.
+
+    Derives the canonical sequences payload (doc_id/tokens/n_tok/source)
+    from the documents table, runs the full checkpointed
+    parse → enrich → route → aggregate pipeline, and returns the final
+    per-sink aggregate table.
+    """
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.pipelines.flagship import PipelineConfig, run_flagship
+    from commerce_logs_pipeline_ray.sources.sequences import derive_sequences
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    seq = derive_sequences(docs)
+    workdir = tempfile.mkdtemp(prefix="clp_entry_")
+    in_dir = os.path.join(workdir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    pq.write_table(seq, os.path.join(in_dir, "part-00000.parquet"))
+    sources = sorted(set(docs.column("source").to_pylist()))
+    res = run_flagship(
+        PipelineConfig(
+            input_dir=in_dir,
+            output_dir=os.path.join(workdir, "out"),
+            sources=sources,
+            enrich_concurrency=2,
+        )
+    )
+    return res.aggregates.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,163 @@
+"""Reusable relational operators, Ray-Data-first.
+
+These are the scale-aware building blocks the query layer composes
+(SURVEY.md §2.6-2.8).  Design rules applied throughout:
+
+* **small side broadcast, never shuffled** — dimension tables go through
+  ``ray.put`` once and are joined per batch with Arrow ``index_in``/``take``
+  (the reference's header→record enrichment J1, ``service.go:284-309``);
+* **pre-aggregate before any groupby** — per-batch Arrow hash aggregation
+  collapses batches to partials so the all-to-all exchange moves partials,
+  not rows (A1-A5 semantics);
+* **last-by-key = partial argmax then tiny reduce** — the reference's
+  compacted-topic fold ``state[key] = latest`` (``blob_state_processor.go:
+  163-260``, Makefile:195-204) without shuffling full rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+class BroadcastJoiner:
+    """map_batches callable: hash-join each batch against a broadcast
+    dimension table (small side).  No shuffle; dict dereferenced once per
+    actor/task from the object store."""
+
+    def __init__(self, lookup, key: str, include: list[str] | None = None):
+        if isinstance(lookup, ray.ObjectRef):
+            lookup = ray.get(lookup)
+        if isinstance(lookup, pa.Table):
+            lookup = lookup.combine_chunks()
+        self.key = key
+        self.keys = lookup[key].combine_chunks() if isinstance(lookup[key], pa.ChunkedArray) else lookup[key]
+        cols = include if include is not None else [c for c in lookup.column_names if c != key]
+        self.columns = {c: lookup[c].combine_chunks() for c in cols}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[self.key], value_set=self.keys)
+        for name, values in self.columns.items():
+            t = t.append_column(name, pc.take(values, idx))
+        return t
+
+
+def broadcast_join(
+    ds: Dataset,
+    dim: pa.Table,
+    key: str,
+    include: list[str] | None = None,
+    batch_size: int | None = None,
+) -> Dataset:
+    ref = ray.put(dim)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={"lookup": ref, "key": key, "include": include},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        zero_copy_batch=True,
+    )
+
+
+def grouped_sums(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_name: str | None = None,
+    batch_size: int | None = None,
+) -> Dataset:
+    """groupby(keys) with SUM/COUNT — pre-aggregated per batch (combiner),
+    then a final shuffle over partials only.
+
+    ``sums``: {output_name: input_column}.  ``count_name``: output COUNT(*).
+    """
+    sum_inputs = sorted(set(sums.values()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in sum_inputs:
+            cols[c] = t[c]
+        flat = pa.table(cols)
+        aggs: list = [(c, "sum") for c in sum_inputs]
+        if count_name is not None:
+            aggs.append(([], "count_all"))  # COUNT(*) incl. nulls
+        g = flat.group_by(keys).aggregate(aggs)
+        out = {k: g[k] for k in keys}
+        for out_name, in_col in sums.items():
+            out[out_name] = g[f"{in_col}_sum"]
+        if count_name is not None:
+            out[count_name] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    agg_fns = [Sum(name, alias_name=name) for name in sums]
+    if count_name:
+        agg_fns.append(Sum(count_name, alias_name=count_name))
+    return partials.groupby(keys).aggregate(*agg_fns)
+
+
+def last_by_key(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    payload_cols: list[str],
+    batch_size: int | None = None,
+) -> Dataset:
+    """Per-key latest row (compacted-state fold, A6).
+
+    Two-level: per-batch argmax by ``order_cols`` (combiner) → groupby(key)
+    argmax over the few surviving candidates.  Only candidates shuffle.
+    """
+    cols = [key, *order_cols, *[c for c in payload_cols if c not in order_cols and c != key]]
+
+    def batch_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols]
+        df = df.sort_values([key, *order_cols], kind="stable")
+        return df.groupby(key, as_index=False, sort=False).tail(1)
+
+    candidates = ds.map_batches(batch_last, batch_format="pandas", batch_size=batch_size)
+
+    def group_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="stable")
+        return df.tail(1)
+
+    return candidates.groupby(key).map_groups(group_last, batch_format="pandas")
+
+
+def topk(
+    ds: Dataset,
+    sort_keys: list[str],
+    descending: list[bool],
+    k: int,
+) -> Dataset:
+    """Distributed top-k: per-block prune to k candidates, then sort+limit.
+
+    The per-batch prune keeps the final sort's input at ``k × num_blocks``
+    rows regardless of input size (A5 top-10 display,
+    ``explore_raw_logs.py:552-556``)."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_keys, ascending=[not d for d in descending]).head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return pruned.sort(sort_keys, descending=descending).limit(k)
+
+
+def to_table(result: Any) -> pa.Table:
+    """Materialize a small Dataset/DataFrame result as one pa.Table."""
+    if isinstance(result, Dataset):
+        result = result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    return result

@@ -1,0 +1,70 @@
+"""Text-analysis operators for training-data pipelines.
+
+Vectorized per-batch kernels over a ``text`` column: token counting,
+stopword-based quality scoring, content fingerprinting, and a simple
+language-ID heuristic.  All are pure functions usable inside
+``map_batches(batch_format="pyarrow")``; regexes are RE2-compatible so the
+DuckDB oracles (``regexp_extract_all``) agree exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-safe; identical semantics in Python re and DuckDB regexp_extract_all
+STOPWORD_PATTERN = r"\b(?:the|a|of|and|to)\b"
+
+
+def n_words(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Whitespace token count == len(string_split(text, ' ')) in DuckDB.
+
+    Counts single-space separators + 1 (documents are single-spaced)."""
+    return pc.add(pc.count_substring(text, " "), 1)
+
+
+def stopword_hits(text) -> pa.Array:
+    """Count of stopword matches per row (vectorized regex count)."""
+    import re
+
+    pat = re.compile(STOPWORD_PATTERN)
+    vals = text.to_pylist() if isinstance(text, (pa.Array, pa.ChunkedArray)) else list(text)
+    return pa.array([len(pat.findall(s or "")) for s in vals], type=pa.int64())
+
+
+def md5_hex(text) -> pa.Array:
+    """Per-row md5 hex digest (content fingerprint; DuckDB ``md5()`` parity)."""
+    vals = text.to_pylist() if isinstance(text, (pa.Array, pa.ChunkedArray)) else list(text)
+    return pa.array([hashlib.md5((s or "").encode()).hexdigest() for s in vals], type=pa.string())
+
+
+def quality_batch(t: pa.Table) -> pa.Table:
+    """doc_id, n_words, stop_hits, stop_ratio (rounded 6)."""
+    nw = pc.cast(n_words(t["text"]), pa.int64())
+    hits = stopword_hits(t["text"])
+    ratio = pc.round(pc.divide(pc.cast(hits, pa.float64()), pc.cast(nw, pa.float64())), 6)
+    return pa.table(
+        {"doc_id": t["doc_id"], "n_words": nw, "stop_hits": hits, "stop_ratio": ratio}
+    )
+
+
+# crude n-gram language-ID heuristic: score marker-token hit-rates per
+# language; deterministic, vectorizable, and SQL-expressible for the oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "code": ["spark", "query", "vector"],
+}
+
+
+def langid_batch(t: pa.Table) -> pa.Table:
+    """doc_id + lang_guess: 'code' if code-marker hits >= en-marker hits else 'en'."""
+    import re
+
+    en = re.compile(r"\b(?:the|a|of)\b")
+    code = re.compile(r"\b(?:spark|query|vector)\b")
+    vals = t["text"].to_pylist()
+    guess = ["code" if len(code.findall(s or "")) >= len(en.findall(s or "")) else "en" for s in vals]
+    return pa.table({"doc_id": t["doc_id"], "lang_guess": pa.array(guess, type=pa.string())})

@@ -1,0 +1,580 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``(sf_dir) -> result`` callable plus (where expressible) an equivalent
+DuckDB oracle SQL string.
+
+This is the correctness surface the driver checks at sf=0.01
+(row-count + schema + order-insensitive value-hash), covering SURVEY.md §2:
+aggregations (A1/A2/A5), filters (F1-F4), regex parse (M4/M11), broadcast
+enrichment joins (J1/ST2), routing fan-out (R1/R2/F6), last-state-per-key
+compaction (A6/S5), top-k (§2.8), plus the training-data operators (dedup,
+text analysis, similarity search).
+
+Conventions for oracle parity:
+* aggregate / computed columns carry the SAME name in Ray and SQL;
+* double aggregates are rounded identically on both sides (ROUND(x, 2|6));
+* int results normalized to int64;
+* deterministic tie-breaks on every top-k (secondary unique keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from ..functions.relational import broadcast_join, grouped_sums, last_by_key, to_table, topk
+from ..functions.text import STOPWORD_PATTERN, md5_hex, n_words, quality_batch
+from ..sources.sequences import MALFORM_MOD, MALFORM_REM, docs_tenant, sid_column
+from ..stages.aggregate import final_agg, partial_agg
+from ..stages.enrich import Enricher
+from ..stages.parse import parse_batch
+from ..stages.route import route_batch
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[str], Any]
+    sql: str | None
+    description: str = ""
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
+
+
+def _i64(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Aggregations over the events stream (A1/A2/A5)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_sums(ds, ["event_type"], {"total_value": "value"}, "n").to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return _i64(out, ["n"])
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_per_hour(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour_id = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"hour_id": hour_id, "event_type": t["event_type"]})
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(ds, ["hour_id", "event_type"], {}, "n").to_pandas()
+    return _i64(out, ["hour_id", "n"])
+
+
+SQL_EVENTS_PER_HOUR = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_users_by_value(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+    totals = grouped_sums(ds, ["user_id"], {"total_value": "value"}, "n")
+    out = topk(totals, ["total_value", "user_id"], [True, False], 10).to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return _i64(out, ["user_id", "n"])
+
+
+SQL_TOP_USERS = """
+SELECT user_id, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n
+FROM events GROUP BY user_id
+ORDER BY SUM(value) DESC, user_id LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Filters (F1-F3) — predicate pushdown at the read
+# ---------------------------------------------------------------------------
+
+def q_error_events_window(sf_dir: str) -> pd.DataFrame:
+    lo, hi = datetime(2024, 1, 3), datetime(2024, 1, 6)
+    expr = (
+        (pads.field("event_type") == "error")
+        & (pads.field("ts") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("ts") < pa.scalar(hi, pa.timestamp("us")))
+    )
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", filter=expr)
+    out = ds.select_columns(["event_id", "user_id", "value"]).to_pandas()
+    return _i64(out, ["event_id", "user_id"])
+
+
+SQL_ERROR_EVENTS_WINDOW = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+"""
+
+# ---------------------------------------------------------------------------
+# Regex parse of a free-form payload column (M4 analog)
+# ---------------------------------------------------------------------------
+
+def q_parse_props(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["props", "value"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"k_mod": pc.cast(pc.subtract(k, pc.multiply(pc.divide(k, 10), 10)), pa.int64()), "value": t["value"]})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(ds, ["k_mod"], {"total_value": "value"}, "n").to_pandas()
+    out["total_value"] = out["total_value"].round(2)
+    return _i64(out, ["k_mod", "n"])
+
+
+SQL_PARSE_PROPS = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_mod,
+       ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Broadcast enrichment join chain (J1/ST2): orders ⋈ customer ⋈ nation ⋈ region
+# ---------------------------------------------------------------------------
+
+def q_orders_by_region(sf_dir: str) -> pd.DataFrame:
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    # pre-fold the 3 dims into one custkey→r_name map on the driver (tiny)
+    cn = cust.to_pandas().merge(
+        nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    ).merge(reg.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.Table.from_pandas(cn[["c_custkey", "r_name"]], preserve_index=False)
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim.rename_columns(["o_custkey", "r_name"]), "o_custkey")
+    out = grouped_sums(joined, ["r_name"], {"total_price": "o_totalprice"}, "n_orders").to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return _i64(out, ["n_orders"])
+
+
+SQL_ORDERS_BY_REGION = """
+SELECT r_name, ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (wide aggregate with computed columns)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _t(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(1.0, t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+                "charge": charge,
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "disc_price",
+            "sum_charge": "charge",
+        },
+        "count_order",
+    ).to_pandas()
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+        out[c] = out[c].round(2)
+    return _i64(out, ["count_order"])
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Last-state-per-key compaction (A6/S5)
+# ---------------------------------------------------------------------------
+
+def q_last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    last = last_by_key(ds, "user_id", ["ts", "event_id"], ["event_type"])
+    out = last.to_pandas()[["user_id", "event_id", "event_type"]]
+    out = out.rename(columns={"event_id": "last_event_id", "event_type": "last_event_type"})
+    return _i64(out, ["user_id", "last_event_id"])
+
+
+SQL_LAST_EVENT = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Set ops / sort / limit (§2.8)
+# ---------------------------------------------------------------------------
+
+def q_distinct_sources(sf_dir: str) -> pd.DataFrame:
+    vals = sorted(_t(sf_dir, "documents", ["source"]).unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
+
+
+def q_lineitem_topk(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = topk(
+        ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], [True, False, False], 10
+    ).to_pandas()
+    out["price"] = out.pop("l_extendedprice").round(2)
+    return _i64(out, ["l_orderkey", "l_linenumber"])
+
+
+SQL_LINEITEM_TOPK = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pc.cast(n_words(t["text"]), pa.int64()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _i64(out, ["doc_id", "n_words", "n_chars"])
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_words, n_chars FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _i64(out, ["doc_id", "n_words", "stop_hits"])
+
+
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS stop_hits,
+       ROUND(CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stop_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "fp": md5_hex(t["text"])})
+
+    out = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _i64(out, ["doc_id"])
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: hash-partition by content hash, keep first (SURVEY §2.6 J4)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fp = md5_hex(t["text"])
+        flat = pa.table({"fp": fp, "doc_id": t["doc_id"]})
+        g = flat.group_by(["fp"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        return pa.table(
+            {
+                "fp": g["fp"],
+                "keeper": g["doc_id_min"],
+                "n_copies": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby("fp")
+        .aggregate(Min("keeper", alias_name="keeper"), Sum("n_copies", alias_name="n_copies"))
+        .to_pandas()
+    )
+    return _i64(out, ["keeper", "n_copies"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against a broadcast query vector
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    qvec = None
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    for vid, e in zip(emb0["vec_id"].to_pylist(), emb0["embedding"].to_pylist()):
+        if vid == 0:
+            qvec = np.asarray(e, dtype=np.float64)
+            break
+    assert qvec is not None
+    qnorm = np.sqrt((qvec * qvec).sum())
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def cos(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        mat = flat.reshape(len(t), -1)
+        dots = mat @ qvec
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        c = dots / (norms * qnorm)
+        return pa.table({"vec_id": t["vec_id"], "cos": pa.array(c)})
+
+    scored = ds.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk(scored, ["cos", "vec_id"], [True, False], 10).to_pandas()
+    out["cos"] = out["cos"].round(6)
+    return _i64(out, ["vec_id"])
+
+
+# CAST to DOUBLE[]: DuckDB computes list_cosine_similarity on FLOAT[] in
+# float32; the Ray side (numpy) computes in float64 — force float64 on both.
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Flagship analog over documents — full parse → enrich → route → aggregate
+# with a complete SQL oracle (sid construction mirrored in SQL).
+# ---------------------------------------------------------------------------
+
+_PIPE_KEYS = ["sink", "source", "tenant"]
+_PIPE_BUCKET = 64
+
+
+def _docs_route_registry():
+    def p_errors(t):
+        return pc.invert(t["parse_ok"])
+
+    def p_proxy(t):
+        return pc.equal(t["container"], "proxy")
+
+    def p_infra(t):
+        return pc.equal(t["namespace"], "system")
+
+    def p_priority(t):
+        return pc.equal(t["tenant"], "cp1")
+
+    def p_default(t):
+        return pa.array([True] * len(t))
+
+    return [
+        ("errors", p_errors),
+        ("proxy", p_proxy),
+        ("infra", p_infra),
+        ("priority", p_priority),
+        ("application", p_default),
+    ]
+
+
+def q_pipeline_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def to_sequences(t: pa.Table) -> pa.Table:
+        sid = sid_column(t)
+        nw = pc.cast(n_words(t["text"]), pa.int32())
+        return pa.table({"doc_id": sid, "n_tok": nw, "source": t["source"]})
+
+    def enrich_docs(t: pa.Table) -> pa.Table:
+        srcs = t["source"]
+        uniq = pc.unique(srcs.combine_chunks() if isinstance(srcs, pa.ChunkedArray) else srcs)
+        keys = uniq.to_pylist()
+        tenants = pa.array([docs_tenant(s) for s in keys], type=pa.string())
+        idx = pc.index_in(srcs, value_set=uniq)
+        return t.append_column("tenant", pc.take(tenants, idx))
+
+    registry = _docs_route_registry()
+    ds = ds.map_batches(to_sequences, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(enrich_docs, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        route_batch, fn_kwargs={"registry": registry}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = ds.map_batches(
+        partial_agg,
+        fn_kwargs={"keys": [*_PIPE_KEYS, "n_tok_bucket"], "bucket_width": _PIPE_BUCKET, "salt_mod": 0},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = final_agg(partials, keys=[*_PIPE_KEYS, "n_tok_bucket"], salted=False).to_pandas()
+    return _i64(out, ["n_tok_bucket", "row_count", "token_count"])
+
+
+SQL_PIPELINE_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         printf('2024%02d%02d', CAST(1 + doc_id % 12 AS INT), CAST(1 + doc_id % 28 AS INT)) AS d8,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), sid0 AS (
+  SELECT *,
+         d8 || '.svc-' || source || '-' || substr(h, 1, 8) || '-' || substr(h, 9, 5)
+            || '_' || (CASE doc_id % 3 WHEN 0 THEN 'default' WHEN 1 THEN 'apps' ELSE 'system' END)
+            || '_' || (CASE WHEN lang = 'en' THEN 'proxy' ELSE 'app' END)
+            || '-' || substr(h, 14, 8) AS sid_ok
+  FROM base
+), sid1 AS (
+  SELECT *, CASE WHEN doc_id % {MALFORM_MOD} = {MALFORM_REM} THEN replace(sid_ok, '_', '') ELSE sid_ok END AS sid
+  FROM sid0
+), parsed AS (
+  SELECT *,
+         regexp_extract(sid, '^(\\d{{8}})\\.([a-z0-9-]+)_([a-z0-9]+)_([a-z0-9-]+)-([a-f0-9]{{8}})$', 2) AS pod,
+         regexp_extract(sid, '^(\\d{{8}})\\.([a-z0-9-]+)_([a-z0-9]+)_([a-z0-9-]+)-([a-f0-9]{{8}})$', 3) AS ns,
+         regexp_extract(sid, '^(\\d{{8}})\\.([a-z0-9-]+)_([a-z0-9]+)_([a-z0-9-]+)-([a-f0-9]{{8}})$', 4) AS container
+  FROM sid1
+), flagged AS (
+  SELECT *,
+         (pod <> '' AND regexp_extract(pod, '^([a-z][a-z0-9-]*?)-[a-f0-9]{{8}}-[a-z0-9]{{5}}$', 1) <> '') AS parse_ok,
+         'cp' || CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS VARCHAR) AS tenant,
+         len(string_split(text, ' ')) AS nw
+  FROM parsed
+), routed AS (
+  SELECT *,
+         CASE WHEN NOT parse_ok THEN 'errors'
+              WHEN container = 'proxy' THEN 'proxy'
+              WHEN ns = 'system' THEN 'infra'
+              WHEN tenant = 'cp1' THEN 'priority'
+              ELSE 'application' END AS sink
+  FROM flagged
+)
+SELECT sink, source, tenant, nw // {_PIPE_BUCKET} AS n_tok_bucket,
+       COUNT(*) AS row_count, CAST(SUM(nw) AS BIGINT) AS token_count
+FROM routed GROUP BY 1, 2, 3, 4
+"""
+
+# ---------------------------------------------------------------------------
+# Route-only fan-out counts over raw document columns (R1/F6 without parse)
+# ---------------------------------------------------------------------------
+
+def q_route_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        is_en = pc.equal(t["lang"], "en")
+        long_en = pc.and_(is_en, pc.greater_equal(t["n_chars"], 400))
+        prio = pc.is_in(t["source"], value_set=pa.array(["src0", "src1", "src2", "src3"]))
+        sink = pc.if_else(
+            long_en,
+            "long_en",
+            pc.if_else(is_en, "short_en", pc.if_else(prio, "priority", "other")),
+        )
+        bucket = pc.divide(t["n_chars"], pa.scalar(128, pa.int64()))
+        return pa.table({"sink": sink, "source": t["source"], "bucket": bucket, "n_chars": t["n_chars"]})
+
+    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(ds, ["sink", "source", "bucket"], {"total_chars": "n_chars"}, "n").to_pandas()
+    return _i64(out, ["bucket", "total_chars", "n"])
+
+
+SQL_ROUTE_DOCUMENTS = """
+SELECT CASE WHEN lang = 'en' AND n_chars >= 400 THEN 'long_en'
+            WHEN lang = 'en' THEN 'short_en'
+            WHEN source IN ('src0','src1','src2','src3') THEN 'priority'
+            ELSE 'other' END AS sink,
+       source, n_chars // 128 AS bucket,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n
+FROM documents GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "events_by_type": QuerySpec(q_events_by_type, SQL_EVENTS_BY_TYPE, "A1 groupby count/sum"),
+    "events_per_hour": QuerySpec(q_events_per_hour, SQL_EVENTS_PER_HOUR, "tumbling-window counts"),
+    "top_users_by_value": QuerySpec(q_top_users_by_value, SQL_TOP_USERS, "top-k over aggregate"),
+    "error_events_window": QuerySpec(
+        q_error_events_window, SQL_ERROR_EVENTS_WINDOW, "F1/F2 filter + projection (pushdown)"
+    ),
+    "parse_props": QuerySpec(q_parse_props, SQL_PARSE_PROPS, "M4 regex field extraction"),
+    "orders_by_region": QuerySpec(q_orders_by_region, SQL_ORDERS_BY_REGION, "J1 broadcast join chain"),
+    "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style aggregate"),
+    "last_event_per_user": QuerySpec(q_last_event_per_user, SQL_LAST_EVENT, "A6 compacted last-state"),
+    "distinct_sources": QuerySpec(q_distinct_sources, SQL_DISTINCT_SOURCES, "unique/set op"),
+    "lineitem_topk": QuerySpec(q_lineitem_topk, SQL_LINEITEM_TOPK, "sort + limit top-k"),
+    "doc_token_stats": QuerySpec(q_doc_token_stats, SQL_DOC_TOKEN_STATS, "token counting"),
+    "doc_quality": QuerySpec(q_doc_quality, SQL_DOC_QUALITY, "quality scoring (stopword ratio)"),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT, "document fingerprint"),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup via content hash"),
+    "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
+    "pipeline_docs": QuerySpec(q_pipeline_docs, SQL_PIPELINE_DOCS, "flagship parse→enrich→route→agg"),
+    "route_documents": QuerySpec(q_route_documents, SQL_ROUTE_DOCUMENTS, "predicate fan-out counts"),
+}
