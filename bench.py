@@ -1,0 +1,228 @@
+"""Benchmark harness.
+
+Runs the headline flagship pipeline (parse → enrich → route → fan-out write
+→ salted aggregate) over a deterministic generated sequences corpus sized to
+the scale factor, plus a representative subset of the query registry over
+``$GRAFT_SF_DIR``, and prints ONE JSON line:
+
+    {"metric": "flagship_e2e_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "sequences_per_s": ..., "tokens_per_s": ...}
+
+``--scaling``: runs the identical headline job at two parallelism levels in
+fresh subprocesses (num_cpus = LO and HI on the same input) and reports both
+throughputs + efficiency = (T_lo / T_hi) / (HI / LO) — the sandbox evidence
+for the north rule's two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 6_000_000  # sf0.1 → 600k sequences (lineitem-scale parity)
+
+BENCH_QUERIES = [
+    "events_by_type",
+    "events_per_hour",
+    "top_users_by_value",
+    "parse_props",
+    "orders_by_region",
+    "pricing_summary",
+    "last_event_per_user",
+    "dedup_exact",
+    "cosine_topk",
+    "pipeline_docs",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_input(sf: float) -> tuple[str, int]:
+    """Generate (once, cached) the bench sequences corpus for this sf."""
+    from commerce_logs_pipeline_ray.datagen import generate_sequences
+
+    factor = float(os.environ.get("BENCH_ROWS_FACTOR", "1"))
+    rows = max(10_000, int(ROWS_PER_SF * sf * factor))
+    num_files = 64
+    d = f"/tmp/clp_bench/seq_sf{sf}_r{rows}"
+    paths = generate_sequences(d, rows=rows, num_files=num_files, seed=42)
+    os.sync()  # flush generation writeback so it doesn't contend with the timed run
+    return d, rows
+
+
+def run_headline(num_cpus: int, sf: float) -> dict:
+    import pyarrow.compute as pc
+
+    from commerce_logs_pipeline_ray.datagen import generate_sequences
+    from commerce_logs_pipeline_ray.pipelines.flagship import PipelineConfig, run_flagship
+
+    in_dir, rows = bench_input(sf)
+    out_dir = f"/tmp/clp_bench/out_{os.getpid()}"
+
+    # warm the page cache so we measure compute+shuffle, not the first disk read
+    for f in os.listdir(in_dir):
+        with open(os.path.join(in_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    def cfg(idir, odir):
+        return PipelineConfig(
+            input_dir=idir,
+            output_dir=odir,
+            num_shards=1,
+            enrich_concurrency=max(2, num_cpus // 4),
+            salt_mod=8,
+        )
+
+    # warm the Ray worker pool (process spawn + module imports) — the corpus
+    # must have >= 2x num_cpus blocks and real work per block, else only a
+    # fraction of the workers start and the rest cold-start inside the timed
+    # run (measured: 2-3x inflation at num_cpus=32 with an 8-block warmup)
+    warm_rows = max(150_000, num_cpus * 8_192)
+    warm_dir = f"/tmp/clp_bench/warmup_r{warm_rows}"
+    generate_sequences(warm_dir, rows=warm_rows, num_files=64, seed=7)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_flagship(cfg(warm_dir, out_dir))
+
+    # min over repeats: the sandbox shares hardware, so single runs swing
+    # ±30%; the minimum approximates the noise-free pipeline cost
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    elapsed = float("inf")
+    res = None
+    for _ in range(repeats):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_flagship(cfg(in_dir, out_dir))
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    tokens = int(pc.sum(res.aggregates["token_count"]).as_py())
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "rows": res.rows_in,
+        "tokens": tokens,
+        "sequences_per_s": round(res.rows_in / elapsed, 1),
+        "tokens_per_s": round(tokens / elapsed, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+
+    out = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        spec.fn(sf_dir)  # warm (worker imports, page cache)
+        t0 = time.perf_counter()
+        spec.fn(sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    sf = _sf_from_dir(SF_DIR)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline(NUM_CPUS, sf)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries(SF_DIR)
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_e2e_seconds",
+                "value": headline["elapsed_s"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "rows": headline["rows"],
+                "tokens": headline["tokens"],
+                "sequences_per_s": headline["sequences_per_s"],
+                "tokens_per_s": headline["tokens_per_s"],
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    lo, hi = int(os.environ.get("SCALE_LO", "8")), int(os.environ.get("SCALE_HI", "32"))
+    # scaling runs use a 4× corpus so parallel compute dominates the fixed
+    # per-execution costs (session init, barrier) — we measure how the SAME
+    # job scales with parallelism, so the job must be big enough to saturate
+    # the larger configuration.
+    factor = os.environ.get("SCALE_ROWS_FACTOR", "4")
+    repeats = os.environ.get("SCALE_REPEATS", "3")
+    results = {}
+    for n in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            BENCH_ROWS_FACTOR=factor,
+            BENCH_REPEATS=repeats,
+            BENCH_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "sequences_per_s_lo": results[lo]["sequences_per_s"],
+                "sequences_per_s_hi": results[hi]["sequences_per_s"],
+                "tokens_per_s_lo": results[lo]["tokens_per_s"],
+                "tokens_per_s_hi": results[hi]["tokens_per_s"],
+                "sf": results[hi]["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -50,20 +50,39 @@ class BroadcastJoiner:
         return t
 
 
+def _bcast_join_batch(t: pa.Table, *, ref, key: str, include) -> pa.Table:
+    # ray.get on an already-local object is a zero-copy pointer lookup —
+    # the dim table ships to each worker process once, not per batch.
+    joiner = BroadcastJoiner(ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref, key, include)
+    return joiner(t)
+
+
 def broadcast_join(
     ds: Dataset,
     dim: pa.Table,
     key: str,
     include: list[str] | None = None,
     batch_size: int | None = None,
+    use_actors: bool = False,
 ) -> Dataset:
+    """Broadcast hash join.  Stateless tasks by default (worker-local
+    ``ray.get`` is zero-copy and cached, no pool spin-up); pass
+    ``use_actors=True`` when the join needs heavy per-actor preprocessing."""
     ref = ray.put(dim)
+    if use_actors:
+        return ds.map_batches(
+            BroadcastJoiner,
+            fn_constructor_kwargs={"lookup": ref, "key": key, "include": include},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 8),
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"lookup": ref, "key": key, "include": include},
+        _bcast_join_batch,
+        fn_kwargs={"ref": ref, "key": key, "include": include},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
         zero_copy_batch=True,
     )
 
@@ -74,11 +93,19 @@ def grouped_sums(
     sums: dict[str, str],
     count_name: str | None = None,
     batch_size: int | None = None,
+    reduce: str = "driver",
 ) -> Dataset:
     """groupby(keys) with SUM/COUNT — pre-aggregated per batch (combiner),
-    then a final shuffle over partials only.
+    then a final reduce over partials only.
 
     ``sums``: {output_name: input_column}.  ``count_name``: output COUNT(*).
+
+    ``reduce="driver"``: the per-batch combiner bounds the partial stream to
+    ``|distinct keys| × num_blocks`` rows, so when key cardinality is modest
+    the final reduce is a driver-side pandas groupby — no all-to-all at all
+    (the reference's partial+final fold, ``blob_state_processor.go:231-260``).
+    Use ``reduce="distributed"`` when key cardinality is unbounded (e.g.
+    per-document keys): Ray hash-shuffle groupby over the partials.
     """
     sum_inputs = sorted(set(sums.values()))
 
@@ -101,9 +128,14 @@ def grouped_sums(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    agg_fns = [Sum(name, alias_name=name) for name in sums]
-    if count_name:
-        agg_fns.append(Sum(count_name, alias_name=count_name))
+    value_cols = [*sums.keys()] + ([count_name] if count_name else [])
+    if reduce == "driver":
+        import ray.data as rd
+
+        pdf = partials.to_pandas()
+        out = pdf.groupby(keys, as_index=False)[value_cols].sum()
+        return rd.from_pandas(out)
+    agg_fns = [Sum(name, alias_name=name) for name in value_cols]
     return partials.groupby(keys).aggregate(*agg_fns)
 
 
@@ -113,11 +145,15 @@ def last_by_key(
     order_cols: list[str],
     payload_cols: list[str],
     batch_size: int | None = None,
+    reduce: str = "driver",
 ) -> Dataset:
     """Per-key latest row (compacted-state fold, A6).
 
-    Two-level: per-batch argmax by ``order_cols`` (combiner) → groupby(key)
-    argmax over the few surviving candidates.  Only candidates shuffle.
+    Two-level: per-batch argmax by ``order_cols`` (combiner) → final argmax
+    over the few surviving candidates.  Only candidates leave the map stage.
+    ``reduce="driver"`` folds the candidate stream on the driver (key
+    cardinality is bounded for state-compaction workloads);
+    ``reduce="distributed"`` uses a hash-shuffle ``groupby.map_groups``.
     """
     cols = [key, *order_cols, *[c for c in payload_cols if c not in order_cols and c != key]]
 
@@ -127,6 +163,13 @@ def last_by_key(
         return df.groupby(key, as_index=False, sort=False).tail(1)
 
     candidates = ds.map_batches(batch_last, batch_format="pandas", batch_size=batch_size)
+
+    if reduce == "driver":
+        import ray.data as rd
+
+        pdf = candidates.to_pandas()
+        pdf = pdf.sort_values([key, *order_cols], kind="stable")
+        return rd.from_pandas(pdf.groupby(key, as_index=False, sort=False).tail(1).reset_index(drop=True))
 
     def group_last(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(order_cols, kind="stable")

@@ -66,9 +66,12 @@ class PipelineConfig:
     sources: list[str] | None = None          # None → schema.SOURCES
     bucket_width: int = N_TOK_BUCKET_WIDTH
     num_logical_partitions: int = NUM_LOGICAL_PARTITIONS
-    batch_size: int = 8192
-    enrich_concurrency: int = 4               # actor-pool size (ST2)
+    batch_size: int = 32768
+    write_batch_size: int = 32768             # balances file size vs write-stage task parallelism
+    enrich_mode: str = "tasks"                # "tasks" (broadcast ref) | "actors" (pool)
+    enrich_concurrency: int = 4               # actor-pool size when enrich_mode="actors"
     salt_mod: int = 8                         # >1 → salted two-stage reduce
+    agg_mode: str = "shuffle"                 # "shuffle" (salted groupby) | "tree" (coalesce reduce)
     num_shards: int = 1                       # checkpoint granularity
     write_routed: bool = True                 # False → aggregate-only (bench tail)
 
@@ -88,6 +91,13 @@ class RunResult:
     shards_skipped: int = 0
     wall_seconds: float = 0.0
     metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def _enrich_task(t: pa.Table, *, ref) -> pa.Table:
+    import ray as _ray
+
+    lookup = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+    return Enricher(lookup)(t)
 
 
 def _chunk(items: list, n_chunks: int) -> list[list]:
@@ -117,7 +127,12 @@ def write_routed_batch(
     """
     t = add_bucket(t, bucket_width=bucket_width)
     is_err = pc.equal(t["sink"], "errors")
-    raw = pc.if_else(is_err, t["doc_id"], pa.scalar(None, pa.string()))
+    # NB: the else-branch must be an ARRAY, not a null scalar — pyarrow 16's
+    # if_else(cond, <sliced string array>, <null scalar>) mis-reads the slice
+    # offset and emits corrupted values (Ray hands map_batches sliced blocks
+    # whenever batch_size doesn't align with block boundaries); regression
+    # test: tests/test_stages.py::test_sliced_batch_write_raw_integrity
+    raw = pc.if_else(is_err, t["doc_id"], pa.nulls(len(t), pa.string()))
     t = t.append_column("raw", raw)
     n = len(t)
     lineage_col = pa.DictionaryArray.from_arrays(
@@ -134,7 +149,13 @@ def write_routed_batch(
                 continue
             sink_dir = os.path.join(out_dir, "routed", sink, f"shard={shard_id:05d}")
             os.makedirs(sink_dir, exist_ok=True)
-            pq.write_table(sub, os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.parquet"))
+            # dictionary-encode the low-cardinality columns only: dictionary
+            # attempts on the high-entropy tokens list double the encode cost
+            pq.write_table(
+                sub,
+                os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                use_dictionary=[c for c in sub.column_names if c not in ("tokens", "doc_id")],
+            )
 
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
 
@@ -184,14 +205,29 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
         )
-        ds = ds.map_batches(
-            Enricher,
-            fn_constructor_kwargs={"lookup": lookup_ref},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.enrich_concurrency,
-            zero_copy_batch=True,
-        )
+        # ST2/J1 enrichment.  Two equivalent broadcast expressions:
+        #  - "actors": callable-class pool, dict dereferenced once per actor in
+        #    __init__ — right when per-worker state is heavy (models, indexes);
+        #  - "tasks" (default): stateless tasks, dict dereferenced via a
+        #    worker-local zero-copy ray.get — same broadcast semantics without
+        #    paying an actor-pool spin-up per execution (~2 s measured).
+        if cfg.enrich_mode == "actors":
+            ds = ds.map_batches(
+                Enricher,
+                fn_constructor_kwargs={"lookup": lookup_ref},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.enrich_concurrency,
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ds.map_batches(
+                _enrich_task,
+                fn_kwargs={"ref": lookup_ref},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+            )
         ds = ds.map_batches(
             route_batch, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
         )
@@ -206,10 +242,10 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
                 "write_routed": cfg.write_routed,
             },
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=cfg.write_batch_size,
             zero_copy_batch=True,
         )
-        shard_agg = final_agg(partials, keys=AGG_KEYS, salted=cfg.salt_mod > 1)
+        shard_agg = final_agg(partials, keys=AGG_KEYS, salted=cfg.salt_mod > 1, mode=cfg.agg_mode)
         agg_table = pa.Table.from_pandas(shard_agg.to_pandas(), preserve_index=False)
         agg_table = agg_table.select(AGG_SCHEMA.names).cast(AGG_SCHEMA)
         pq.write_table(agg_table, agg_path)

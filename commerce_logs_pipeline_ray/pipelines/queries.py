@@ -51,7 +51,19 @@ class QuerySpec:
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
+    """Column-pruned read with block count sized to the file, not Ray's
+    default fan-out — tiny tables in 1 block, big tables ~32 MB/block capped
+    at 4×CPUs (per-task overhead otherwise dominates small queries)."""
+    import os as _os
+
+    import ray as _ray
+
+    path = f"{sf_dir}/{name}.parquet"
+    if "override_num_blocks" not in kw:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        blocks = max(1, min(_os.path.getsize(path) // (32 << 20) + 1, 4 * cpus))
+        kw["override_num_blocks"] = int(blocks)
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _i64(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:

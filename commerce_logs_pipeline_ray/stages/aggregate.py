@@ -52,7 +52,12 @@ def partial_agg(
     cols = {k: t[k] for k in keys}
     cols["n_tok"] = t["n_tok"]
     if salt_mod > 1:
-        cols["salt"] = pa.array((fnv1a32(t["doc_id"]) % np.uint32(salt_mod)).astype(np.int32))
+        if "key_hash" in t.column_names:  # reuse the parse stage's FNV pass
+            h = t["key_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+            salt = (h % salt_mod).astype(np.int32)
+        else:
+            salt = (fnv1a32(t["doc_id"]) % np.uint32(salt_mod)).astype(np.int32)
+        cols["salt"] = pa.array(salt)
         group_keys.append("salt")
     flat = pa.table(cols)
     g = flat.group_by(group_keys).aggregate([("n_tok", "count"), ("n_tok", "sum")])
@@ -65,9 +70,55 @@ def partial_agg(
     )
 
 
-def final_agg(partials: Dataset, *, keys: list[str] | None = None, salted: bool = False) -> Dataset:
-    """Reduce a Dataset of partials to final per-key counts (hash shuffle)."""
+def _combine_partials(t: pa.Table, *, group_keys: list[str]) -> pa.Table:
+    if len(t) == 0:
+        return t
+    g = t.group_by(group_keys).aggregate([("row_count", "sum"), ("token_count", "sum")])
+    return pa.table(
+        {
+            **{k: g[k] for k in group_keys},
+            "row_count": g["row_count_sum"],
+            "token_count": g["token_count_sum"],
+        }
+    )
+
+
+def final_agg(
+    partials: Dataset,
+    *,
+    keys: list[str] | None = None,
+    salted: bool = False,
+    mode: str = "shuffle",
+    tree_width: int = 16,
+) -> Dataset:
+    """Reduce a Dataset of partials to final per-key counts.
+
+    ``mode="shuffle"``: Ray sort-based hash-shuffle ``groupby`` over
+    ``keys (+salt)`` then un-salted re-reduce — the explicit-exchange path
+    (north rule); right when the key space is too large for any single
+    reducer.
+
+    ``mode="tree"``: coalesce the partial stream into ``tree_width`` blocks
+    (narrow repartition — no row movement across keys needed since partials
+    are already additive) and hash-aggregate each, then once more to one
+    block.  No all-to-all at all; right for bounded key cardinality (the
+    per-sink count tables here are ≤ |sinks|×|sources|×|tenants|×|buckets|
+    rows).  Salt columns are already folded away by the combine.
+    """
     keys = list(keys) if keys is not None else list(AGG_KEYS)
+    if mode == "tree":
+        out = partials.repartition(tree_width).map_batches(
+            _combine_partials,
+            fn_kwargs={"group_keys": keys},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return out.repartition(1).map_batches(
+            _combine_partials,
+            fn_kwargs={"group_keys": keys},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     first_keys = keys + (["salt"] if salted else [])
     out = partials.groupby(first_keys).aggregate(
         Sum("row_count", alias_name="row_count"),

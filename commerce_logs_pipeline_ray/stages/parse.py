@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import partition_of
+from ..functions.hashing import fnv1a32
 from ..schema import (
     DOC_ID_PATTERN,
     ERROR_TYPE_EMPTY,
@@ -69,10 +69,13 @@ def parse_batch(
         pc.if_else(empty, ERROR_TYPE_EMPTY, ERROR_TYPE_MALFORMED),
     )
 
-    partition_id = pa.array(partition_of(doc, num_partitions))
+    # one FNV pass reused for partition lineage AND aggregation salting
+    key_hash = fnv1a32(doc).astype(np.int64)
+    partition_id = pa.array((key_hash % num_partitions).astype(np.int32))
 
     out = t
     for name, col in [
+        ("key_hash", pa.array(key_hash)),
         ("date", date),
         ("service", service),
         ("pod", pod_col),

@@ -115,3 +115,34 @@ def test_tokens_untouched_by_stages(small_sequences):
     out = route_batch(Enricher()(parse_batch(table)))
     assert out.schema.field("tokens").type == pa.list_(pa.int32())
     assert out.column("tokens").equals(table.column("tokens"))
+
+
+def test_sliced_batch_write_raw_integrity(tmp_path):
+    """Regression: pyarrow if_else(cond, sliced-string, null-scalar) corrupts
+    output (zero-filled / wrong-chunk values).  Ray slices blocks into
+    batches, so every stage must tolerate non-zero array offsets."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.datagen import generate_file
+    from commerce_logs_pipeline_ray.pipelines.flagship import write_routed_batch
+
+    t1 = generate_file(0, 3000, seed=42)
+    t2 = generate_file(1, 3000, seed=42)
+    t = pa.concat_tables([t1, t2]).slice(500, 4000)  # sliced, multi-chunk
+    routed = route_batch(Enricher()(parse_batch(t)))
+    out = str(tmp_path)
+    write_routed_batch(
+        routed, out_dir=out, shard_id=0, lineage="x", bucket_width=128,
+        salt_mod=8, write_routed=True,
+    )
+    for f in glob.glob(f"{out}/routed/**/*.parquet", recursive=True):
+        tt = pq.read_table(f, columns=["doc_id", "raw", "sink"])
+        for d, raw, sink in zip(
+            tt["doc_id"].to_pylist(), tt["raw"].to_pylist(), tt["sink"].to_pylist()
+        ):
+            if sink == "errors":
+                assert raw == d
+            else:
+                assert raw is None
