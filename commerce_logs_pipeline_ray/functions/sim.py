@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* **Brute force** (baseline): per-batch ``numpy`` matmul against a
+  broadcast query matrix — exact, O(N·d) per query
+  (``pipelines/queries.py::q_cosine_topk``).
+* **LSH-bucketed** (scale path): random-hyperplane signatures bucket the
+  corpus; a query searches only its bucket ± multiprobe neighbours.  The
+  bucket build is one ``map_batches`` pass + a bucket-keyed shuffle; query
+  cost drops to O(N/2^bits · d) at a measured recall (see
+  tests/test_sim.py).  At 100 TB the bucketed corpus is written partitioned
+  by signature so a query touches only its partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _to_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(t), -1)
+
+
+def brute_force_topk(
+    embeddings: Dataset, query: np.ndarray, k: int = 10, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Exact cosine top-k: block × broadcast query, per-block prune to k,
+    driver merge (the distributed-top-k shape from functions/relational)."""
+    q = np.asarray(query, dtype=np.float64)
+    qnorm = float(np.sqrt((q * q).sum()))
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qq = ray.get(qref)
+        mat = _to_matrix(t)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ qq) / (norms * qnorm)
+        order = np.argsort(-cos)[:k]
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(t[id_col].to_pylist())[order], type=pa.int64()),
+                "cos": pa.array(cos[order]),
+            }
+        )
+
+    cand = embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (
+        cand.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+    )
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: sign(x · H) packed into an int bucket."""
+
+    def __init__(self, dim: int, bits: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, bits))
+        self.bits = bits
+
+    def signature(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) >= 0
+        return (signs @ (1 << np.arange(self.bits))).astype(np.int64)
+
+
+def build_lsh_index(
+    embeddings: Dataset, dim: int, bits: int = 8, seed: int = 42, id_col: str = "vec_id"
+) -> tuple[pd.DataFrame, HyperplaneLSH]:
+    """One pass: signature per vector.  Returns (id, bucket, embedding) frame
+    — at scale this is written as bucket-partitioned Parquet instead."""
+    lsh = HyperplaneLSH(dim, bits, seed)
+    planes_ref = ray.put(lsh.planes)
+
+    def sig(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _to_matrix(t)
+        signs = (mat @ planes) >= 0
+        bucket = (signs @ (1 << np.arange(planes.shape[1]))).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    indexed = embeddings.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return indexed, lsh
+
+
+def lsh_topk(
+    indexed: pd.DataFrame,
+    lsh: HyperplaneLSH,
+    query: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Query the LSH index: search the query's bucket plus all buckets within
+    ``multiprobe`` bit flips (recall/latency dial)."""
+    q = np.asarray(query, dtype=np.float64)
+    qsig = int(lsh.signature(q.reshape(1, -1))[0])
+    buckets = {qsig}
+    if multiprobe >= 1:
+        for b in range(lsh.bits):
+            buckets.add(qsig ^ (1 << b))
+    if multiprobe >= 2:
+        for b1 in range(lsh.bits):
+            for b2 in range(b1 + 1, lsh.bits):
+                buckets.add(qsig ^ (1 << b1) ^ (1 << b2))
+    sub = indexed[indexed["bucket"].isin(buckets)]
+    if sub.empty:
+        return pd.DataFrame({id_col: [], "cos": []})
+    mat = np.asarray([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
+    out = pd.DataFrame({id_col: sub[id_col].to_numpy(), "cos": np.round(cos, 6)})
+    return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)

@@ -566,6 +566,76 @@ FROM documents GROUP BY 1, 2, 3
 """
 
 # ---------------------------------------------------------------------------
+# Session windows (gap rule ≡ reference blob-closing inactivity timeout,
+# blob_closing_processor.go:68-92)
+# ---------------------------------------------------------------------------
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    from ..functions.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = sessionize(ds, gap_seconds=1800.0).to_pandas()
+    return _i64(out, ["user_id", "session_id", "n_events", "first_event_id", "last_event_id"])
+
+
+SQL_USER_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+FROM sess GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (training-data ops; SURVEY §2.6 J4 generalized)
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import embedding_neardup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.4)
+    return _i64(out, ["vec_a", "vec_b"])
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+"""
+
+
+def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs (not SQL-expressible → rows-only check;
+    validated against planted ground truth in tests/test_dedup.py)."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-doc 64-bit SimHash (rows-only; determinism tested in pytest)."""
+    from ..functions.dedup import SimHasher
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(SimHasher(), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out["simhash"] = out["simhash"].map(lambda v: f"{int(v):016x}")
+    return _i64(out, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -589,4 +659,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
     "pipeline_docs": QuerySpec(q_pipeline_docs, SQL_PIPELINE_DOCS, "flagship parse→enrich→route→agg"),
     "route_documents": QuerySpec(q_route_documents, SQL_ROUTE_DOCUMENTS, "predicate fan-out counts"),
+    "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
+    "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),
+    "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
+    "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
 }

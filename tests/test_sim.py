@@ -1,0 +1,60 @@
+"""Similarity search: brute-force exactness + LSH recall/latency trade."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from commerce_logs_pipeline_ray.functions.sim import (
+    HyperplaneLSH,
+    brute_force_topk,
+    build_lsh_index,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n, dim = 2000, 32
+    mat = rng.normal(size=(n, dim))
+    rows = [{"vec_id": i, "embedding": mat[i].astype(np.float32).tolist()} for i in range(n)]
+    return rd.from_pandas(pd.DataFrame(rows)), mat
+
+
+def test_brute_force_matches_numpy(corpus):
+    ds, mat = corpus
+    q = mat[7]
+    got = brute_force_topk(ds, q, k=10)
+    # ground truth
+    m = mat.astype(np.float64)
+    cos = (m @ q) / (np.sqrt((m * m).sum(1)) * np.sqrt((q * q).sum()))
+    want = np.argsort(-cos)[:10]
+    assert got["vec_id"].tolist() == want.tolist()
+    assert got["cos"].iloc[0] == pytest.approx(1.0)
+
+
+def test_lsh_recall_reasonable(corpus):
+    ds, mat = corpus
+    indexed, lsh = build_lsh_index(ds, dim=32, bits=6, seed=42)
+    recalls = []
+    searched_frac = []
+    for qi in (1, 42, 77, 500, 999):
+        q = mat[qi]
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+        approx = lsh_topk(indexed, lsh, q, k=10, multiprobe=2)
+        recalls.append(len(exact & set(approx["vec_id"])) / 10)
+        qsig = int(lsh.signature(q.reshape(1, -1))[0])
+        searched_frac.append((indexed["bucket"] == qsig).mean())
+    assert np.mean(recalls) >= 0.5  # multiprobe=2 on 6 bits searches ~1/3 of corpus
+    assert np.mean(searched_frac) < 0.1  # single bucket is a small fraction
+
+
+def test_lsh_deterministic(corpus):
+    ds, mat = corpus
+    i1, l1 = build_lsh_index(ds, dim=32, bits=6, seed=42)
+    i2, l2 = build_lsh_index(ds, dim=32, bits=6, seed=42)
+    assert (i1["bucket"].to_numpy() == i2["bucket"].to_numpy()).all()
+    q = mat[5]
+    assert lsh_topk(i1, l1, q, 5).equals(lsh_topk(i2, l2, q, 5))
