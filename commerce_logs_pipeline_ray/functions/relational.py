@@ -197,6 +197,48 @@ def topk(
     return pruned.sort(sort_keys, descending=descending).limit(k)
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Large×large join: both sides hash-partitioned on the key, partitions
+    joined independently (Ray ``Dataset.join``; SURVEY §2.6 J3 semantics).
+
+    Partitioning assumption: key hash distributes evenly; a pathologically
+    hot key concentrates one aggregator — pre-aggregate or salt the hot side
+    first (see ``grouped_sums``) before joining when keys are skewed.
+    For a small side, use ``broadcast_join`` instead — no shuffle at all.
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
+    return left.join(right, how, num_partitions=num_partitions, on=on, right_on=right_on)
+
+
+def semi_join_broadcast(ds: Dataset, keys: pa.Table | list, key: str, anti: bool = False) -> Dataset:
+    """Semi/anti join against a broadcast key set (guide pattern): the key
+    set ships once via ``ray.put``; each batch filters with a vectorized
+    ``is_in``.  At scale, swap the exact set for a Bloom filter — same
+    structure, bounded memory."""
+    if isinstance(keys, pa.Table):
+        key_array = keys[key].combine_chunks()
+    else:
+        key_array = pa.array(keys)
+    ref = ray.put(key_array)
+
+    def filt(t: pa.Table, *, ref=ref, anti=anti) -> pa.Table:
+        ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mask = pc.is_in(t[key], value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(pc.fill_null(mask, False))  # null keys never match
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def to_table(result: Any) -> pa.Table:
     """Materialize a small Dataset/DataFrame result as one pa.Table."""
     if isinstance(result, Dataset):

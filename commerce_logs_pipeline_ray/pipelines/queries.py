@@ -566,6 +566,65 @@ FROM documents GROUP BY 1, 2, 3
 """
 
 # ---------------------------------------------------------------------------
+# Large×large hash join (J3): lineitem revenue per order joined to orders
+# ---------------------------------------------------------------------------
+
+def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
+    from ..functions.relational import hash_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    # pre-aggregate the fact side per key BEFORE the join (shuffle moves one
+    # row per order, not one per lineitem)
+    per_order = grouped_sums(li, ["l_orderkey"], {"revenue": "rev"}, None, reduce="distributed")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    out = topk(joined, ["revenue", "l_orderkey"], [True, False], 10).to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "o_custkey", "revenue"]]
+    out["revenue"] = out["revenue"].round(2)
+    return _i64(out, ["o_orderkey", "o_custkey"])
+
+
+SQL_ORDER_REVENUE_TOPK = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with no big order (broadcast key-set filter)."""
+    import pyarrow.dataset as _pads
+
+    from ..functions.relational import semi_join_broadcast
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    order_keys = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filters=_pads.field("o_totalprice") > 400000.0,
+    )
+    out = semi_join_broadcast(
+        cust, order_keys.rename_columns(["c_custkey"]), "c_custkey", anti=True
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    return _i64(out, ["c_custkey"])
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
+
+# ---------------------------------------------------------------------------
 # Session windows (gap rule ≡ reference blob-closing inactivity timeout,
 # blob_closing_processor.go:68-92)
 # ---------------------------------------------------------------------------
@@ -636,6 +695,44 @@ def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exploration stats (A5) and set ops (§2.8)
+# ---------------------------------------------------------------------------
+
+def q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    from ..functions.explore import group_counts
+
+    return _i64(group_counts(_t(sf_dir, "documents", ["lang"]), "lang", k=10), ["n"])
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LIMIT 10
+"""
+
+
+def q_union_counts(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL of two filtered streams → per-type counts (ds.union)."""
+    purchases = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    big = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 150.0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    both = purchases.union(big)
+    out = grouped_sums(both, ["event_type"], {}, "n").to_pandas()
+    return _i64(out, ["n"])
+
+
+SQL_UNION_COUNTS = """
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE value > 150.0
+) GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -659,8 +756,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
     "pipeline_docs": QuerySpec(q_pipeline_docs, SQL_PIPELINE_DOCS, "flagship parse→enrich→route→agg"),
     "route_documents": QuerySpec(q_route_documents, SQL_ROUTE_DOCUMENTS, "predicate fan-out counts"),
+    "order_revenue_topk": QuerySpec(
+        q_order_revenue_topk, SQL_ORDER_REVENUE_TOPK, "large-large hash join + pre-agg"
+    ),
+    "customers_without_orders": QuerySpec(
+        q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS, "broadcast anti join"
+    ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),
+    "lang_counts": QuerySpec(q_lang_counts, SQL_LANG_COUNTS, "A5 exploration top-k counts"),
+    "union_counts": QuerySpec(q_union_counts, SQL_UNION_COUNTS, "union-all of filtered streams"),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
 }

@@ -1,0 +1,143 @@
+"""CLI entry point — the ``ray job submit`` surface (SURVEY §2.10, §7.2-8).
+
+Examples:
+
+    # generate a corpus, run the flagship pipeline on it, resume-safe
+    python -m commerce_logs_pipeline_ray.run gen --out /tmp/seq --rows 1000000
+    python -m commerce_logs_pipeline_ray.run flagship --input /tmp/seq --output /tmp/out \
+        --shards 8 --salt 8 --enrich-mode tasks
+    # rerun after a crash: completed shards are skipped via the manifest
+    python -m commerce_logs_pipeline_ray.run flagship --input /tmp/seq --output /tmp/out --shards 8
+
+    # run a registered query against a table directory
+    python -m commerce_logs_pipeline_ray.run query pipeline_docs --sf-dir /root/testdata/sf0.01
+
+This module OWNS the Ray session (init guarded, shutdown on exit); library
+code never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="commerce_logs_pipeline_ray")
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (default: all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic sequences corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--files", type=int, default=64)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--p-malformed", type=float, default=0.02)
+
+    f = sub.add_parser("flagship", help="run the parse→enrich→route→aggregate pipeline")
+    f.add_argument("--input", required=True)
+    f.add_argument("--output", required=True)
+    f.add_argument("--shards", type=int, default=1, help="checkpoint granularity")
+    f.add_argument("--salt", type=int, default=8, help="aggregation salt modulus (0=off)")
+    f.add_argument("--batch-size", type=int, default=32768)
+    f.add_argument("--enrich-mode", choices=["tasks", "actors"], default="tasks")
+    f.add_argument("--enrich-concurrency", type=int, default=4)
+    f.add_argument("--agg-mode", choices=["shuffle", "tree"], default="shuffle")
+    f.add_argument("--no-write-routed", action="store_true")
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    lst = sub.add_parser("list-queries", help="list registered queries")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .datagen import generate_sequences
+
+        paths = generate_sequences(
+            args.out, rows=args.rows, num_files=args.files, seed=args.seed,
+            p_malformed=args.p_malformed, overwrite=True,
+        )
+        print(json.dumps({"files": len(paths), "rows": args.rows, "dir": args.out}))
+        return 0
+
+    if args.cmd == "list-queries":
+        from .pipelines.queries import REGISTRY
+
+        for name, spec in REGISTRY.items():
+            oracle = "sql-checked" if spec.sql else "rows-only"
+            print(f"{name:28s} [{oracle}] {spec.description}")
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "flagship":
+            from .pipelines.flagship import PipelineConfig, run_flagship
+
+            cfg = PipelineConfig(
+                input_dir=args.input,
+                output_dir=args.output,
+                num_shards=args.shards,
+                salt_mod=args.salt,
+                batch_size=args.batch_size,
+                enrich_mode=args.enrich_mode,
+                enrich_concurrency=args.enrich_concurrency,
+                agg_mode=args.agg_mode,
+                write_routed=not args.no_write_routed,
+            )
+            res = run_flagship(cfg)
+            print(
+                json.dumps(
+                    {
+                        "rows_in": res.rows_in,
+                        "shards_run": res.shards_run,
+                        "shards_skipped": res.shards_skipped,
+                        "agg_rows": res.aggregates.num_rows,
+                        "wall_s": round(res.wall_seconds, 3),
+                        "rows_per_s": res.metrics.get("rows_per_s"),
+                        "output_dir": res.output_dir,
+                    }
+                )
+            )
+            return 0
+
+        if args.cmd == "query":
+            from .pipelines.queries import REGISTRY
+
+            if args.name not in REGISTRY:
+                print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+                return 2
+            result = REGISTRY[args.name].fn(args.sf_dir)
+            import pandas as pd
+
+            if not isinstance(result, pd.DataFrame):
+                result = result.to_pandas()
+            print(result.head(args.limit).to_string(index=False))
+            print(f"... {len(result)} rows")
+            return 0
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
