@@ -1,0 +1,198 @@
+"""Vectorized operators over the ``tokens: list<int32>`` payload column.
+
+These are the training-data-pipeline operations the tokens table exists for.
+Every kernel works directly on the Arrow list array's flat values+offsets
+buffers (zero-copy views) — no per-row Python over token data.
+
+* ``token_frequency``: corpus vocab histogram — per-batch
+  ``pc.value_counts`` partials, then a distributed ``groupby(token)`` reduce
+  (vocab-sized key space ⇒ the shuffle moves ≤|vocab| rows per block);
+* ``bigram_topk``: n-gram statistics via packed-int64 bigram keys;
+* ``length_histogram``: sequence-length buckets;
+* ``pack_sequences``: greedy first-fit packing of documents into fixed-size
+  training rows.  Packing is block-local (each block packs its own rows);
+  at scale, pre-``repartition`` or length-bucket the input for tighter
+  packing — the local strategy keeps packing embarrassingly parallel and
+  deterministic per block, which is the right trade at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarray]:
+    """(values:int32[], offsets:int64[n+1]) zero-copy views of the list column."""
+    arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+    arr = arr.cast(pa.large_list(pa.int32()))  # int64 offsets, uniform view
+    values = np.asarray(arr.values, dtype=np.int32)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    return values, offsets
+
+
+def token_frequency(ds: Dataset, topk: int | None = None) -> pd.DataFrame:
+    """(token, count) histogram over the whole corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        vc = pc.value_counts(pa.array(window))
+        return pa.table(
+            {
+                "token": pc.struct_field(vc, "values"),
+                "count": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby("token")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    out["token"] = out["token"].astype("int64")
+    out["count"] = out["count"].astype("int64")
+    out = out.sort_values(["count", "token"], ascending=[False, True]).reset_index(drop=True)
+    return out.head(topk) if topk else out
+
+
+def bigram_topk(ds: Dataset, k: int = 20) -> pd.DataFrame:
+    """Top-k adjacent token pairs (within-sequence, not across boundaries)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        base = offsets[0]
+        window = values[offsets[0] : offsets[-1]].astype(np.int64)
+        if len(window) < 2:
+            return pa.table({"bigram": pa.array([], pa.int64()), "count": pa.array([], pa.int64())})
+        a = window[:-1]
+        b = window[1:]
+        # drop pairs spanning a sequence boundary: positions where the FIRST
+        # element is the last token of its sequence
+        ends = (offsets[1:] - base - 1)  # last index of each sequence in window coords
+        ends = ends[(ends >= 0) & (ends < len(a))]
+        keep = np.ones(len(a), dtype=bool)
+        keep[ends] = False
+        key = (a[keep] << np.int64(32)) | b[keep]
+        vc = pc.value_counts(pa.array(key))
+        return pa.table(
+            {
+                "bigram": pc.struct_field(vc, "values"),
+                "count": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("bigram").aggregate(Sum("count", alias_name="count")).to_pandas()
+    agg = agg.sort_values(["count", "bigram"], ascending=[False, True]).head(k)
+    out = pd.DataFrame(
+        {
+            "token_a": (agg["bigram"].to_numpy() >> 32).astype("int64"),
+            "token_b": (agg["bigram"].to_numpy() & 0xFFFFFFFF).astype("int64"),
+            "count": agg["count"].astype("int64").to_numpy(),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def length_histogram(ds: Dataset, bucket_width: int = 128) -> pd.DataFrame:
+    """(bucket, n_sequences, n_tokens) histogram of sequence lengths."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(t["n_tok"], pa.scalar(bucket_width, pa.int32())), pa.int32())
+        flat = pa.table({"bucket": b, "n_tok": t["n_tok"]})
+        g = flat.group_by(["bucket"]).aggregate([("n_tok", "count"), ("n_tok", "sum")])
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "n_sequences": pc.cast(g["n_tok_count"], pa.int64()),
+                "n_tokens": pc.cast(g["n_tok_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby("bucket")
+        .aggregate(Sum("n_sequences", alias_name="n_sequences"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def pack_batch(t: pa.Table, *, max_len: int = 2048, pad_id: int = 0, pad: bool = False) -> pa.Table:
+    """Greedy first-fit packing of this block's sequences into rows of at
+    most ``max_len`` tokens.  Token values are moved with numpy slice copies
+    of the flat buffer — bit-exact, no per-token Python.
+
+    Output: pack_key (block-local), doc_ids (list<string>), tokens
+    (list<int32>), n_tok, n_docs.  Sequences longer than max_len are emitted
+    alone (never split) — truncation policy belongs to the caller.
+    """
+    values, offsets = _flat_tokens(t)
+    doc_ids = t["doc_id"].to_pylist()
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+    bins: list[list[int]] = []   # row indices per bin
+    bin_free: list[int] = []
+    # first-fit decreasing over this block
+    order = np.argsort(-lens, kind="stable")
+    for i in order:
+        L = int(lens[i])
+        placed = False
+        for bi in range(len(bins)):
+            if bin_free[bi] >= L:
+                bins[bi].append(int(i))
+                bin_free[bi] -= L
+                placed = True
+                break
+        if not placed:
+            bins.append([int(i)])
+            bin_free.append(max(0, max_len - L))
+
+    out_tokens: list[np.ndarray] = []
+    out_docs: list[list[str]] = []
+    out_ntok: list[int] = []
+    for rows in bins:
+        parts = [values[offsets[r] : offsets[r + 1]] for r in rows]
+        packed = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        if pad and len(packed) < max_len:
+            packed = np.concatenate([packed, np.full(max_len - len(packed), pad_id, np.int32)])
+        out_tokens.append(packed)
+        out_docs.append([doc_ids[r] for r in rows])
+        out_ntok.append(int(sum(int(lens[r]) for r in rows)))
+
+    n = len(bins)
+    flat = np.concatenate(out_tokens) if out_tokens else np.zeros(0, np.int32)
+    tok_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in out_tokens], out=tok_offsets[1:])
+    return pa.table(
+        {
+            "pack_key": pa.array(np.arange(n, dtype=np.int64)),
+            "doc_ids": pa.array(out_docs, type=pa.list_(pa.string())),
+            "tokens": pa.LargeListArray.from_arrays(pa.array(tok_offsets), pa.array(flat)).cast(
+                pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(out_ntok, type=pa.int32()),
+            "n_docs": pa.array([len(d) for d in out_docs], type=pa.int32()),
+        }
+    )
+
+
+def pack_sequences(ds: Dataset, max_len: int = 2048, batch_size: int = 4096) -> Dataset:
+    return ds.map_batches(
+        pack_batch,
+        fn_kwargs={"max_len": max_len},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

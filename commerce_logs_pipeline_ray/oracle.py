@@ -46,6 +46,7 @@ def run_oracle(
     sources: list[str] | None = None,
     bucket_width: int = N_TOK_BUCKET_WIDTH,
     num_partitions: int = NUM_LOGICAL_PARTITIONS,
+    validate: bool = False,
 ) -> OracleResult:
     """rows: dicts with doc_id/tokens/n_tok/source (e.g. ``table.to_pylist()``)."""
     dim = build_source_dict(sources)
@@ -85,6 +86,20 @@ def run_oracle(
                 service=None,
                 error_type=ERROR_TYPE_EMPTY if doc_id == "" else ERROR_TYPE_MALFORMED,
             )
+        # --- optional semantic validation (extractor.go:503-561)
+        if validate and ok:
+            date = r["date"]
+            month, day = date[4:6], date[6:8]
+            v = (
+                "01" <= month <= "12"
+                and "01" <= day <= "31"
+                and int(row["n_tok"]) >= 1
+                and len(row["tokens"]) == int(row["n_tok"])
+            )
+            if not v:
+                ok = False
+                r["parse_ok"] = False
+                r["error_type"] = "validation_error"
         r["parse_ok"] = ok
         r["partition_id"] = fnv1a32_single(doc_id) % num_partitions
 

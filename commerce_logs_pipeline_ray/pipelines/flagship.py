@@ -68,6 +68,7 @@ class PipelineConfig:
     num_logical_partitions: int = NUM_LOGICAL_PARTITIONS
     batch_size: int = 32768
     write_batch_size: int = 32768             # balances file size vs write-stage task parallelism
+    validate: bool = False                    # semantic validation after parse (R2 error channel)
     enrich_mode: str = "tasks"                # "tasks" (broadcast ref) | "actors" (pool)
     enrich_concurrency: int = 4               # actor-pool size when enrich_mode="actors"
     salt_mod: int = 8                         # >1 → salted two-stage reduce
@@ -205,6 +206,13 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
         )
+        if cfg.validate:
+            from ..stages.validate import validate_batch
+
+            ds = ds.map_batches(
+                validate_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+            )
         # ST2/J1 enrichment.  Two equivalent broadcast expressions:
         #  - "actors": callable-class pool, dict dereferenced once per actor in
         #    __init__ — right when per-worker state is heavy (models, indexes);

@@ -684,6 +684,45 @@ def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+_DERIVED_CACHE: dict[str, pa.Table] = {}
+
+
+def _derived_sequences(sf_dir: str) -> pa.Table:
+    from ..sources.sequences import derive_sequences
+
+    if sf_dir not in _DERIVED_CACHE:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        _DERIVED_CACHE[sf_dir] = derive_sequences(docs)
+    return _DERIVED_CACHE[sf_dir]
+
+
+def q_token_frequency_topk(sf_dir: str) -> pd.DataFrame:
+    """Vocab histogram over the derived tokens payload (rows-only; the
+    word-hash tokenizer is not SQL-expressible — Python-oracle tested)."""
+    from ..functions.tokens import token_frequency
+
+    ds = rd.from_arrow(_derived_sequences(sf_dir))
+    return token_frequency(ds, topk=50)
+
+
+def q_packing_stats(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing into 512-token rows (rows-only; invariants
+    tested in tests/test_tokens.py)."""
+    from ..functions.tokens import pack_sequences
+
+    ds = rd.from_arrow(_derived_sequences(sf_dir))
+    packed = pack_sequences(ds, max_len=512).to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_packs": [len(packed)],
+            "total_tokens": [int(packed["n_tok"].sum())],
+            "total_docs": [int(packed["n_docs"].sum())],
+            "mean_fill": [round(float(packed["n_tok"].mean()) / 512, 6)],
+        }
+    )
+    return _i64(out, ["n_packs", "total_tokens", "total_docs"])
+
+
 def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-doc 64-bit SimHash (rows-only; determinism tested in pytest)."""
     from ..functions.dedup import SimHasher
@@ -768,4 +807,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "union_counts": QuerySpec(q_union_counts, SQL_UNION_COUNTS, "union-all of filtered streams"),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
+    "token_frequency_topk": QuerySpec(q_token_frequency_topk, None, "vocab histogram (rows-only)"),
+    "packing_stats": QuerySpec(q_packing_stats, None, "sequence packing stats (rows-only)"),
 }

@@ -146,3 +146,49 @@ def test_sliced_batch_write_raw_integrity(tmp_path):
                 assert raw == d
             else:
                 assert raw is None
+
+
+def test_validation_stage(small_sequences, ray_session, tmp_path):
+    """Semantic validation: bad month/day or token-count mismatch → errors
+    sink with error_type=validation_error (extractor.go:503-561 parity)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.oracle import run_oracle
+    from commerce_logs_pipeline_ray.pipelines.flagship import PipelineConfig, run_flagship
+    from commerce_logs_pipeline_ray.stages.validate import validate_batch
+
+    bad_rows = [
+        # month 13 — passes the \d{8} regex, fails validation
+        {"doc_id": "20251315.api-12345678-ab9cd_default_app-deadbeef",
+         "tokens": [1, 2], "n_tok": 2, "source": "api"},
+        # n_tok disagrees with the physical list length
+        {"doc_id": "20250615.api-12345678-ab9cd_default_app-deadbeef",
+         "tokens": [1, 2, 3], "n_tok": 2, "source": "api"},
+        # valid control row
+        {"doc_id": "20250615.jsapps-44556677-fe001_default_app-33334444",
+         "tokens": [8], "n_tok": 1, "source": "jsapps"},
+    ]
+    t = _seq_table(bad_rows)
+    v = validate_batch(parse_batch(t))
+    assert v.column("parse_ok").to_pylist() == [False, False, True]
+    assert v.column("error_type").to_pylist()[:2] == ["validation_error", "validation_error"]
+
+    # end-to-end on generated corpus + injected bad rows, vs oracle
+    paths, table = small_sequences
+    import pyarrow as pa_
+
+    mixed = pa_.concat_tables([table, t])
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(mixed, os.path.join(in_dir, "part-00000.parquet"))
+    cfg = PipelineConfig(input_dir=in_dir, output_dir=str(tmp_path / "out"),
+                         validate=True, batch_size=1024)
+    res = run_flagship(cfg)
+    orc = run_oracle(mixed.to_pylist(), validate=True)
+    got = {
+        (r["sink"], r["source"], r["tenant"], r["n_tok_bucket"]): (r["row_count"], r["token_count"])
+        for r in res.aggregates.to_pylist()
+    }
+    assert got == {k: tuple(v) for k, v in orc.agg.items()}

@@ -1,0 +1,109 @@
+"""Token-payload operators vs pure-Python oracles (bit-exactness focus)."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from commerce_logs_pipeline_ray.functions.tokens import (
+    bigram_topk,
+    length_histogram,
+    pack_batch,
+    pack_sequences,
+    token_frequency,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_ds(small_sequences, ray_session):
+    import ray.data as rd
+
+    paths, table = small_sequences
+    return rd.read_parquet(paths), table
+
+
+def test_token_frequency_matches_counter(seq_ds):
+    ds, table = seq_ds
+    got = token_frequency(ds)
+    want = Counter()
+    for toks in table.column("tokens").to_pylist():
+        want.update(toks)
+    got_map = dict(zip(got["token"], got["count"]))
+    assert got_map == dict(want)
+
+
+def test_bigram_topk_matches_counter(seq_ds):
+    ds, table = seq_ds
+    got = bigram_topk(ds, k=15)
+    want = Counter()
+    for toks in table.column("tokens").to_pylist():
+        for a, b in zip(toks, toks[1:]):
+            want[(a, b)] += 1
+    # compare the top-15 with deterministic tie order (count desc, key asc)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], (kv[0][0] << 32) | kv[0][1]))[:15]
+    got_pairs = list(zip(got["token_a"], got["token_b"], got["count"]))
+    assert got_pairs == [(a, b, c) for (a, b), c in ranked]
+
+
+def test_length_histogram_sums(seq_ds):
+    ds, table = seq_ds
+    h = length_histogram(ds, bucket_width=128)
+    assert h["n_sequences"].sum() == table.num_rows
+    assert h["n_tokens"].sum() == sum(table.column("n_tok").to_pylist())
+
+
+def test_pack_batch_invariants(seq_ds):
+    _, table = seq_ds
+    packed = pack_batch(table, max_len=2048)
+    n_tok = packed["n_tok"].to_pylist()
+    toks = packed["tokens"].to_pylist()
+    lens_in = table.column("n_tok").to_pylist()
+    # token conservation, bit-exact
+    assert sum(n_tok) == sum(lens_in)
+    assert all(len(t) == n for t, n in zip(toks, n_tok))
+    # every bin within max_len unless a single oversized doc
+    docs = packed["doc_ids"].to_pylist()
+    for n, d in zip(n_tok, docs):
+        assert n <= 2048 or len(d) == 1
+    # concatenation preserves exact token values per doc (empty doc_id is
+    # shared by malformed rows → not unique; skip those in the value check)
+    all_ids = table.column("doc_id").to_pylist()
+    dup_free = {d for d, c in __import__("collections").Counter(all_ids).items() if c == 1}
+    want = {
+        d: t
+        for d, t in zip(all_ids, table.column("tokens").to_pylist())
+        if d in dup_free
+    }
+    for d_list, t_all in zip(docs, toks):
+        pos = 0
+        for d in d_list:
+            n_d = len(want[d]) if d in want else None
+            if n_d is None:
+                break  # duplicate id — positions beyond it unverifiable
+            assert t_all[pos : pos + n_d] == want[d]
+            pos += n_d
+    # packing efficiency: average fill of multi-doc bins is decent
+    fills = [n / 2048 for n, d in zip(n_tok, docs) if len(d) > 1]
+    if fills:
+        assert np.mean(fills) > 0.5
+
+
+def test_pack_sequences_distributed(seq_ds):
+    ds, table = seq_ds
+    packed = pack_sequences(ds, max_len=2048).to_pandas()
+    assert packed["n_tok"].sum() == sum(table.column("n_tok").to_pylist())
+    assert packed["n_docs"].sum() == table.num_rows
+
+
+def test_pack_padding():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array([[1, 2, 3], [4, 5]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2], type=pa.int32()),
+            "source": pa.array(["s", "s"]),
+        }
+    )
+    packed = pack_batch(t, max_len=8, pad=True, pad_id=0)
+    assert all(len(x) == 8 for x in packed["tokens"].to_pylist())
