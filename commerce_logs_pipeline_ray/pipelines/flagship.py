@@ -52,7 +52,7 @@ from ..schema import (
     SEQUENCES_SCHEMA,
     SINKS,
 )
-from ..stages.aggregate import add_bucket, final_agg, partial_agg
+from ..stages.aggregate import add_bucket, detect_hot_keys, final_agg, partial_agg
 from ..stages.enrich import Enricher, build_source_dict
 from ..stages.parse import parse_batch
 from ..stages.route import route_batch
@@ -161,12 +161,47 @@ def write_routed_batch(
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
 
 
-def run_flagship(cfg: PipelineConfig) -> RunResult:
-    """Run (or resume) the full pipeline.  Ray must already be initialised."""
-    t0 = time.perf_counter()
+def preflight(cfg: PipelineConfig) -> list[str]:
+    """Fail-fast checks before launching work (reference Kafka connectivity
+    probe analog, README.md:429-453 / cmd/ingest/main.go:220-245): input
+    exists, schema matches the payload contract, output is writable."""
     files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
+    schema = pq.read_schema(files[0])
+    for field in SEQUENCES_SCHEMA:
+        if field.name not in schema.names:
+            raise ValueError(f"input schema missing column {field.name!r}")
+        if not schema.field(field.name).type.equals(field.type):
+            raise ValueError(
+                f"input schema mismatch for {field.name!r}: "
+                f"expected {field.type}, found {schema.field(field.name).type}"
+            )
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    return files
+
+
+def _stats_summary(stats: str) -> dict[str, float]:
+    """Condense ds.stats() into per-operator total wall seconds (ST5)."""
+    import re as _re
+
+    out: dict[str, float] = {}
+    for block in stats.split("Operator ")[1:]:
+        name = block.split(":", 1)[0].strip()
+        name = _re.sub(r"^\d+ ", "", name)[:60]
+        m = _re.search(r"\* Remote wall time:.*?, (\S+?)(s|ms|us) total", block)
+        if m:
+            v = float(m.group(1))
+            unit = m.group(2)
+            v = v / 1000 if unit == "ms" else v / 1e6 if unit == "us" else v
+            out[name] = round(out.get(name, 0.0) + v, 4)
+    return out
+
+
+def run_flagship(cfg: PipelineConfig) -> RunResult:
+    """Run (or resume) the full pipeline.  Ray must already be initialised."""
+    t0 = time.perf_counter()
+    files = preflight(cfg)
 
     manifest_dir = os.path.join(cfg.output_dir, "manifest")
     agg_dir = os.path.join(cfg.output_dir, "agg")
@@ -266,6 +301,10 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
         ):
             per_sink[sink] = int(cnt)
         wall = time.perf_counter() - t_shard
+        try:
+            op_walls = _stats_summary(shard_agg.stats())
+        except Exception:  # stats formatting is best-effort telemetry
+            op_walls = {}
         record = {
             "partition_id": shard_id,
             "lineage_id": lineage,
@@ -276,6 +315,8 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
             "metrics": {
                 "wall_s": round(wall, 4),
                 "rows_per_s": round(rows_in / wall, 2) if wall > 0 else 0.0,
+                "operator_wall_s": op_walls,
+                "hot_sources": detect_hot_keys(agg_table),
             },
             "status": mstate.STATUS_COMPLETE,
         }

@@ -624,6 +624,56 @@ SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
 """
 
+def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-style: filtered orders → broadcast-enrich nation → hash join
+    with per-order lineitem revenue → grouped revenue per nation.
+    Composes filter pushdown + broadcast join + pre-agg + hash join +
+    grouped reduce in one streaming plan."""
+    from ..functions.relational import hash_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1999, 1, 1)
+    expr = (pads.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us"))) & (
+        pads.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us"))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"], filter=expr
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    dim = (
+        cust.to_pandas()
+        .merge(nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    orders = broadcast_join(orders, pa.Table.from_pandas(dim, preserve_index=False), "o_custkey")
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+
+    per_order = grouped_sums(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], {"revenue": "rev"}, "n_items", reduce="distributed",
+    )
+    joined = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders").to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return _i64(out, ["n_orders"])
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
 # ---------------------------------------------------------------------------
 # Session windows (gap rule ≡ reference blob-closing inactivity timeout,
 # blob_closing_processor.go:68-92)
@@ -800,6 +850,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "customers_without_orders": QuerySpec(
         q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS, "broadcast anti join"
+    ),
+    "nation_revenue": QuerySpec(
+        q_nation_revenue, SQL_NATION_REVENUE, "Q5-style multi-join (filter+broadcast+hash)"
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),

@@ -83,6 +83,23 @@ def _combine_partials(t: pa.Table, *, group_keys: list[str]) -> pa.Table:
     )
 
 
+def detect_hot_keys(agg: pa.Table, key: str = "source", threshold: float = 0.25) -> dict[str, float]:
+    """Skew detector: keys holding more than ``threshold`` of all rows.
+
+    Fed from the (tiny) final aggregate table, so detection is free; the
+    result is recorded in the shard manifest and is the signal to raise
+    ``salt_mod`` for subsequent runs (north-rule skew handling — the
+    reference has none and a hot blob saturates one Kafka partition,
+    SURVEY §4)."""
+    if agg.num_rows == 0:
+        return {}
+    flat = pa.table({key: agg[key], "row_count": agg["row_count"]})
+    g = flat.group_by([key]).aggregate([("row_count", "sum")])
+    counts = dict(zip(g[key].to_pylist(), g["row_count_sum"].to_pylist()))
+    total = sum(counts.values()) or 1
+    return {k: round(v / total, 4) for k, v in counts.items() if v / total >= threshold}
+
+
 def final_agg(
     partials: Dataset,
     *,
