@@ -68,6 +68,8 @@ class PipelineConfig:
     num_logical_partitions: int = NUM_LOGICAL_PARTITIONS
     batch_size: int = 32768
     write_batch_size: int = 32768             # balances file size vs write-stage task parallelism
+    write_num_cpus: float = 1.0               # >1 throttles concurrent writers (disk contention)
+    write_compression: str = "snappy"         # "none" trades bytes for cpu on high-entropy payloads
     validate: bool = False                    # semantic validation after parse (R2 error channel)
     enrich_mode: str = "tasks"                # "tasks" (broadcast ref) | "actors" (pool)
     enrich_concurrency: int = 4               # actor-pool size when enrich_mode="actors"
@@ -119,6 +121,7 @@ def write_routed_batch(
     bucket_width: int,
     salt_mod: int,
     write_routed: bool,
+    compression: str = "snappy",
 ) -> pa.Table:
     """Fused sink-writer + aggregation combiner (runs inside map_batches).
 
@@ -156,6 +159,7 @@ def write_routed_batch(
                 sub,
                 os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.parquet"),
                 use_dictionary=[c for c in sub.column_names if c not in ("tokens", "doc_id")],
+                compression=compression,
             )
 
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
@@ -283,10 +287,12 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
                 "bucket_width": cfg.bucket_width,
                 "salt_mod": cfg.salt_mod,
                 "write_routed": cfg.write_routed,
+                "compression": cfg.write_compression,
             },
             batch_format="pyarrow",
             batch_size=cfg.write_batch_size,
             zero_copy_batch=True,
+            num_cpus=cfg.write_num_cpus,
         )
         shard_agg = final_agg(partials, keys=AGG_KEYS, salted=cfg.salt_mod > 1, mode=cfg.agg_mode)
         agg_table = pa.Table.from_pandas(shard_agg.to_pandas(), preserve_index=False)

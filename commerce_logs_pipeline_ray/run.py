@@ -59,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--enrich-mode", choices=["tasks", "actors"], default="tasks")
     f.add_argument("--enrich-concurrency", type=int, default=4)
     f.add_argument("--agg-mode", choices=["shuffle", "tree"], default="shuffle")
+    f.add_argument("--validate", action="store_true", help="semantic validation stage")
     f.add_argument("--no-write-routed", action="store_true")
 
     q = sub.add_parser("query", help="run a registered query")
@@ -102,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                 enrich_mode=args.enrich_mode,
                 enrich_concurrency=args.enrich_concurrency,
                 agg_mode=args.agg_mode,
+                validate=args.validate,
                 write_routed=not args.no_write_routed,
             )
             res = run_flagship(cfg)

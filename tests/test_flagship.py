@@ -163,3 +163,20 @@ def test_lineage_invalidation_on_config_change(small_sequences, tmp_path_factory
     )
     res2 = run_flagship(cfg2)  # config change → old checkpoints invalid
     assert res2.shards_run == 2 and res2.shards_skipped == 0
+
+
+def test_enrich_actor_mode_equals_task_mode(small_sequences, tmp_path_factory, ray_session):
+    """enrich_mode='actors' (ST2 actor pool) and 'tasks' (broadcast ref)
+    must produce identical aggregates."""
+    paths, _ = small_sequences
+    results = []
+    for mode in ("tasks", "actors"):
+        out = tmp_path_factory.mktemp(f"emode_{mode}") / "out"
+        cfg = PipelineConfig(
+            input_dir=os.path.dirname(paths[0]), output_dir=str(out),
+            enrich_mode=mode, enrich_concurrency=2, batch_size=1024,
+            write_routed=False,
+        )
+        res = run_flagship(cfg)
+        results.append(sorted(tuple(r.values()) for r in res.aggregates.to_pylist()))
+    assert results[0] == results[1]

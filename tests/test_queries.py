@@ -19,6 +19,10 @@ SUBSET = [
     "dedup_exact",
     "cosine_topk",
     "pipeline_docs",
+    "user_sessions",
+    "order_revenue_topk",
+    "union_counts",
+    "embedding_neardup",
 ]
 
 
