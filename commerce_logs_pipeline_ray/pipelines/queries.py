@@ -798,6 +798,25 @@ SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LI
 """
 
 
+def q_docs_matching_regex(sf_dir: str) -> pd.DataFrame:
+    """F4 selector-regex filter: any-of regex match over a string column."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(t["text"], r"vector (join|merge) (stream|batch)")
+        return t.filter(pc.fill_null(mask, False)).select(["doc_id"])
+
+    out = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return _i64(out, ["doc_id"])
+
+
+SQL_DOCS_MATCHING_REGEX = """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'vector (join|merge) (stream|batch)')
+"""
+
+
 def q_union_counts(sf_dir: str) -> pd.DataFrame:
     """UNION ALL of two filtered streams → per-type counts (ds.union)."""
     purchases = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
@@ -858,6 +877,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),
     "lang_counts": QuerySpec(q_lang_counts, SQL_LANG_COUNTS, "A5 exploration top-k counts"),
     "union_counts": QuerySpec(q_union_counts, SQL_UNION_COUNTS, "union-all of filtered streams"),
+    "docs_matching_regex": QuerySpec(
+        q_docs_matching_regex, SQL_DOCS_MATCHING_REGEX, "F4 regex row filter"
+    ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
     "token_frequency_topk": QuerySpec(q_token_frequency_topk, None, "vocab histogram (rows-only)"),

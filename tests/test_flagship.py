@@ -180,3 +180,35 @@ def test_enrich_actor_mode_equals_task_mode(small_sequences, tmp_path_factory, r
         res = run_flagship(cfg)
         results.append(sorted(tuple(r.values()) for r in res.aggregates.to_pylist()))
     assert results[0] == results[1]
+
+
+def test_all_malformed_input(tmp_path, ray_session):
+    """Corpus where every row is malformed → everything lands in errors,
+    counts still close."""
+    rows = [
+        {"doc_id": "", "tokens": [1], "n_tok": 1, "source": "api"},
+        {"doc_id": "garbage", "tokens": [2, 2], "n_tok": 2, "source": "api"},
+        {"doc_id": "2025.nope", "tokens": [3], "n_tok": 1, "source": "jsapps"},
+    ]
+    t = pa.Table.from_pylist(rows, schema=__import__(
+        "commerce_logs_pipeline_ray.schema", fromlist=["SEQUENCES_SCHEMA"]).SEQUENCES_SCHEMA)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(t, str(in_dir / "p.parquet"))
+    res = run_flagship(PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out")))
+    agg = res.aggregates.to_pylist()
+    assert all(r["sink"] == "errors" for r in agg)
+    assert sum(r["row_count"] for r in agg) == 3
+
+
+def test_empty_files_in_input(tmp_path, ray_session):
+    """Zero-row parquet files flow through without errors."""
+    from commerce_logs_pipeline_ray.datagen import generate_file
+    from commerce_logs_pipeline_ray.schema import SEQUENCES_SCHEMA
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(generate_file(0, 100, seed=42), str(in_dir / "a.parquet"))
+    pq.write_table(SEQUENCES_SCHEMA.empty_table(), str(in_dir / "empty.parquet"))
+    res = run_flagship(PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out")))
+    assert res.rows_in == 100

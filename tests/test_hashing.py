@@ -45,3 +45,12 @@ def test_nulls_treated_as_empty():
     arr = pa.array(["x", None, ""])
     got = fnv1a32(arr)
     assert got[1] == got[2] == fnv1a32_single("")
+
+
+def test_fnv_unicode_multibyte():
+    strs = ["héllo", "日本語テキスト", "emoji🙂mix", ""]
+    vec = fnv1a32(pa.array(strs))
+    assert vec.tolist() == [fnv1a32_single(s) for s in strs]
+    vec64 = fnv1a64(strs)
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a64_single
+    assert [int(x) for x in vec64] == [fnv1a64_single(s) for s in strs]
