@@ -798,6 +798,47 @@ SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang LI
 """
 
 
+def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT key) done scale-correctly: per-batch dedup of
+    (type, user) pairs → distributed groupby dedup → per-type count.  The
+    shuffle moves distinct pairs, never raw events."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "user_id": t["user_id"]}).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    # global dedup of pairs, then count per type (both on the small pair set)
+    pdf = pairs.groupby(["event_type", "user_id"]).count().to_pandas()
+    out = pdf.groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+    return _i64(out, ["n_users"])
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
+def q_value_median_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median via hash-shuffle groupby + in-group quantile."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]], "median_value": [round(float(df["value"].median()), 6)]}
+        )
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    return out
+
+
+SQL_VALUE_MEDIAN = """
+SELECT event_type, ROUND(median(value), 6) AS median_value FROM events GROUP BY event_type
+"""
+
+
 def q_docs_matching_regex(sf_dir: str) -> pd.DataFrame:
     """F4 selector-regex filter: any-of regex match over a string column."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -879,6 +920,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "union_counts": QuerySpec(q_union_counts, SQL_UNION_COUNTS, "union-all of filtered streams"),
     "docs_matching_regex": QuerySpec(
         q_docs_matching_regex, SQL_DOCS_MATCHING_REGEX, "F4 regex row filter"
+    ),
+    "distinct_users_per_type": QuerySpec(
+        q_distinct_users_per_type, SQL_DISTINCT_USERS, "two-stage count-distinct"
+    ),
+    "value_median_per_type": QuerySpec(
+        q_value_median_per_type, SQL_VALUE_MEDIAN, "per-group exact median"
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
