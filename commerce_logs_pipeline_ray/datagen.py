@@ -117,11 +117,16 @@ def generate_file(file_index: int, rows: int, seed: int = 42, p_malformed: float
 
     # log-normal token lengths in [1, MAX_TOKENS]
     n_tok = np.clip(rng.lognormal(mean=4.6, sigma=0.9, size=rows), 1, MAX_TOKENS).astype(np.int32)
-    total = int(n_tok.sum())
+    total = int(n_tok.astype(np.int64).sum())
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"file {file_index}: {total} tokens exceed int32 list offsets — "
+            "increase num_files so each file stays under 2^31 tokens"
+        )
     values = rng.integers(0, VOCAB_SIZE, size=total, dtype=np.int32)
-    offsets = np.zeros(rows + 1, dtype=np.int32)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
-    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    tokens = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), pa.array(values))
 
     return pa.Table.from_arrays(
         [
@@ -148,12 +153,27 @@ def generate_sequences(
     ``overwrite`` is False) it is reused — generated inputs are cached per
     (rows, num_files, seed) by the callers.
     """
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(num_files)]
+    params = {"rows": rows, "num_files": num_files, "seed": seed, "p_malformed": p_malformed}
+    params_path = os.path.join(out_dir, "_params.json")
     if not overwrite and all(os.path.exists(p) for p in paths):
-        return paths
+        # cache hit only when the corpus was generated with the SAME params
+        try:
+            with open(params_path) as f:
+                if json.load(f) == params:
+                    return paths
+        except (OSError, json.JSONDecodeError):
+            pass
     per_file = [rows // num_files + (1 if i < rows % num_files else 0) for i in range(num_files)]
+    for stale in os.listdir(out_dir):  # drop leftovers from a different layout
+        if stale.endswith(".parquet") and os.path.join(out_dir, stale) not in paths:
+            os.remove(os.path.join(out_dir, stale))
     for i, (path, n) in enumerate(zip(paths, per_file)):
         table = generate_file(i, n, seed=seed, p_malformed=p_malformed)
         pq.write_table(table, path, row_group_size=65536)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
     return paths

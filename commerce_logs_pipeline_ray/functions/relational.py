@@ -133,7 +133,9 @@ def grouped_sums(
         import ray.data as rd
 
         pdf = partials.to_pandas()
-        out = pdf.groupby(keys, as_index=False)[value_cols].sum()
+        # dropna=False: null keys are groups too (SQL GROUP BY semantics —
+        # pandas' default silently drops them)
+        out = pdf.groupby(keys, as_index=False, dropna=False)[value_cols].sum()
         return rd.from_pandas(out)
     agg_fns = [Sum(name, alias_name=name) for name in value_cols]
     return partials.groupby(keys).aggregate(*agg_fns)
@@ -169,7 +171,9 @@ def last_by_key(
 
         pdf = candidates.to_pandas()
         pdf = pdf.sort_values([key, *order_cols], kind="stable")
-        return rd.from_pandas(pdf.groupby(key, as_index=False, sort=False).tail(1).reset_index(drop=True))
+        return rd.from_pandas(
+            pdf.groupby(key, as_index=False, sort=False, dropna=False).tail(1).reset_index(drop=True)
+        )
 
     def group_last(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(order_cols, kind="stable")

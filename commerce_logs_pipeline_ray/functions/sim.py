@@ -41,10 +41,11 @@ def brute_force_topk(
         mat = _to_matrix(t)
         norms = np.sqrt((mat * mat).sum(axis=1))
         cos = (mat @ qq) / (norms * qnorm)
-        order = np.argsort(-cos)[:k]
+        block_ids = np.asarray(t[id_col].to_pylist())
+        order = np.lexsort((block_ids, -cos))[:k]  # tie-break: id asc, like the global merge
         return pa.table(
             {
-                id_col: pa.array(np.asarray(t[id_col].to_pylist())[order], type=pa.int64()),
+                id_col: pa.array(block_ids[order], type=pa.int64()),
                 "cos": pa.array(cos[order]),
             }
         )

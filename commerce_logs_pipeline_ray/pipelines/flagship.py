@@ -36,6 +36,7 @@ import uuid
 from dataclasses import dataclass, field, asdict
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -147,20 +148,31 @@ def write_routed_batch(
     if write_routed and n:
         out_cols = [c for c in ROUTED_COLUMNS if c in t.column_names]
         projected = t.select(out_cols + ["n_tok_bucket"])
+        # deterministic per-batch file name: an order-insensitive digest of
+        # the batch's doc_ids.  A Ray task retry re-produces the same batches
+        # from the same block, so the retry OVERWRITES (tmp+rename, atomic)
+        # instead of adding a second uuid-named copy — keeps routed output
+        # exactly-once even across mid-write worker deaths.
+        from ..functions.hashing import fnv1a64
+
+        batch_digest = np.bitwise_xor.reduce(fnv1a64(t["doc_id"])) ^ np.uint64(len(t))
         for sink in SINKS:
             sub = projected.filter(pc.equal(projected["sink"], sink))
             if len(sub) == 0:
                 continue
             sink_dir = os.path.join(out_dir, "routed", sink, f"shard={shard_id:05d}")
             os.makedirs(sink_dir, exist_ok=True)
+            path = os.path.join(sink_dir, f"part-{int(batch_digest):016x}.parquet")
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
             # dictionary-encode the low-cardinality columns only: dictionary
             # attempts on the high-entropy tokens list double the encode cost
             pq.write_table(
                 sub,
-                os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                tmp,
                 use_dictionary=[c for c in sub.column_names if c not in ("tokens", "doc_id")],
                 compression=compression,
             )
+            os.replace(tmp, path)
 
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
 
@@ -172,15 +184,18 @@ def preflight(cfg: PipelineConfig) -> list[str]:
     files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
-    schema = pq.read_schema(files[0])
-    for field in SEQUENCES_SCHEMA:
-        if field.name not in schema.names:
-            raise ValueError(f"input schema missing column {field.name!r}")
-        if not schema.field(field.name).type.equals(field.type):
-            raise ValueError(
-                f"input schema mismatch for {field.name!r}: "
-                f"expected {field.type}, found {schema.field(field.name).type}"
-            )
+    # every file's footer, not just the first — a mixed-schema directory must
+    # fail BEFORE side-effect writes begin (metadata-only reads, cheap)
+    for f in files:
+        schema = pq.read_schema(f)
+        for field in SEQUENCES_SCHEMA:
+            if field.name not in schema.names:
+                raise ValueError(f"{f}: input schema missing column {field.name!r}")
+            if not schema.field(field.name).type.equals(field.type):
+                raise ValueError(
+                    f"{f}: input schema mismatch for {field.name!r}: "
+                    f"expected {field.type}, found {schema.field(field.name).type}"
+                )
     os.makedirs(cfg.output_dir, exist_ok=True)
     return files
 
@@ -217,6 +232,26 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
     lookup_ref = ray.put(build_source_dict(cfg.sources))
 
     shards = _chunk(files, cfg.num_shards)
+
+    # drop leftovers from a previous run with a DIFFERENT shard layout:
+    # stale manifest rows, agg partials and routed dirs beyond the current
+    # shard count would otherwise be merged into the final aggregate
+    # (double-counting) or linger as duplicate routed rows.
+    for rec_name in os.listdir(manifest_dir) if os.path.isdir(manifest_dir) else []:
+        if rec_name.startswith("shard-") and rec_name.endswith(".json"):
+            sid = int(rec_name[6:11])
+            if sid >= len(shards):
+                os.remove(os.path.join(manifest_dir, rec_name))
+                manifest.pop(sid, None)
+    for stale in glob.glob(os.path.join(agg_dir, "shard-*.parquet")):
+        sid = int(os.path.basename(stale)[6:11])
+        if sid >= len(shards):
+            os.remove(stale)
+    for sink_dir in glob.glob(os.path.join(cfg.output_dir, "routed", "*", "shard=*")):
+        sid = int(os.path.basename(sink_dir).split("=")[1])
+        if sid >= len(shards):
+            shutil.rmtree(sink_dir, ignore_errors=True)
+
     rows_in_total, shards_run, shards_skipped = 0, 0, 0
 
     for shard_id, shard_files in enumerate(shards):
@@ -331,8 +366,11 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
         rows_in_total += rows_in
         shards_run += 1
 
-    # final combine across shard partials (tiny, driver-side)
-    partial_paths = sorted(glob.glob(os.path.join(agg_dir, "*.parquet")))
+    # final combine across shard partials (tiny, driver-side) — exactly the
+    # current run's shard set, never whatever else is lying in the directory
+    partial_paths = [
+        os.path.join(agg_dir, f"shard-{sid:05d}.parquet") for sid in range(len(shards))
+    ]
     tables = [pq.read_table(p) for p in partial_paths]
     merged = pa.concat_tables(tables)
     final = merged.group_by(AGG_KEYS).aggregate([("row_count", "sum"), ("token_count", "sum")])

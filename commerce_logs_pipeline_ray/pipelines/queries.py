@@ -385,13 +385,14 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
-    qvec = None
-    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    for vid, e in zip(emb0["vec_id"].to_pylist(), emb0["embedding"].to_pylist()):
-        if vid == 0:
-            qvec = np.asarray(e, dtype=np.float64)
-            break
-    assert qvec is not None
+    # row-group-predicate read: only the query row reaches the driver
+    emb0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pads.field("vec_id") == 0,
+    )
+    assert emb0.num_rows == 1
+    qvec = np.asarray(emb0["embedding"].to_pylist()[0], dtype=np.float64)
     qnorm = np.sqrt((qvec * qvec).sum())
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])

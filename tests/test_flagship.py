@@ -212,3 +212,45 @@ def test_empty_files_in_input(tmp_path, ray_session):
     pq.write_table(SEQUENCES_SCHEMA.empty_table(), str(in_dir / "empty.parquet"))
     res = run_flagship(PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out")))
     assert res.rows_in == 100
+
+
+def test_shard_layout_change_no_double_count(small_sequences, tmp_path_factory, ray_session):
+    """Regression (review finding): rerunning the same output dir with a
+    DIFFERENT num_shards must not merge stale shard partials/routed dirs."""
+    paths, table = small_sequences
+    out = tmp_path_factory.mktemp("layout") / "out"
+    base = dict(input_dir=os.path.dirname(paths[0]), output_dir=str(out),
+                batch_size=1024, enrich_concurrency=2)
+    run_flagship(PipelineConfig(num_shards=4, **base))
+    res = run_flagship(PipelineConfig(num_shards=1, **base))
+    assert sum(r["row_count"] for r in res.aggregates.to_pylist()) == table.num_rows
+    # routed rows not duplicated either
+    n = 0
+    for sink in SINKS:
+        for f in _routed_files(str(out), sink):
+            n += pq.read_table(f, columns=["doc_id"]).num_rows
+    assert n == table.num_rows
+
+
+def test_write_names_deterministic_for_retry_idempotence(small_sequences):
+    """A retried task re-writes the SAME file names (overwrite, not
+    duplicate): running the writer twice on one batch yields one file set."""
+    import glob as _glob
+
+    import tempfile
+
+    from commerce_logs_pipeline_ray.pipelines.flagship import write_routed_batch
+    from commerce_logs_pipeline_ray.stages.enrich import Enricher
+    from commerce_logs_pipeline_ray.stages.parse import parse_batch
+    from commerce_logs_pipeline_ray.stages.route import route_batch
+
+    _, table = small_sequences
+    routed = route_batch(Enricher()(parse_batch(table)))
+    with tempfile.TemporaryDirectory() as d:
+        for _ in range(2):  # simulate original attempt + retry
+            write_routed_batch(routed, out_dir=d, shard_id=0, lineage="x",
+                               bucket_width=128, salt_mod=8, write_routed=True)
+        files = _glob.glob(f"{d}/routed/**/*.parquet", recursive=True)
+        n = sum(pq.read_table(f, columns=["doc_id"]).num_rows for f in files)
+        assert n == table.num_rows  # no duplicates
+        assert not _glob.glob(f"{d}/routed/**/*.tmp-*", recursive=True)
