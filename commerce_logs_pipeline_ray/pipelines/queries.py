@@ -774,6 +774,45 @@ def q_packing_stats(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["n_packs", "total_tokens", "total_docs"])
 
 
+def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
+    """Raw JSON log lines → typed records → per-type/status counts (the
+    reference's extraction service end-to-end over a deterministic synthetic
+    line corpus; rows-only — conformance is pytest-verified per fixture
+    shape, tests/test_loglines.py)."""
+    from ..stages.loglines import extract_batch, synth_log_lines
+
+    n = max(2000, int(_sf_of(sf_dir) * 100_000))
+    lines = synth_log_lines(n, seed=42)
+    ds = rd.from_arrow(pa.table({"line": lines}))
+    out = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sums(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "record_type": t["record_type"],
+                    "level": t["level"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["record_type", "level"],
+        {},
+        "n",
+    ).to_pandas()
+    return _i64(agg, ["n"])
+
+
+def _sf_of(sf_dir: str) -> float:
+    import os as _os
+
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
 def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-doc 64-bit SimHash (rows-only; determinism tested in pytest)."""
     from ..functions.dedup import SimHasher
@@ -930,6 +969,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
+    "loglines_extract": QuerySpec(
+        q_loglines_extract, None, "JSON log-line extraction e2e (rows-only)"
+    ),
     "token_frequency_topk": QuerySpec(q_token_frequency_topk, None, "vocab histogram (rows-only)"),
     "packing_stats": QuerySpec(q_packing_stats, None, "sequence packing stats (rows-only)"),
 }
