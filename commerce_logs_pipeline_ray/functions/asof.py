@@ -1,0 +1,111 @@
+"""As-of (temporal) join — the reference's designed correlation joins
+(SURVEY §2.6 J2/J3: link records to the latest prior related record by key,
+``pipeline_design.md:63-74``) generalized as a reusable operator.
+
+Ray Data has no as-of join; composition (guide pattern): align both sides to
+one schema with a ``side`` tag, union, hash-shuffle ``groupby(by)`` so each
+key co-locates, and run ``pd.merge_asof`` over the time-sorted group.
+
+Partitioning assumption: one group (all rows of one ``by`` key, both sides)
+fits a worker; for skewed keys pre-split by coarse time range and stitch the
+boundary (the last right-side row of range i is the seed row of range i+1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as pa.Schema (pandas-block datasets report numpy
+    dtypes; object dtype is assumed to be string)."""
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    import numpy as np
+
+    fields = []
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+            continue
+        try:
+            fields.append(pa.field(name, pa.from_numpy_dtype(np.dtype(typ))))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    on: str,
+    right_payload: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+    inner: bool = True,
+) -> Dataset:
+    """For each left row: the latest right row with ``right.on <= left.on``
+    (direction="backward"; "forward" = earliest >=) sharing ``by``.
+
+    ``inner=True`` drops left rows without a match (DuckDB ``ASOF JOIN``
+    semantics); ``False`` keeps them with nulls (``ASOF LEFT JOIN``).
+    """
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("__side", pa.array([side] * len(t), type=pa.string()))
+            return t
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
+
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    left_cols = list(left_schema.names)
+    right_keep = [by, on, *right_payload]
+    payload_types = {c: right_schema.field(c).type for c in right_payload}
+
+    def align_left(t: pa.Table) -> pa.Table:
+        for c in right_payload:
+            t = t.append_column(f"{c}{suffix}", pa.nulls(len(t), payload_types[c]))
+        return t
+
+    def align_right(t: pa.Table) -> pa.Table:
+        # right payload travels in the suffixed columns of the shared schema
+        cols = {by: t[by], on: t[on], "__side": t["__side"]}
+        out = pa.table(cols)
+        for c in left_cols:
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(len(t), left_schema.field(c).type))
+        for c in right_payload:
+            out = out.append_column(f"{c}{suffix}", t[c])
+        return out
+
+    lt = lt.map_batches(align_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.map_batches(align_right, batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.select_columns(lt.schema().names)  # identical column order for union
+    both = lt.union(rt)
+
+    suffixed = [f"{c}{suffix}" for c in right_payload]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"].sort_values([on], kind="stable")
+        r = df[df["__side"] == "r"].sort_values([on], kind="stable")
+        l = l.drop(columns=["__side", *suffixed])
+        r_small = r[[on, *suffixed]]
+        if len(l) == 0:
+            return l
+        merged = pd.merge_asof(l, r_small, on=on, direction=direction)
+        if inner:
+            merged = merged.dropna(subset=[suffixed[0]])
+        return merged
+
+    return both.groupby(by).map_groups(merge, batch_format="pandas")

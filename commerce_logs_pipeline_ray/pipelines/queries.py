@@ -675,6 +675,47 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01
 GROUP BY n_name
 """
 
+def q_error_prior_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of correlation join (J2/J3 designed semantics): each error event
+    linked to the user's latest preceding purchase."""
+    from ..functions.asof import asof_join
+
+    def filt(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(["event_type"])
+
+        return fn
+
+    errors = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        filt("error"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    purchases = _t(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"]
+    ).map_batches(filt("purchase"), batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = asof_join(
+        errors, purchases, by="user_id", on="ts",
+        right_payload=["event_id", "value"], direction="backward", inner=True,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": joined["event_id"].astype("int64"),
+            "user_id": joined["user_id"].astype("int64"),
+            "prior_purchase_id": joined["event_id_right"].astype("int64"),
+            "prior_value": joined["value_right"].astype("float64").round(2),
+        }
+    )
+    return out
+
+
+SQL_ERROR_PRIOR_PURCHASE = """
+SELECT a.event_id, a.user_id, b.event_id AS prior_purchase_id,
+       ROUND(b.value, 2) AS prior_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') a
+ASOF JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
 # ---------------------------------------------------------------------------
 # Session windows (gap rule ≡ reference blob-closing inactivity timeout,
 # blob_closing_processor.go:68-92)
@@ -953,6 +994,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "nation_revenue": QuerySpec(
         q_nation_revenue, SQL_NATION_REVENUE, "Q5-style multi-join (filter+broadcast+hash)"
+    ),
+    "error_prior_purchase": QuerySpec(
+        q_error_prior_purchase, SQL_ERROR_PRIOR_PURCHASE, "as-of correlation join"
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),

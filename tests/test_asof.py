@@ -1,0 +1,51 @@
+"""asof_join unit semantics (backward/forward, inner/left)."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "k": ["a", "a", "b", "b"], "t": [10, 25, 5, 40]}
+    )
+    right = pd.DataFrame(
+        {"rid": [100, 101, 102, 103], "k": ["a", "a", "b", "c"], "t": [8, 20, 30, 1],
+         "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+def test_backward_inner(sides):
+    from commerce_logs_pipeline_ray.functions.asof import asof_join
+
+    l, r = sides
+    out = asof_join(l, r, by="k", on="t", right_payload=["rid", "v"]).to_pandas()
+    got = {int(row["id"]): (row["rid_right"], row["v_right"]) for _, row in out.iterrows()}
+    # id1 (a,t10) → rid100 (t8); id2 (a,t25) → rid101 (t20);
+    # id3 (b,t5) → no prior right → dropped (inner); id4 (b,t40) → rid102 (t30)
+    assert got == {1: (100, 1.0), 2: (101, 2.0), 4: (102, 3.0)}
+
+
+def test_backward_left_keeps_unmatched(sides):
+    from commerce_logs_pipeline_ray.functions.asof import asof_join
+
+    l, r = sides
+    out = asof_join(l, r, by="k", on="t", right_payload=["rid", "v"], inner=False).to_pandas()
+    assert len(out) == 4
+    row3 = out[out["id"] == 3].iloc[0]
+    assert pd.isna(row3["rid_right"])
+
+
+def test_forward(sides):
+    from commerce_logs_pipeline_ray.functions.asof import asof_join
+
+    l, r = sides
+    out = asof_join(
+        l, r, by="k", on="t", right_payload=["rid", "v"], direction="forward"
+    ).to_pandas()
+    got = {int(row["id"]): row["rid_right"] for _, row in out.iterrows()}
+    # id1 (a,t10) → next right at t20 = 101; id2 (a,t25) → none; id3 (b,t5) → t30=102
+    assert got == {1: 101, 3: 102}
