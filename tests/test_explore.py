@@ -16,7 +16,8 @@ def test_safe_filter_basic(ray_session):
 
     ds = rd.from_items([{"a": i, "s": f"x{i}"} for i in range(20)])
     out = safe_filter(ds, "a % 2 == 0 and len(s) >= 2").take_all()
-    assert [r["a"] for r in out] == list(range(0, 20, 2))
+    # row order is not guaranteed (preserve_order=False) — compare as a set
+    assert sorted(r["a"] for r in out) == list(range(0, 20, 2))
 
 
 def test_safe_filter_rejects_dunder():
