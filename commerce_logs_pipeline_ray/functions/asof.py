@@ -109,3 +109,67 @@ def asof_join(
         return merged
 
     return both.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    on: str,
+    window: float,
+    count_name: str = "n_in_window",
+) -> Dataset:
+    """Range (interval) join, count form: for each left row, how many right
+    rows share ``by`` with ``left.on - window < right.on <= left.on``.
+
+    Same co-group shape as :func:`asof_join`; inside the group the count is
+    a vectorized ``searchsorted`` over the sorted right timestamps — O((L+R)
+    log R) per key instead of the naive O(L·R) pair expansion, and no pair
+    blow-up ever materializes.  ``on`` values are compared as int64
+    nanoseconds when datetimes.
+    """
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array([side] * len(t), type=pa.string()))
+
+        return fn
+
+    left_schema = _arrow_schema(left)
+    left_cols = list(left_schema.names)
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
+
+    def align_right(t: pa.Table) -> pa.Table:
+        cols = {by: t[by], on: t[on], "__side": t["__side"]}
+        out = pa.table(cols)
+        for c in left_cols:
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(len(t), left_schema.field(c).type))
+        return out
+
+    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.map_batches(align_right, batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.select_columns(lt.schema().names)
+    both = lt.union(rt)
+
+    import numpy as np
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"].drop(columns=["__side"])
+        r = df[df["__side"] == "r"]
+        if len(l) == 0:
+            return l.assign(**{count_name: pd.Series(dtype="int64")})
+        on_l = l[on].to_numpy()
+        on_r = np.sort(r[on].to_numpy())
+        if np.issubdtype(on_l.dtype, np.datetime64):
+            on_l = on_l.astype("datetime64[ns]").astype("int64")
+            on_r = on_r.astype("datetime64[ns]").astype("int64")
+            w = int(window * 1e9)
+        else:
+            w = window
+        hi = np.searchsorted(on_r, on_l, side="right")
+        lo = np.searchsorted(on_r, on_l - w, side="right")
+        return l.assign(**{count_name: (hi - lo).astype("int64")})
+
+    return both.groupby(by).map_groups(count, batch_format="pandas")

@@ -716,6 +716,38 @@ ASOF JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'p
 ON a.user_id = b.user_id AND a.ts >= b.ts
 """
 
+def q_views_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """Range join: per purchase, views by the same user in the prior 30 min
+    (interval predicate join without pair materialization)."""
+    from ..functions.asof import range_join_count
+
+    def filt(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(["event_type"])
+
+        return fn
+
+    purchases = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        filt("purchase"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    views = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        filt("view"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = range_join_count(
+        purchases, views, by="user_id", on="ts", window=1800.0, count_name="n_views_30m"
+    ).to_pandas()[["event_id", "user_id", "n_views_30m"]]
+    return _i64(out, ["event_id", "user_id", "n_views_30m"])
+
+
+SQL_VIEWS_BEFORE_PURCHASE = """
+SELECT a.event_id, a.user_id, COUNT(b.event_id) AS n_views_30m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id
+ AND epoch(a.ts) - epoch(b.ts) < 1800.0 AND epoch(a.ts) - epoch(b.ts) >= 0.0
+GROUP BY a.event_id, a.user_id
+"""
+
 # ---------------------------------------------------------------------------
 # Session windows (gap rule ≡ reference blob-closing inactivity timeout,
 # blob_closing_processor.go:68-92)
@@ -997,6 +1029,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "error_prior_purchase": QuerySpec(
         q_error_prior_purchase, SQL_ERROR_PRIOR_PURCHASE, "as-of correlation join"
+    ),
+    "views_before_purchase": QuerySpec(
+        q_views_before_purchase, SQL_VIEWS_BEFORE_PURCHASE, "range (interval) join counts"
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),

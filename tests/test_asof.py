@@ -49,3 +49,23 @@ def test_forward(sides):
     got = {int(row["id"]): row["rid_right"] for _, row in out.iterrows()}
     # id1 (a,t10) → next right at t20 = 101; id2 (a,t25) → none; id3 (b,t5) → t30=102
     assert got == {1: 101, 3: 102}
+
+
+def test_range_join_count(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.asof import range_join_count
+
+    left = pd.DataFrame({"id": [1, 2, 3], "k": ["a", "a", "b"], "t": [100.0, 200.0, 50.0]})
+    right = pd.DataFrame(
+        {"rid": [10, 11, 12, 13, 14], "k": ["a", "a", "a", "b", "b"],
+         "t": [95.0, 100.0, 150.0, 10.0, 49.0]}
+    )
+    out = range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right), by="k", on="t", window=10.0
+    ).to_pandas()
+    got = {int(r["id"]): int(r["n_in_window"]) for _, r in out.iterrows()}
+    # id1 (a,100): right a-ts in (90,100] → 95,100 → 2
+    # id2 (a,200): (190,200] → 0
+    # id3 (b,50):  (40,50] → 49 → 1
+    assert got == {1: 2, 2: 0, 3: 1}
