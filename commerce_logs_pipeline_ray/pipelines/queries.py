@@ -753,6 +753,34 @@ GROUP BY a.event_id, a.user_id
 # blob_closing_processor.go:68-92)
 # ---------------------------------------------------------------------------
 
+def q_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Sliding window over the tumbling hourly aggregate: 3-row moving
+    average per event_type.  The distributed part is the hourly reduce; the
+    window pass runs on the (tiny) aggregate — windows over aggregates never
+    need a second shuffle."""
+    base = q_events_per_hour(sf_dir).sort_values(["event_type", "hour_id"], kind="stable")
+    base["ma3"] = (
+        base.groupby("event_type")["n"]
+        .rolling(3, min_periods=1)
+        .mean()
+        .round(6)
+        .reset_index(level=0, drop=True)
+    )
+    return base.reset_index(drop=True)
+
+
+SQL_HOURLY_MOVING_AVG = """
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_id, event_type, n,
+       ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY hour_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+FROM h
+"""
+
+
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     from ..functions.windows import sessionize
 
@@ -1034,6 +1062,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_views_before_purchase, SQL_VIEWS_BEFORE_PURCHASE, "range (interval) join counts"
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
+    "hourly_moving_avg": QuerySpec(
+        q_hourly_moving_avg, SQL_HOURLY_MOVING_AVG, "sliding window over tumbling agg"
+    ),
     "embedding_neardup": QuerySpec(q_embedding_neardup, SQL_EMBEDDING_NEARDUP, "cosine near-dup pairs"),
     "lang_counts": QuerySpec(q_lang_counts, SQL_LANG_COUNTS, "A5 exploration top-k counts"),
     "union_counts": QuerySpec(q_union_counts, SQL_UNION_COUNTS, "union-all of filtered streams"),
