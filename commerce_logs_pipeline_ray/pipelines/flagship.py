@@ -79,10 +79,18 @@ class PipelineConfig:
     num_shards: int = 1                       # checkpoint granularity
     write_routed: bool = True                 # False → aggregate-only (bench tail)
 
+    # config fields that change WHAT is computed (outputs), as opposed to
+    # execution tuning (batch sizes, concurrency, agg strategy) which only
+    # changes HOW.  Only semantic fields participate in checkpoint lineage,
+    # so re-tuning a job — or appending new input files, which only adds new
+    # shard ids — never invalidates completed shards.
+    SEMANTIC_FIELDS = (
+        "sources", "bucket_width", "num_logical_partitions", "validate", "write_routed",
+    )
+
     def lineage_repr(self) -> str:
         d = asdict(self)
-        d.pop("input_dir"); d.pop("output_dir")
-        return json.dumps(d, sort_keys=True)
+        return json.dumps({k: d[k] for k in self.SEMANTIC_FIELDS}, sort_keys=True)
 
 
 @dataclass

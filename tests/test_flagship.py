@@ -254,3 +254,36 @@ def test_write_names_deterministic_for_retry_idempotence(small_sequences):
         n = sum(pq.read_table(f, columns=["doc_id"]).num_rows for f in files)
         assert n == table.num_rows  # no duplicates
         assert not _glob.glob(f"{d}/routed/**/*.tmp-*", recursive=True)
+
+
+def test_incremental_ingestion_appends_only_new_shards(tmp_path, ray_session):
+    """Reference blob-monitor semantics: new blobs appear, completed ones
+    are not reprocessed.  Appending input files (per-file shards) must leave
+    completed shards untouched and process only the new ones."""
+    from commerce_logs_pipeline_ray.datagen import generate_file
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(4):
+        pq.write_table(generate_file(i, 500, seed=42), str(in_dir / f"part-{i:05d}.parquet"))
+    out = str(tmp_path / "out")
+    first = run_flagship(PipelineConfig(input_dir=str(in_dir), output_dir=out, num_shards=4))
+    assert first.shards_run == 4
+
+    # two new files arrive (sorted after the old ones)
+    for i in (4, 5):
+        pq.write_table(generate_file(i, 500, seed=42), str(in_dir / f"part-{i:05d}.parquet"))
+    second = run_flagship(PipelineConfig(input_dir=str(in_dir), output_dir=out, num_shards=6))
+    assert second.shards_skipped == 4
+    assert second.shards_run == 2
+    assert second.rows_in == 3000
+    assert sum(r["row_count"] for r in second.aggregates.to_pylist()) == 3000
+
+
+def test_execution_tuning_does_not_invalidate_checkpoints(small_sequences, tmp_path_factory, ray_session):
+    paths, _ = small_sequences
+    out = tmp_path_factory.mktemp("tuning") / "out"
+    base = dict(input_dir=os.path.dirname(paths[0]), output_dir=str(out), num_shards=2)
+    run_flagship(PipelineConfig(batch_size=1024, enrich_concurrency=2, **base))
+    res = run_flagship(PipelineConfig(batch_size=4096, salt_mod=4, agg_mode="tree", **base))
+    assert res.shards_skipped == 2 and res.shards_run == 0
