@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "cosine_topk",
     "pipeline_docs",
+    "nation_revenue",
+    "user_sessions",
+    "error_prior_purchase",
+    "minhash_neardup",
+    "token_frequency_topk",
+    "loglines_extract",
 ]
 
 

@@ -97,18 +97,21 @@ def asof_join(
     suffixed = [f"{c}{suffix}" for c in right_payload]
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == "l"].sort_values([on], kind="stable")
-        r = df[df["__side"] == "r"].sort_values([on], kind="stable")
+        # one vectorized merge_asof(by=) per BUCKET of keys, not per key
+        l = df[df["__side"] == "l"].sort_values([on, by], kind="stable")
+        r = df[df["__side"] == "r"].sort_values([on, by], kind="stable")
         l = l.drop(columns=["__side", *suffixed])
-        r_small = r[[on, *suffixed]]
+        r_small = r[[by, on, *suffixed]]
         if len(l) == 0:
             return l
-        merged = pd.merge_asof(l, r_small, on=on, direction=direction)
+        merged = pd.merge_asof(l, r_small, on=on, by=by, direction=direction)
         if inner:
             merged = merged.dropna(subset=[suffixed[0]])
         return merged
 
-    return both.groupby(by).map_groups(merge, batch_format="pandas")
+    from .relational import bucketed_group_reduce
+
+    return bucketed_group_reduce(both, [by], merge)
 
 
 def range_join_count(
@@ -156,20 +159,32 @@ def range_join_count(
     import numpy as np
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket: iterate KEYS (bounded by bucket size) with vectorized
+        # searchsorted over each key's sorted right timestamps
         l = df[df["__side"] == "l"].drop(columns=["__side"])
         r = df[df["__side"] == "r"]
         if len(l) == 0:
             return l.assign(**{count_name: pd.Series(dtype="int64")})
-        on_l = l[on].to_numpy()
-        on_r = np.sort(r[on].to_numpy())
-        if np.issubdtype(on_l.dtype, np.datetime64):
-            on_l = on_l.astype("datetime64[ns]").astype("int64")
-            on_r = on_r.astype("datetime64[ns]").astype("int64")
-            w = int(window * 1e9)
-        else:
-            w = window
-        hi = np.searchsorted(on_r, on_l, side="right")
-        lo = np.searchsorted(on_r, on_l - w, side="right")
-        return l.assign(**{count_name: (hi - lo).astype("int64")})
 
-    return both.groupby(by).map_groups(count, batch_format="pandas")
+        def to_num(arr):
+            if np.issubdtype(arr.dtype, np.datetime64):
+                return arr.astype("datetime64[ns]").astype("int64"), int(window * 1e9)
+            return arr, window
+
+        r_sorted = r.sort_values([by, on], kind="stable")
+        r_groups = {k: g[on].to_numpy() for k, g in r_sorted.groupby(by, sort=False)}
+        out_counts = np.zeros(len(l), dtype=np.int64)
+        for k, g in l.groupby(by, sort=False):
+            on_r = r_groups.get(k)
+            if on_r is None or len(on_r) == 0:
+                continue
+            on_l_n, w = to_num(g[on].to_numpy())
+            on_r_n, _ = to_num(on_r)
+            hi = np.searchsorted(on_r_n, on_l_n, side="right")
+            lo = np.searchsorted(on_r_n, on_l_n - w, side="right")
+            out_counts[l.index.get_indexer(g.index)] = hi - lo
+        return l.assign(**{count_name: out_counts})
+
+    from .relational import bucketed_group_reduce
+
+    return bucketed_group_reduce(both, [by], count)

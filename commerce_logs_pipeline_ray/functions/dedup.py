@@ -24,11 +24,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
 
-from .hashing import fnv1a64_single
+from .hashing import fnv1a64, fnv1a64_single
 
 MERSENNE_61 = (1 << 61) - 1
 
@@ -62,9 +63,15 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 class MinHasher:
     """map_batches stage: text → LSH band rows (band_id, band_hash, doc_id).
 
-    Stateful (hash parameters + band layout built once) — usable as an actor
-    pool for large corpora; cheap enough to run as tasks too.
+    Fully batch-vectorized: one Arrow-buffer FNV pass over every word in the
+    batch, k-gram shingle hashes built by mixing the word hashes with
+    shifted-array arithmetic (no per-gram string construction), signatures
+    via segment minima (``np.minimum.reduceat``) over the flat shingle
+    stream, band keys by mixing signature rows.  Stateful (hash parameters
+    built once) — usable as an actor pool for large corpora.
     """
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def __init__(self, num_hashes: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
         assert num_hashes % bands == 0
@@ -72,29 +79,70 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_hashes // bands
         self.shingle_k = shingle_k
+        rng = np.random.default_rng(seed + 1)
+        self.gram_mix = rng.integers(1, 1 << 62, size=shingle_k, dtype=np.uint64)
+
+    def _shingle_stream(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Flat k-gram hash stream + per-doc offsets, vectorized."""
+        k = self.shingle_k
+        words_per_doc = [(s or "").split(" ") for s in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
+        flat_words = [w for ws in words_per_doc for w in ws]
+        wh = fnv1a64(pa.array(flat_words, type=pa.string()))
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        # k-gram mix within docs: gram_i = Σ_j mix_j * wh[i+j]; grams shorter
+        # than k fall back to the doc's full-word mix (matches word_shingles'
+        # short-doc behaviour of one whole-doc gram)
+        gram_counts = np.maximum(counts - k + 1, 1)
+        g_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(gram_counts, out=g_starts[1:])
+        total = int(g_starts[-1])
+        grams = np.zeros(total, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # positions: for doc d, gram g lives at g_starts[d]+g and reads
+            # words starts[d]+g .. +g+k-1 (clamped for short docs)
+            doc_idx = np.repeat(np.arange(len(texts)), gram_counts)
+            within = np.arange(total) - g_starts[doc_idx]
+            base = starts[doc_idx] + within
+            for j in range(k):
+                widx = np.minimum(base + j, starts[doc_idx] + counts[doc_idx] - 1)
+                grams += self.gram_mix[j] * wh[widx]
+        return grams, g_starts
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_hashes) MinHash signatures, vectorized."""
+        grams, g_starts = self._shingle_stream(texts)
+        n = len(g_starts) - 1
+        with np.errstate(over="ignore"):
+            # (G, H) universal-hash matrix, segment-min per doc
+            H = (grams.reshape(-1, 1) * self.a + self.b) % np.uint64(MERSENNE_61)
+        return np.minimum.reduceat(H, g_starts[:-1], axis=0)
 
     def signature(self, text: str) -> np.ndarray:
-        return minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
+        return self.signatures([text])[0]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids = t["doc_id"].to_pylist()
+        doc_ids = t["doc_id"]
         texts = t["text"].to_pylist()
-        n = len(doc_ids)
-        out_doc, out_band, out_hash = [], [], []
-        for d, s in zip(doc_ids, texts):
-            sig = self.signature(s)
+        n = len(texts)
+        sigs = self.signatures(texts)  # (n, H)
+        # band bucket key: mix the band's signature rows (vectorized)
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        hashes = np.zeros((self.bands, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                # band bucket key: FNV64 over the band's signature bytes
-                h = fnv1a64_single(chunk.tobytes().hex())
-                out_doc.append(d)
-                out_band.append(band)
-                out_hash.append(np.uint64(h))
+                chunk = sigs[:, band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+                for j in range(self.rows_per_band):
+                    h = (h ^ chunk[:, j]) * self._MIX
+                hashes[band] = h
+        doc_rep = pa.concat_arrays([doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids] * self.bands) if self.bands > 1 else (doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids)
         return pa.table(
             {
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64)),
-                "doc_id": pa.array(out_doc),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(hashes.reshape(-1)),
+                "doc_id": doc_rep,
             }
         )
 
@@ -129,6 +177,38 @@ def minhash_lsh_pairs(
 
     band_rows = docs.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True)
 
+    # prune singleton buckets BEFORE the co-group: in a mostly-unique corpus
+    # >99% of band buckets hold one doc, and a per-group UDF call for each is
+    # the dominant cost.  One cheap count pass (coarse-bucket reduce — Ray's
+    # sort groupby is pathological at this key cardinality) + broadcast
+    # membership filter leaves only buckets that can produce pairs.
+    from .relational import bucketed_group_reduce
+
+    def count_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["band_id", "band_hash"], as_index=False).size()
+        return out[out["size"] > 1].rename(columns={"size": "n"})
+
+    dup_tbl = bucketed_group_reduce(
+        band_rows, ["band_id", "band_hash"], count_buckets
+    ).to_pandas()
+    if dup_tbl.empty:
+        cols = ["doc_a", "doc_b", "est_jaccard"] + (["jaccard"] if verify else [])
+        return pd.DataFrame(columns=cols)
+    # composite key band_id*2^64 ⊕ band_hash is overkill; (band_id, hash) pairs
+    # are few — broadcast as a python set of tuples, filter vectorized-ish
+    dup_keys = set(zip(dup_tbl["band_id"].tolist(), dup_tbl["band_hash"].tolist()))
+    dup_ref = ray.put(dup_keys)
+
+    def keep_dup_buckets(t: pa.Table) -> pa.Table:
+        keys = ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
+        mask = [
+            (b, h) in keys
+            for b, h in zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist())
+        ]
+        return t.filter(pa.array(mask))
+
+    survivors = band_rows.map_batches(keep_dup_buckets, batch_format="pyarrow", zero_copy_batch=True)
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(df["doc_id"].unique())
         if len(ids) < 2:
@@ -137,7 +217,7 @@ def minhash_lsh_pairs(
         return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
     pairs = (
-        band_rows.groupby(["band_id", "band_hash"])
+        survivors.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
@@ -152,12 +232,14 @@ def minhash_lsh_pairs(
 
     def collect(t: pa.Table) -> pa.Table:
         want = ray.get(needed_ref) if isinstance(needed_ref, ray.ObjectRef) else needed_ref
-        mask = [d in want for d in t["doc_id"].to_pylist()]
-        return t.filter(pa.array(mask))
+        mask = pc.is_in(t["doc_id"], value_set=pa.array(list(want)))
+        return t.filter(pc.fill_null(mask, False))
 
     hits = docs.map_batches(collect, batch_format="pyarrow").to_pandas()
     texts = dict(zip(hits["doc_id"], hits["text"]))
-    sigs = {d: hasher.signature(s) for d, s in texts.items()}
+    cand_ids = list(texts.keys())
+    sig_mat = hasher.signatures([texts[d] for d in cand_ids])  # ONE vectorized pass
+    sigs = dict(zip(cand_ids, sig_mat))
     est = [
         float((sigs[a] == sigs[b]).mean()) for a, b in zip(pairs["doc_a"], pairs["doc_b"])
     ]

@@ -102,3 +102,28 @@ def fnv1a64_single(s: str) -> int:
 def partition_of(strings, num_partitions: int) -> np.ndarray:
     """``FNV32a(key) % P`` — the reference's partitioner, vectorized."""
     return (fnv1a32(strings) % np.uint32(num_partitions)).astype(np.int32)
+
+
+def bucket_indices(t: "pa.Table", keys: list[str], num_buckets: int) -> np.ndarray:
+    """Composite hash bucket per row over arbitrary key columns (strings →
+    FNV64, integers → Knuth multiplicative), vectorized.  The coarse bucket
+    is the exchange key for high-cardinality reduces: shuffling B buckets
+    instead of millions of raw keys keeps the per-group overhead of the
+    sort-based exchange negligible while per-bucket aggregation stays
+    vectorized."""
+    h = np.zeros(len(t), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t[k]
+            typ = col.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                hk = fnv1a64(col)
+            elif pa.types.is_integer(typ):
+                vals = col.to_numpy(zero_copy_only=False)
+                hk = vals.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            elif pa.types.is_boolean(typ):
+                hk = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:  # fallback: hash the string form
+                hk = fnv1a64(pc.cast(col, pa.string()))
+            h = h * np.uint64(31) + hk
+    return (h % np.uint64(num_buckets)).astype(np.int32)

@@ -87,6 +87,34 @@ def broadcast_join(
     )
 
 
+def bucketed_group_reduce(
+    ds: Dataset,
+    keys: list[str],
+    combine,
+    num_buckets: int = 64,
+) -> Dataset:
+    """High-cardinality grouped reduce: hash rows into ``num_buckets``
+    coarse buckets, exchange on the bucket id, run the VECTORIZED pandas
+    ``combine(df) -> df`` once per bucket.
+
+    Why: Ray's sort-based ``groupby().aggregate`` iterates groups in Python
+    — measured 26 s for 600k rows / 150k keys vs 0.3 s for this pattern.
+    The per-group Python cost moves from |keys| to |buckets|; combine sees
+    whole buckets and aggregates them with one pandas groupby.
+    All rows of one key land in one bucket, so the reduce is exact.
+    """
+    from .hashing import bucket_indices
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", pa.array(bucket_indices(t, keys, num_buckets)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["__bucket"]))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def grouped_sums(
     ds: Dataset,
     keys: list[str],
@@ -104,8 +132,10 @@ def grouped_sums(
     ``|distinct keys| × num_blocks`` rows, so when key cardinality is modest
     the final reduce is a driver-side pandas groupby — no all-to-all at all
     (the reference's partial+final fold, ``blob_state_processor.go:231-260``).
-    Use ``reduce="distributed"`` when key cardinality is unbounded (e.g.
-    per-document keys): Ray hash-shuffle groupby over the partials.
+    ``reduce="distributed"`` (unbounded key cardinality, e.g. per-document
+    keys): coarse hash-bucket exchange + vectorized per-bucket combine
+    (see :func:`bucketed_group_reduce`).  ``reduce="sort"``: Ray's native
+    sort-based groupby — avoid for >10k keys (per-group Python overhead).
     """
     sum_inputs = sorted(set(sums.values()))
 
@@ -137,6 +167,11 @@ def grouped_sums(
         # pandas' default silently drops them)
         out = pdf.groupby(keys, as_index=False, dropna=False)[value_cols].sum()
         return rd.from_pandas(out)
+    if reduce == "distributed":
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(keys, as_index=False, dropna=False)[value_cols].sum()
+
+        return bucketed_group_reduce(partials, keys, combine)
     agg_fns = [Sum(name, alias_name=name) for name in value_cols]
     return partials.groupby(keys).aggregate(*agg_fns)
 
@@ -175,11 +210,11 @@ def last_by_key(
             pdf.groupby(key, as_index=False, sort=False, dropna=False).tail(1).reset_index(drop=True)
         )
 
-    def group_last(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="stable")
-        return df.tail(1)
+    def bucket_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="stable")
+        return df.groupby(key, as_index=False, sort=False, dropna=False).tail(1)
 
-    return candidates.groupby(key).map_groups(group_last, batch_format="pandas")
+    return bucketed_group_reduce(candidates, [key], bucket_last)
 
 
 def topk(
@@ -220,6 +255,45 @@ def hash_join(
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
     return left.join(right, how, num_partitions=num_partitions, on=on, right_on=right_on)
+
+
+def auto_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> Dataset:
+    """Size-aware join planner: when the right side is small enough to
+    broadcast, do the zero-shuffle broadcast hash join; otherwise fall back
+    to the hash-partitioned ``Dataset.join`` (whose shuffle aggregators cost
+    seconds of spin-up — only worth paying when the small side genuinely
+    does not fit).  Mirrors the classic broadcast-vs-exchange planner rule.
+
+    Only inner joins take the broadcast path (broadcast right-semantics for
+    outer joins differ); others always use the exchange.  The broadcast path
+    is a LOOKUP join — right keys must be unique (dimension-table shape).
+    """
+    try:
+        right_rows = right.count()
+    except Exception:  # count unavailable → be conservative
+        right_rows = None
+    if how == "inner" and right_rows is not None and right_rows <= broadcast_threshold_rows:
+        rkey = right_on or on
+        dim = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+        if rkey != on:
+            dim = dim.rename_columns([on if c == rkey else c for c in dim.column_names])
+        joined = broadcast_join(left, dim, on)
+        # inner semantics: drop left rows with no match (probe any dim column)
+        probe = next(c for c in dim.column_names if c != on)
+        return joined.map_batches(
+            lambda t, p=probe: t.filter(pc.is_valid(t[p])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return hash_join(left, right, on, right_on, how, num_partitions)
 
 
 def semi_join_broadcast(ds: Dataset, keys: pa.Table | list, key: str, anti: bool = False) -> Dataset:

@@ -51,11 +51,11 @@ def token_frequency(ds: Dataset, topk: int | None = None) -> pd.DataFrame:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby("token")
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from .relational import bucketed_group_reduce
+
+    out = bucketed_group_reduce(
+        partials, ["token"], lambda df: df.groupby("token", as_index=False)["count"].sum()
+    ).to_pandas()
     out["token"] = out["token"].astype("int64")
     out["count"] = out["count"].astype("int64")
     out = out.sort_values(["count", "token"], ascending=[False, True]).reset_index(drop=True)
@@ -89,7 +89,11 @@ def bigram_topk(ds: Dataset, k: int = 20) -> pd.DataFrame:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby("bigram").aggregate(Sum("count", alias_name="count")).to_pandas()
+    from .relational import bucketed_group_reduce
+
+    agg = bucketed_group_reduce(
+        partials, ["bigram"], lambda df: df.groupby("bigram", as_index=False)["count"].sum()
+    ).to_pandas()
     agg = agg.sort_values(["count", "bigram"], ascending=[False, True]).head(k)
     out = pd.DataFrame(
         {

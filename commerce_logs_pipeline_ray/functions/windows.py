@@ -33,25 +33,34 @@ def sessionize(
     block arrival order never matters.
     """
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, tiebreak_col], kind="stable")
-        ts = df[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9  # → seconds
+    from .relational import bucketed_group_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL keys in the bucket: session breaks at key
+        # change OR gap over threshold, session ids via per-key cumsum
+        df = df.sort_values([key, ts_col, tiebreak_col], kind="stable")
+        ts = df[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+        keys_arr = df[key].to_numpy()
         gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0.0)
-        new_sess = np.ones(len(df), dtype=np.int64)
+        key_change = np.ones(len(df), dtype=bool)
         if len(df) > 1:
-            new_sess[1:] = (gaps[1:] > gap_seconds).astype(np.int64)
-        session_id = np.cumsum(new_sess)
-        df = df.assign(session_id=session_id)
-        g = df.groupby("session_id")
+            key_change[1:] = keys_arr[1:] != keys_arr[:-1]
+        new_sess = (key_change | (gaps > gap_seconds)).astype(np.int64)
+        global_sess = np.cumsum(new_sess)  # distinct across keys
+        df = df.assign(__gs=global_sess)
+        g = df.groupby("__gs", sort=False)
         out = pd.DataFrame(
             {
-                key: df[key].iloc[0],
-                "session_id": g.size().index,
+                key: g[key].first().to_numpy(),
+                "__gs": g.size().index,
                 "n_events": g.size().to_numpy(),
                 "first_event_id": g[tiebreak_col].min().to_numpy(),
                 "last_event_id": g[tiebreak_col].max().to_numpy(),
             }
         )
-        return out
+        # renumber sessions 1..n within each key
+        out = out.sort_values([key, "__gs"], kind="stable")
+        out["session_id"] = out.groupby(key, sort=False).cumcount() + 1
+        return out.drop(columns=["__gs"])[[key, "session_id", "n_events", "first_event_id", "last_event_id"]]
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_group_reduce(events, [key], per_bucket)

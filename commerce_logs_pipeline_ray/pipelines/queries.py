@@ -52,16 +52,22 @@ class QuerySpec:
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """Column-pruned read with block count sized to the file, not Ray's
-    default fan-out — tiny tables in 1 block, big tables ~32 MB/block capped
-    at 4×CPUs (per-task overhead otherwise dominates small queries)."""
+    default fan-out: ~32 MB/block for byte-heavy tables, but with a floor of
+    ~8 blocks when there are enough rows — CPU-heavy per-row stages (minhash,
+    extraction) serialize badly on a single block, while Ray's default
+    64-way split of tiny files drowns cheap aggregates in task overhead."""
     import os as _os
 
+    import pyarrow.parquet as _pq
     import ray as _ray
 
     path = f"{sf_dir}/{name}.parquet"
     if "override_num_blocks" not in kw:
         cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        blocks = max(1, min(_os.path.getsize(path) // (32 << 20) + 1, 4 * cpus))
+        rows = _pq.ParquetFile(path).metadata.num_rows
+        by_bytes = _os.path.getsize(path) // (32 << 20) + 1
+        floor = min(8, max(1, rows // 500))
+        blocks = max(1, min(max(by_bytes, floor), 4 * cpus))
         kw["override_num_blocks"] = int(blocks)
     return rd.read_parquet(path, columns=columns, **kw)
 
@@ -367,11 +373,15 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        partials.groupby("fp")
-        .aggregate(Min("keeper", alias_name="keeper"), Sum("n_copies", alias_name="n_copies"))
-        .to_pandas()
-    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fp", as_index=False, dropna=False).agg(
+            keeper=("keeper", "min"), n_copies=("n_copies", "sum")
+        )
+
+    from ..functions.relational import bucketed_group_reduce
+
+    out = bucketed_group_reduce(partials, ["fp"], combine).to_pandas()
     return _i64(out, ["keeper", "n_copies"])
 
 
@@ -658,7 +668,9 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
         li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"], {"revenue": "rev"}, "n_items", reduce="distributed",
     )
-    joined = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    from ..functions.relational import auto_join
+
+    joined = auto_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
     out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders").to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return _i64(out, ["n_orders"])

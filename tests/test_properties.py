@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): invariants that must hold for ALL
+inputs, not just the fixtures — hashing parity, parse round-trip, packing
+conservation, oracle/engine agreement on arbitrary corpora."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from commerce_logs_pipeline_ray.functions.hashing import fnv1a32, fnv1a32_single, fnv1a64, fnv1a64_single
+from commerce_logs_pipeline_ray.functions.tokens import pack_batch
+from commerce_logs_pipeline_ray.oracle import run_oracle
+from commerce_logs_pipeline_ray.schema import DOC_ID_PATTERN, POD_PATTERN, SEQUENCES_SCHEMA
+from commerce_logs_pipeline_ray.stages.enrich import Enricher
+from commerce_logs_pipeline_ray.stages.parse import parse_batch
+from commerce_logs_pipeline_ray.stages.route import route_batch
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=40))
+def test_fnv_vectorized_equals_scalar_for_any_strings(strings):
+    got32 = fnv1a32(pa.array(strings, type=pa.string()))
+    assert got32.tolist() == [fnv1a32_single(s) for s in strings]
+    got64 = fnv1a64(strings)
+    assert [int(x) for x in got64] == [fnv1a64_single(s) for s in strings]
+
+
+_service = st.from_regex(r"[a-z][a-z0-9]{0,8}(-[a-z0-9]{1,6}){0,2}", fullmatch=True)
+_hex8 = st.from_regex(r"[a-f0-9]{8}", fullmatch=True)
+_alnum5 = st.from_regex(r"[a-z0-9]{5}", fullmatch=True)
+_ns = st.from_regex(r"[a-z0-9]{1,10}", fullmatch=True)
+_container = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+_date = st.from_regex(r"[0-9]{8}", fullmatch=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_date, _service, _hex8, _alnum5, _ns, _container, _hex8)
+def test_parse_roundtrip_for_any_wellformed_doc_id(date, svc, rs, suf, ns, container, blob):
+    doc_id = f"{date}.{svc}-{rs}-{suf}_{ns}_{container}-{blob}"
+    t = pa.Table.from_pylist(
+        [{"doc_id": doc_id, "tokens": [1], "n_tok": 1, "source": "api"}],
+        schema=SEQUENCES_SCHEMA,
+    )
+    p = parse_batch(t)
+    # the vectorized parse must agree with plain-Python re on the SAME grammar
+    m = re.match(DOC_ID_PATTERN, doc_id)
+    pod_m = re.match(POD_PATTERN, m.group("pod")) if m else None
+    expect_ok = bool(m and pod_m)
+    assert p.column("parse_ok").to_pylist() == [expect_ok]
+    if expect_ok:
+        assert p.column("date").to_pylist() == [date]
+        assert p.column("namespace").to_pylist() == [ns]
+        assert p.column("container").to_pylist() == [container]
+        assert p.column("service").to_pylist() == [pod_m.group("service")]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50256), min_size=1, max_size=64),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=8, max_value=128),
+)
+def test_packing_conserves_tokens_for_any_corpus(token_lists, max_len):
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(token_lists))]),
+            "tokens": pa.array(token_lists, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in token_lists], type=pa.int32()),
+            "source": pa.array(["s"] * len(token_lists)),
+        }
+    )
+    packed = pack_batch(t, max_len=max_len)
+    # conservation: exact token multiset, exact total
+    got_total = sum(packed["n_tok"].to_pylist())
+    assert got_total == sum(len(x) for x in token_lists)
+    from collections import Counter
+
+    got = Counter(v for row in packed["tokens"].to_pylist() for v in row)
+    want = Counter(v for row in token_lists for v in row)
+    assert got == want
+    # bins within max_len unless single oversized doc
+    for n, d in zip(packed["n_tok"].to_pylist(), packed["n_docs"].to_pylist()):
+        assert n <= max_len or d == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([
+                "20250615.api-12345678-ab9cd_default_app-deadbeef",  # valid
+                "garbage", "", "2025.x_y_z-deadbeef",
+                "20250601.background-processing-abcdef01-ab12c_apps_app-00ff00ff",
+                "20250615.zookeeper-0a1b2c3d-zk001_system_zookeeper-11112222",
+            ]),
+            st.sampled_from(["apache-proxy", "api", "jsapps", "zookeeper", "imageprocessing"]),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_engine_stages_agree_with_oracle_on_any_mix(rows_spec):
+    rows = [
+        {"doc_id": d, "tokens": list(range(n)), "n_tok": n, "source": s}
+        for d, s, n in rows_spec
+    ]
+    t = pa.Table.from_pylist(rows, schema=SEQUENCES_SCHEMA)
+    routed = route_batch(Enricher()(parse_batch(t)))
+    orc = run_oracle(rows)
+    got_sinks = routed.column("sink").to_pylist()
+    # oracle emits per-sink lists; rebuild per-row sink by doc identity
+    import collections
+
+    want_by_key = collections.defaultdict(list)
+    for sink, rws in orc.rows_by_sink.items():
+        for r in rws:
+            want_by_key[(r["doc_id"], r["source"], r["n_tok"])].append(sink)
+    for i, r in enumerate(rows):
+        k = (r["doc_id"], r["source"], r["n_tok"])
+        assert got_sinks[i] in want_by_key[k]
