@@ -55,23 +55,58 @@ def asof_join(
 
     ``inner=True`` drops left rows without a match (DuckDB ``ASOF JOIN``
     semantics); ``False`` keeps them with nulls (``ASOF LEFT JOIN``).
+
+    Rows with a null ``on`` value never match (SQL comparison semantics) and
+    are excluded from both sides before the merge.
     """
+    # __match: non-null int8 sentinel on every right row — inner-join
+    # filtering keys off THIS, never off payload nullability (a matched row
+    # whose payload value is legitimately null must survive)
+    payload_with_match = [*right_payload, "__match"]
+    both = _cogroup_union(left, right, by, on, payload_with_match, suffix)
+    suffixed = [f"{c}{suffix}" for c in payload_with_match]
+    match_col = f"__match{suffix}"
 
-    def tag(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.append_column("__side", pa.array([side] * len(t), type=pa.string()))
-            return t
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge_asof(by=) per BUCKET of keys, not per key
+        df = df[df[on].notna()]
+        l = df[df["__side"] == "l"].sort_values([on, by], kind="stable")
+        r = df[df["__side"] == "r"].sort_values([on, by], kind="stable")
+        l = l.drop(columns=["__side", *suffixed])
+        r_small = r[[by, on, *suffixed]]
+        if len(l) == 0:
+            return l.assign(**{c: pd.Series(dtype="float64") for c in suffixed}).drop(
+                columns=[match_col]
+            )
+        merged = pd.merge_asof(l, r_small, on=on, by=by, direction=direction)
+        if inner:
+            merged = merged[merged[match_col].notna()]
+        return merged.drop(columns=[match_col])
 
-        return fn
+    from .relational import bucketed_group_reduce
 
-    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
-    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_reduce(both, [by], merge)
 
+
+def _cogroup_union(
+    left: Dataset, right: Dataset, by: str, on: str, right_payload: list[str], suffix: str
+) -> Dataset:
+    """Shared co-group scaffolding: tag sides, align the right side onto the
+    left schema (payload carried in suffixed columns; the literal name
+    "__match" becomes a constant non-null sentinel), union.
+    """
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     left_cols = list(left_schema.names)
-    right_keep = [by, on, *right_payload]
-    payload_types = {c: right_schema.field(c).type for c in right_payload}
+    payload_types = {
+        c: (pa.int8() if c == "__match" else right_schema.field(c).type) for c in right_payload
+    }
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array([side] * len(t), type=pa.string()))
+
+        return fn
 
     def align_left(t: pa.Table) -> pa.Table:
         for c in right_payload:
@@ -79,39 +114,24 @@ def asof_join(
         return t
 
     def align_right(t: pa.Table) -> pa.Table:
-        # right payload travels in the suffixed columns of the shared schema
         cols = {by: t[by], on: t[on], "__side": t["__side"]}
         out = pa.table(cols)
         for c in left_cols:
             if c not in out.column_names:
                 out = out.append_column(c, pa.nulls(len(t), left_schema.field(c).type))
         for c in right_payload:
-            out = out.append_column(f"{c}{suffix}", t[c])
+            if c == "__match":
+                out = out.append_column(f"{c}{suffix}", pa.array([1] * len(t), type=pa.int8()))
+            else:
+                out = out.append_column(f"{c}{suffix}", t[c])
         return out
 
+    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
     lt = lt.map_batches(align_left, batch_format="pyarrow", zero_copy_batch=True)
     rt = rt.map_batches(align_right, batch_format="pyarrow", zero_copy_batch=True)
     rt = rt.select_columns(lt.schema().names)  # identical column order for union
-    both = lt.union(rt)
-
-    suffixed = [f"{c}{suffix}" for c in right_payload]
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized merge_asof(by=) per BUCKET of keys, not per key
-        l = df[df["__side"] == "l"].sort_values([on, by], kind="stable")
-        r = df[df["__side"] == "r"].sort_values([on, by], kind="stable")
-        l = l.drop(columns=["__side", *suffixed])
-        r_small = r[[by, on, *suffixed]]
-        if len(l) == 0:
-            return l
-        merged = pd.merge_asof(l, r_small, on=on, by=by, direction=direction)
-        if inner:
-            merged = merged.dropna(subset=[suffixed[0]])
-        return merged
-
-    from .relational import bucketed_group_reduce
-
-    return bucketed_group_reduce(both, [by], merge)
+    return lt.union(rt)
 
 
 def range_join_count(
@@ -132,29 +152,7 @@ def range_join_count(
     nanoseconds when datetimes.
     """
 
-    def tag(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array([side] * len(t), type=pa.string()))
-
-        return fn
-
-    left_schema = _arrow_schema(left)
-    left_cols = list(left_schema.names)
-
-    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
-
-    def align_right(t: pa.Table) -> pa.Table:
-        cols = {by: t[by], on: t[on], "__side": t["__side"]}
-        out = pa.table(cols)
-        for c in left_cols:
-            if c not in out.column_names:
-                out = out.append_column(c, pa.nulls(len(t), left_schema.field(c).type))
-        return out
-
-    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
-    rt = rt.map_batches(align_right, batch_format="pyarrow", zero_copy_batch=True)
-    rt = rt.select_columns(lt.schema().names)
-    both = lt.union(rt)
+    both = _cogroup_union(left, right, by, on, [], suffix="_right")
 
     import numpy as np
 

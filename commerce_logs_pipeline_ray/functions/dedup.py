@@ -196,16 +196,28 @@ def minhash_lsh_pairs(
         return pd.DataFrame(columns=cols)
     # composite key band_id*2^64 ⊕ band_hash is overkill; (band_id, hash) pairs
     # are few — broadcast as a python set of tuples, filter vectorized-ish
-    dup_keys = set(zip(dup_tbl["band_id"].tolist(), dup_tbl["band_hash"].tolist()))
-    dup_ref = ray.put(dup_keys)
+    # vectorized membership: pack (band_id, band_hash) into one uint64 key
+    # and broadcast an Arrow array (zero-copy per worker; per-row Python
+    # set probes + per-batch set unpickling measured as a hotspot)
+    def _pack(band_ids, band_hashes) -> np.ndarray:
+        b = np.asarray(band_ids, dtype=np.uint64)
+        h = np.asarray(band_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (b << np.uint64(58)) ^ (h & np.uint64((1 << 58) - 1))
+
+    dup_packed = pa.array(_pack(dup_tbl["band_id"].to_numpy(), dup_tbl["band_hash"].to_numpy()))
+    dup_ref = ray.put(dup_packed)
 
     def keep_dup_buckets(t: pa.Table) -> pa.Table:
         keys = ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
-        mask = [
-            (b, h) in keys
-            for b, h in zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist())
-        ]
-        return t.filter(pa.array(mask))
+        packed = pa.array(
+            _pack(
+                t["band_id"].to_numpy(zero_copy_only=False),
+                t["band_hash"].to_numpy(zero_copy_only=False),
+            )
+        )
+        mask = pc.is_in(packed, value_set=keys)
+        return t.filter(pc.fill_null(mask, False))
 
     survivors = band_rows.map_batches(keep_dup_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -290,18 +302,29 @@ class SimHasher:
         )
 
 
-def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash banding: 4 bands of 16 bits — any pair with
-    Hamming distance ≤ 3 shares at least one exact 16-bit band (pigeonhole).
-    Bucket groupby per band → candidate pairs → exact Hamming verify."""
+def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3, bands: int = 4) -> pd.DataFrame:
+    """Near-dup pairs by SimHash banding: ``bands`` equal bit-bands — any
+    pair with Hamming distance ≤ bands-1 shares at least one exact band
+    (pigeonhole).  Candidate recall is only guaranteed for
+    ``max_hamming <= bands - 1``; asking for a larger radius without more
+    bands would silently miss qualifying pairs, so it is rejected."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} bands "
+            f"(got {bands}): banding only guarantees recall up to bands-1 bit flips"
+        )
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
     fps = docs.map_batches(SimHasher(), batch_format="pyarrow", zero_copy_batch=True)
+    bits_per_band = 64 // bands
+    band_mask = np.uint64((1 << bits_per_band) - 1)
 
     def explode(t: pa.Table) -> pa.Table:
         sims = t["simhash"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_pylist()
         band_id, band_val, doc = [], [], []
-        for b in range(4):
-            chunk = (sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        for b in range(bands):
+            chunk = (sims >> np.uint64(bits_per_band * b)) & band_mask
             band_id.extend([b] * len(ids))
             band_val.extend(chunk.tolist())
             doc.extend(ids)
@@ -310,7 +333,7 @@ def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3) -> pd.DataFrame:
                 "band_id": pa.array(band_id, type=pa.int32()),
                 "band_val": pa.array(band_val, type=pa.int64()),
                 "doc_id": pa.array(doc),
-                "simhash": pa.array(np.tile(sims, 4)),
+                "simhash": pa.array(np.tile(sims, bands)),
             }
         )
 

@@ -197,7 +197,8 @@ def last_by_key(
     def batch_last(df: pd.DataFrame) -> pd.DataFrame:
         df = df[cols]
         df = df.sort_values([key, *order_cols], kind="stable")
-        return df.groupby(key, as_index=False, sort=False).tail(1)
+        # dropna=False everywhere: a null key is a group (SQL semantics)
+        return df.groupby(key, as_index=False, sort=False, dropna=False).tail(1)
 
     candidates = ds.map_batches(batch_last, batch_format="pandas", batch_size=batch_size)
 
@@ -212,6 +213,7 @@ def last_by_key(
 
     def bucket_last(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, *order_cols], kind="stable")
+        # NB: groupby(...).tail respects dropna; keep null-key groups here too
         return df.groupby(key, as_index=False, sort=False, dropna=False).tail(1)
 
     return bucketed_group_reduce(candidates, [key], bucket_last)
@@ -285,11 +287,12 @@ def auto_join(
         dim = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
         if rkey != on:
             dim = dim.rename_columns([on if c == rkey else c for c in dim.column_names])
+        # inner semantics via a dedicated non-null sentinel — never infer the
+        # match from payload validity (legit null dim values must survive)
+        dim = dim.append_column("__match", pa.array([1] * dim.num_rows, type=pa.int8()))
         joined = broadcast_join(left, dim, on)
-        # inner semantics: drop left rows with no match (probe any dim column)
-        probe = next(c for c in dim.column_names if c != on)
         return joined.map_batches(
-            lambda t, p=probe: t.filter(pc.is_valid(t[p])),
+            lambda t: t.filter(pc.is_valid(t["__match"])).drop_columns(["__match"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

@@ -90,9 +90,26 @@ def _coerce_int(v, default=None):
     return default
 
 
-def _parse_rfc3339_ns(s: str) -> int | None:
+def _coerce_str(v) -> str | None:
+    """Field values may arrive as any JSON type; string fields are coerced
+    (numbers → str) rather than crashing the batch."""
+    if v is None:
+        return None
+    return v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+
+
+def _first_present(*vals):
+    """First value that is not None — unlike ``or``, a legitimate 0 / ""
+    at higher precedence is kept (204-response bytesSent=0 etc.)."""
+    for v in vals:
+        if v is not None:
+            return v
+    return None
+
+
+def _parse_rfc3339_ns(s) -> int | None:
     """RFC3339Nano → Unix ns (extractor.go:200-218)."""
-    if not s:
+    if not s or not isinstance(s, str):
         return None
     try:
         frac_ns = 0
@@ -164,7 +181,11 @@ def _is_proxy_log(logs: dict) -> bool:
 
 def extract_log_line(line: str) -> dict:
     """One record in, one typed record (or skip/error sentinel) out —
-    the per-message semantics of ``ExtractLog`` (extractor.go:42-66)."""
+    the per-message semantics of ``ExtractLog`` (extractor.go:42-66).
+
+    NEVER raises: any unexpected shape becomes an ``error`` record, so one
+    malformed line cannot kill a whole batch/task (the error-channel
+    contract, R2)."""
     rec: dict = {name: None for name, _ in RECORD_COLUMNS}
 
     if not line or not line.strip():
@@ -179,14 +200,20 @@ def extract_log_line(line: str) -> dict:
         rec["error_type"] = f"json_parse: {type(e).__name__}"
         return rec
 
-    logs = obj.get("Logs") or obj.get("logs")
-    if isinstance(logs, dict):
-        return _extract_structured(logs, obj, rec)
-    if "log" in obj:
-        return _extract_container(obj, rec)
-    rec["record_type"] = "error"
-    rec["error_type"] = "unknown_format"
-    return rec
+    try:
+        logs = obj.get("Logs") or obj.get("logs")
+        if isinstance(logs, dict):
+            return _extract_structured(logs, obj, rec)
+        if "log" in obj:
+            return _extract_container(obj, rec)
+        rec["record_type"] = "error"
+        rec["error_type"] = "unknown_format"
+        return rec
+    except Exception as e:  # noqa: BLE001 — error channel, not a crash
+        bad: dict = {name: None for name, _ in RECORD_COLUMNS}
+        bad["record_type"] = "error"
+        bad["error_type"] = f"extract: {type(e).__name__}"
+        return bad
 
 
 def _extract_request_line(raw, rec) -> bool:
@@ -217,14 +244,15 @@ def _extract_structured(logs: dict, root: dict, rec: dict) -> dict:
             return rec
         rec["record_type"] = "proxy" if _is_proxy_log(logs) else "http"
         rec["ts_ns"] = _timestamp_ns(logs, root)
-        rec["status_code"] = _coerce_int(logs.get("status") or ctx.get("statusCode"))
-        rec["bytes_sent"] = _coerce_int(logs.get("bytesSent") or ctx.get("bytesSent"), 0)
+        # _first_present, not `or`: status/bytesSent of 0 are real values
+        rec["status_code"] = _coerce_int(_first_present(logs.get("status"), ctx.get("statusCode")))
+        rec["bytes_sent"] = _coerce_int(_first_present(logs.get("bytesSent"), ctx.get("bytesSent")), 0)
         rec["process_millis"] = _coerce_int(ctx.get("processMillis"))
-        rec["remote_host"] = logs.get("remoteHost") or ctx.get("remoteHost")
+        rec["remote_host"] = _coerce_str(_first_present(logs.get("remoteHost"), ctx.get("remoteHost")))
         if rec["record_type"] == "proxy":
-            rec["local_server_name"] = logs.get("localServerName")
-            rec["user_agent"] = logs.get("userAgent")
-            rec["cache_status"] = logs.get("cacheStatus")
+            rec["local_server_name"] = _coerce_str(logs.get("localServerName"))
+            rec["user_agent"] = _coerce_str(logs.get("userAgent"))
+            rec["cache_status"] = _coerce_str(logs.get("cacheStatus"))
         rec["level"] = extract_level(str(logs.get("level") or ""))
         return rec
 
@@ -232,9 +260,9 @@ def _extract_structured(logs: dict, root: dict, rec: dict) -> dict:
     rec["record_type"] = "application"
     rec["ts_ns"] = _timestamp_ns(logs, root)
     rec["level"] = extract_level(str(logs.get("level") or ""))
-    rec["logger"] = logs.get("loggerName")
-    rec["thread"] = logs.get("thread")
-    rec["message"] = logs.get("message")
+    rec["logger"] = _coerce_str(logs.get("loggerName"))
+    rec["thread"] = _coerce_str(logs.get("thread"))
+    rec["message"] = _coerce_str(logs.get("message"))
     thrown = logs.get("thrown")
     if thrown is not None:
         # string passthrough or object → JSON re-serialization (:463-477)
@@ -243,19 +271,18 @@ def _extract_structured(logs: dict, root: dict, rec: dict) -> dict:
 
 
 def _extract_container(obj: dict, rec: dict) -> dict:
-    text = obj.get("log") or ""
+    text = obj.get("log")
+    text = text if isinstance(text, str) else (_coerce_str(text) or "")
     if not text.strip():  # blank container log → skip (extractor.go:151-154)
         rec["record_type"] = "skip"
         return rec
     rec["record_type"] = "container"
     # @timestamp preferred over time (extractor.go:200-218)
-    rec["ts_ns"] = _parse_rfc3339_ns(obj.get("@timestamp") or "") or _parse_rfc3339_ns(
-        obj.get("time") or ""
-    )
+    rec["ts_ns"] = _parse_rfc3339_ns(obj.get("@timestamp")) or _parse_rfc3339_ns(obj.get("time"))
     rec["message"] = text.rstrip("\n")
     rec["level"] = extract_level(text)
     kube = obj.get("kubernetes")
-    pod = kube.get("pod_name") if isinstance(kube, dict) else None
+    pod = _coerce_str(kube.get("pod_name")) if isinstance(kube, dict) else None
     rec["pod"] = pod
     rec["service"] = service_from_pod(pod or "")
     return rec

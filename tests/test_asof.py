@@ -69,3 +69,32 @@ def test_range_join_count(ray_session):
     # id2 (a,200): (190,200] → 0
     # id3 (b,50):  (40,50] → 49 → 1
     assert got == {1: 2, 2: 0, 3: 1}
+
+
+def test_inner_keeps_matches_with_null_payload(ray_session):
+    """Regression: a matched right row whose payload value is null must
+    survive inner=True (match is tracked by a sentinel, not payload)."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.asof import asof_join
+
+    left = pd.DataFrame({"id": [1], "k": ["a"], "t": [10]})
+    right = pd.DataFrame({"rid": [100], "k": ["a"], "t": [5], "v": [None]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), by="k", on="t",
+                    right_payload=["rid", "v"]).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["rid_right"] == 100
+    assert pd.isna(out.iloc[0]["v_right"])
+
+
+def test_null_on_rows_excluded_not_crash(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.asof import asof_join
+
+    left = pd.DataFrame({"id": [1, 2], "k": ["a", "a"], "t": [10.0, np.nan]})
+    right = pd.DataFrame({"rid": [100], "k": ["a"], "t": [5.0], "v": [1.0]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), by="k", on="t",
+                    right_payload=["rid", "v"]).to_pandas()
+    assert out["id"].tolist() == [1]  # null-ts left row silently non-matching

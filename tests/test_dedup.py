@@ -63,7 +63,8 @@ def test_minhash_estimate_tracks_true_jaccard(planted_docs):
 
 def test_simhash_neardup(planted_docs):
     ds, rows = planted_docs
-    pairs = simhash_neardup_pairs(ds, max_hamming=8)
+    # recall guarantee needs bands > max_hamming; 16 bands of 4 bits
+    pairs = simhash_neardup_pairs(ds, max_hamming=8, bands=16)
     got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 2000) in got  # exact dup → hamming 0
     row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 2000)].iloc[0]

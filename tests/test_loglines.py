@@ -191,3 +191,34 @@ def test_batch_in_ray_pipeline(ray_session):
     counts = out["record_type"].value_counts().to_dict()
     assert counts["http"] == 50 and counts["proxy"] == 50
     assert counts["skip"] == 1 and counts["error"] == 1
+
+
+def test_non_string_field_types_become_errors_not_crashes():
+    # confirmed crash cases from review: every one must yield a record, not raise
+    cases = [
+        json.dumps({"log": 5}),
+        json.dumps({"log": "x", "@timestamp": 123}),
+        json.dumps({"logs": {"message": 42, "timeMillis": 1}}),
+        json.dumps({"logs": {"loggerName": {"a": 1}, "instant": {"epochSecond": 1}}}),
+        json.dumps({"log": "err text", "kubernetes": {"pod_name": 7}}),
+        json.dumps({"Logs": {"requestFirstLine": {"x": 1}, "status": 200}}),
+    ]
+    for line in cases:
+        r = extract_log_line(line)
+        assert r["record_type"] in {"http", "application", "proxy", "container", "skip", "error"}, line
+    # and the whole batch survives
+    t = pa.table({"line": cases})
+    out = extract_batch(t)
+    assert out.num_rows == len(cases)
+
+
+def test_zero_status_and_bytes_are_kept():
+    line = json.dumps(
+        {"Logs": {"requestFirstLine": "GET / HTTP/1.1", "status": 0, "bytesSent": 0,
+                  "contextMap": {"statusCode": 500, "bytesSent": 999, "remoteHost": "h"},
+                  "timeMillis": 1}}
+    )
+    r = extract_log_line(line)
+    # explicit 0 at higher precedence wins over contextMap values
+    assert r["status_code"] == 0
+    assert r["bytes_sent"] == 0
