@@ -189,7 +189,7 @@ def scaling() -> None:
     # instead of whichever noise burst a single shot landed in.
     factor = os.environ.get("SCALE_ROWS_FACTOR", "4")
     repeats = os.environ.get("SCALE_REPEATS", "2")
-    cycles = int(os.environ.get("SCALE_CYCLES", "3"))
+    cycles = int(os.environ.get("SCALE_CYCLES", "4"))
     # sink writes go to tmpfs for the scaling experiment: the measurement
     # target is how the PIPELINE scales with parallelism; on a multi-node
     # cluster sink bandwidth scales with node count, but this sandbox's
@@ -201,6 +201,7 @@ def scaling() -> None:
         "BENCH_OUT_BASE", "/dev/shm/clp_bench" if os.path.isdir("/dev/shm") else "/tmp/clp_bench"
     )
     results: dict[int, dict] = {}
+    samples: dict[int, list] = {lo: [], hi: []}
     for _cycle in range(cycles):
         for n in (lo, hi):
             env = dict(
@@ -220,6 +221,7 @@ def scaling() -> None:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            samples[n].append(r["value"])
             if n not in results or r["value"] < results[n]["value"]:
                 results[n] = r
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
@@ -238,6 +240,8 @@ def scaling() -> None:
                 "sequences_per_s_hi": results[hi]["sequences_per_s"],
                 "tokens_per_s_lo": results[lo]["tokens_per_s"],
                 "tokens_per_s_hi": results[hi]["tokens_per_s"],
+                "samples_lo": samples[lo],
+                "samples_hi": samples[hi],
                 "sf": results[hi]["sf"],
             }
         )
