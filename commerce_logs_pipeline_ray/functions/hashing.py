@@ -104,6 +104,20 @@ def partition_of(strings, num_partitions: int) -> np.ndarray:
     return (fnv1a32(strings) % np.uint32(num_partitions)).astype(np.int32)
 
 
+def mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix64 finalizer (public domain): FNV's upper bits avalanche
+    poorly for short similar keys — apply this before any use that needs
+    uniform HIGH bits (HLL register selection, bit-sampling LSH)."""
+    h = np.asarray(h, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def bucket_indices(t: "pa.Table", keys: list[str], num_buckets: int) -> np.ndarray:
     """Composite hash bucket per row over arbitrary key columns (strings →
     FNV64, integers → Knuth multiplicative), vectorized.  The coarse bucket

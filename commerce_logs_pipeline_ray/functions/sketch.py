@@ -1,0 +1,103 @@
+"""Mergeable sketches — approximate aggregates for unbounded key spaces.
+
+The guide pattern for sketches under Ray Data: emit ONE serialized sketch
+per batch from ``map_batches`` (a combiner), then merge the tiny sketch
+stream in a second stage — sketches are designed to be mergeable, so the
+all-to-all only ever moves ``num_batches`` fixed-size registers, regardless
+of input cardinality.  (The reference has no sketches — SURVEY §2.7 — this
+is part of the training-data toolkit.)
+
+HyperLogLog here is a plain-numpy implementation (public algorithm,
+Flajolet et al. 2007, with the standard small-range correction): ``p``-bit
+register index, ``max(rho)`` per register, harmonic-mean estimate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .hashing import fnv1a64, mix64
+
+
+class HyperLogLog:
+    """Fixed 2^p registers; ``add_hashes`` consumes uint64 hashes."""
+
+    def __init__(self, p: int = 12):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = mix64(h)  # FNV upper bits are non-uniform; finalize first
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rho = leading zeros of the remaining 64-p bits, +1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        rest_work = rest.copy()
+        found = np.zeros(len(h), dtype=bool)
+        for i in range(64 - self.p + 1):
+            hit = ~found & ((rest_work & mask) != 0)
+            lz[hit] = i + 1
+            found |= hit
+            rest_work = rest_work << np.uint64(1)
+        lz[~found] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        z = 1.0 / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        e = alpha * m * m * z
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # small-range correction
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds: Dataset, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column): one HLL per batch → merge.
+
+    The shuffle-free sketch path: per-batch combiners emit 4 KB register
+    blobs; the driver merges them.  Standard error ≈ 1.04/√(2^p) ≈ 1.6%
+    at p=12."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        col = t[column]
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            hashes = fnv1a64(col)
+        else:
+            import pyarrow.compute as pc
+
+            hashes = fnv1a64(pc.cast(col, pa.string()))
+        h.add_hashes(hashes)
+        return pa.table({"sketch": pa.array([h.serialize()], type=pa.binary())})
+
+    merged = HyperLogLog(p)
+    for batch in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["sketch"].to_pylist():
+            merged = merged.merge(HyperLogLog.deserialize(blob, p))
+    return merged.estimate()

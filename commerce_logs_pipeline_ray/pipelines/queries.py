@@ -992,6 +992,17 @@ SELECT event_type, ROUND(median(value), 6) AS median_value FROM events GROUP BY 
 """
 
 
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: the
+    estimate is deterministic — register merge is partition-independent —
+    but not SQL-reproducible; accuracy vs exact is pytest-checked)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+
+
 def q_docs_matching_regex(sf_dir: str) -> pd.DataFrame:
     """F4 selector-regex filter: any-of regex match over a string column."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -1085,6 +1096,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "distinct_users_per_type": QuerySpec(
         q_distinct_users_per_type, SQL_DISTINCT_USERS, "two-stage count-distinct"
+    ),
+    "approx_distinct_users": QuerySpec(
+        q_approx_distinct_users, None, "HLL sketch distinct-count (rows-only)"
     ),
     "value_median_per_type": QuerySpec(
         q_value_median_per_type, SQL_VALUE_MEDIAN, "per-group exact median"
