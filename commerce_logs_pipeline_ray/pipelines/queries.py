@@ -18,7 +18,6 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import datetime
@@ -32,13 +31,11 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
-from ..functions.relational import broadcast_join, grouped_sums, last_by_key, to_table, topk
+from ..functions.relational import broadcast_join, grouped_sums, last_by_key, topk
 from ..functions.text import STOPWORD_PATTERN, md5_hex, n_words, quality_batch
 from ..sources.sequences import MALFORM_MOD, MALFORM_REM, docs_tenant, sid_column
 from ..stages.aggregate import final_agg, partial_agg
-from ..stages.enrich import Enricher
 from ..stages.parse import parse_batch
 from ..stages.route import route_batch
 
