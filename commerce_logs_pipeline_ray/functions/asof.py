@@ -67,11 +67,17 @@ def asof_join(
     suffixed = [f"{c}{suffix}" for c in payload_with_match]
     match_col = f"__match{suffix}"
 
+    # merge_asof picks the LAST right row in sort order among ties on
+    # (by, on); without a deterministic secondary key that order is shuffle
+    # arrival order — sort ties by the (suffixed) payload columns so the
+    # matched row is identical across runs and partitionings.
+    tie_keys = [c for c in suffixed if c != match_col]
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # one vectorized merge_asof(by=) per BUCKET of keys, not per key
         df = df[df[on].notna()]
         l = df[df["__side"] == "l"].sort_values([on, by], kind="stable")
-        r = df[df["__side"] == "r"].sort_values([on, by], kind="stable")
+        r = df[df["__side"] == "r"].sort_values([on, by, *tie_keys], kind="stable")
         l = l.drop(columns=["__side", *suffixed])
         r_small = r[[by, on, *suffixed]]
         if len(l) == 0:

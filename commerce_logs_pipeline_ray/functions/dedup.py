@@ -274,32 +274,41 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """map_batches stage: text → 64-bit SimHash fingerprint."""
+    """map_batches stage: text → 64-bit SimHash fingerprint.
+
+    Fully batch-vectorized (same shape as :class:`MinHasher`): ONE
+    Arrow-buffer FNV pass over every word in the batch, a (words × 64) ±1
+    bit-contribution matrix, per-doc segment sums via ``np.add.reduceat``,
+    sign → packed uint64.  No per-row Python, no per-word scalar hashing.
+    """
+
+    _BITS = np.arange(64, dtype=np.uint64)
+    _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def __init__(self, seed: int = 42):
         self.seed = seed  # word hashes are FNV64; no extra params needed
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        words = (text or "").split(" ")
-        if not words:
-            return 0
-        hashes = np.fromiter((fnv1a64_single(w) for w in words), dtype=np.uint64, count=len(words))
-        bits = ((hashes.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        score = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if score[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        """(n,) uint64 fingerprints for a batch of texts."""
+        words_per_doc = [(s or "").split(" ") for s in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
+        flat_words = [w for ws in words_per_doc for w in ws]
+        wh = fnv1a64(pa.array(flat_words, type=pa.string()))
+        # ±1 contribution per (word, bit); per-doc segment sums.  split(" ")
+        # yields >= 1 word per doc, so every reduceat segment is non-empty.
+        contrib = (2 * ((wh.reshape(-1, 1) >> self._BITS) & np.uint64(1)).astype(np.int32)) - 1
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        scores = np.add.reduceat(contrib, starts[:-1], axis=0)  # (n, 64)
+        with np.errstate(over="ignore"):
+            return ((scores > 0).astype(np.uint64) * self._POW2).sum(axis=1, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        return int(self.simhash_batch([text])[0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        fps = [self.simhash(s) for s in t["text"].to_pylist()]
-        return pa.table(
-            {"doc_id": t["doc_id"], "simhash": pa.array(np.array(fps, dtype=np.uint64))}
-        )
+        fps = self.simhash_batch(t["text"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(fps)})
 
 
 def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3, bands: int = 4) -> pd.DataFrame:

@@ -286,15 +286,19 @@ def auto_join(
         dim = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
         if rkey != on:
             dim = dim.rename_columns([on if c == rkey else c for c in dim.column_names])
-        # inner semantics via a dedicated non-null sentinel — never infer the
-        # match from payload validity (legit null dim values must survive)
-        dim = dim.append_column("__match", pa.array([1] * dim.num_rows, type=pa.int8()))
-        joined = broadcast_join(left, dim, on)
-        return joined.map_batches(
-            lambda t: t.filter(pc.is_valid(t["__match"])).drop_columns(["__match"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        # the broadcast path is a LOOKUP join (index_in takes the first
+        # match) — duplicate right keys would silently drop rows, so guard
+        # with a cheap distinct-count and fall back to the exchange join
+        if pc.count_distinct(dim[on]).as_py() == dim.num_rows:
+            # inner semantics via a dedicated non-null sentinel — never infer
+            # the match from payload validity (legit null dim values survive)
+            dim = dim.append_column("__match", pa.array([1] * dim.num_rows, type=pa.int8()))
+            joined = broadcast_join(left, dim, on)
+            return joined.map_batches(
+                lambda t: t.filter(pc.is_valid(t["__match"])).drop_columns(["__match"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
     return hash_join(left, right, on, right_on, how, num_partitions)
 
 

@@ -84,6 +84,13 @@ def approx_distinct(ds: Dataset, column: str, p: int = 12) -> float:
     def sketch_batch(t: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
         col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # NULLs are not distinct values (SQL COUNT(DISTINCT) semantics) and
+        # must not collide with a genuine '' — drop before hashing
+        col = col.drop_null()
+        if len(col) == 0:
+            return pa.table({"sketch": pa.array([h.serialize()], type=pa.binary())})
         typ = col.type
         if pa.types.is_string(typ) or pa.types.is_large_string(typ):
             hashes = fnv1a64(col)

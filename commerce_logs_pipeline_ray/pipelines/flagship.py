@@ -51,7 +51,6 @@ from ..schema import (
     NUM_LOGICAL_PARTITIONS,
     ROUTED_COLUMNS,
     SEQUENCES_SCHEMA,
-    SINKS,
 )
 from ..stages.aggregate import add_bucket, detect_hot_keys, final_agg, partial_agg
 from ..stages.enrich import Enricher, build_source_dict
@@ -164,7 +163,14 @@ def write_routed_batch(
         from ..functions.hashing import fnv1a64
 
         batch_digest = np.bitwise_xor.reduce(fnv1a64(t["doc_id"])) ^ np.uint64(len(t))
-        for sink in SINKS:
+        # iterate the sinks PRESENT in the batch, not the static schema list:
+        # rows routed by a user-extended registry to a non-schema sink must be
+        # written too, or aggregates and routed files diverge silently
+        sinks_col = projected["sink"]
+        present = pc.unique(
+            sinks_col.combine_chunks() if isinstance(sinks_col, pa.ChunkedArray) else sinks_col
+        ).to_pylist()
+        for sink in sorted(s for s in present if s is not None):
             sub = projected.filter(pc.equal(projected["sink"], sink))
             if len(sub) == 0:
                 continue
@@ -270,11 +276,12 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
             continue
 
         # wipe any partial outputs of a previously failed attempt → idempotent
-        for sink in SINKS:
-            shutil.rmtree(
-                os.path.join(cfg.output_dir, "routed", sink, f"shard={shard_id:05d}"),
-                ignore_errors=True,
-            )
+        # (glob over ALL sink dirs present on disk, not just schema.SINKS —
+        # user-extended registries route to extra sinks)
+        for stale_dir in glob.glob(
+            os.path.join(cfg.output_dir, "routed", "*", f"shard={shard_id:05d}")
+        ):
+            shutil.rmtree(stale_dir, ignore_errors=True)
         agg_path = os.path.join(agg_dir, f"shard-{shard_id:05d}.parquet")
         if os.path.exists(agg_path):
             os.remove(agg_path)

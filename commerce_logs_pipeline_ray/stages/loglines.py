@@ -160,16 +160,23 @@ def _timestamp_ns(logs: dict, root: dict) -> int | None:
 
 
 def _is_http_request_log(logs: dict) -> bool:
-    """extractor.go:103-146: access log iff requestFirstLine/status present,
-    or contextMap carries HTTP fields without source{Class,Method}Name."""
-    if "requestFirstLine" in logs or "status" in logs:
+    """extractor.go:103-146 exactly: Apache fields (non-empty
+    requestFirstLine/status) → HTTP; else the contextMap path is gated on
+    BOTH timeMillis and contextMap being present, then requestLine → HTTP,
+    then ANY of statusCode/bytesSent/processMillis/remoteHost counts as HTTP
+    evidence unless source{Class,Method}Name marks it an application log."""
+    if str(logs.get("requestFirstLine") or "") != "" or str(logs.get("status") or "") != "":
         return True
+    if logs.get("timeMillis") is None:
+        return False
     ctx = logs.get("contextMap")
-    if isinstance(ctx, dict):
-        has_http = "requestLine" in ctx or ("statusCode" in ctx and "remoteHost" in ctx)
-        no_src = "sourceClassName" not in ctx and "sourceMethodName" not in ctx
-        return has_http and no_src
-    return False
+    if not isinstance(ctx, dict):
+        return False
+    if "requestLine" in ctx:
+        return True
+    has_http = any(f in ctx for f in ("statusCode", "bytesSent", "processMillis", "remoteHost"))
+    no_src = "sourceClassName" not in ctx and "sourceMethodName" not in ctx
+    return has_http and no_src
 
 
 def _is_proxy_log(logs: dict) -> bool:
@@ -329,7 +336,7 @@ def synth_log_lines(n: int, seed: int = 42) -> list[str]:
         elif kind < 0.96:  # skip sentinels
             lines.append(rng.choice([
                 "", json.dumps({"log": "  "}),
-                json.dumps({"Logs": {"contextMap": {"requestLine": "-", "statusCode": 1, "remoteHost": "h"}}}),
+                json.dumps({"Logs": {"timeMillis": 1718000000000, "contextMap": {"requestLine": "-", "statusCode": 1, "remoteHost": "h"}}}),
                 json.dumps({"Logs": {"requestFirstLine": "DESCRIBE /s RTSP/1.0", "status": 200}}),
             ]))
         else:  # errors

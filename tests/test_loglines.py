@@ -116,10 +116,22 @@ def test_skip_sentinels():
     # blank container log
     blank = json.dumps({"log": "   ", "@timestamp": "2025-06-15T10:00:00Z"})
     assert extract_log_line(blank)["record_type"] == "skip"
-    # requestLine "-"
-    dash = json.dumps({"Logs": {"contextMap": {"requestLine": "-", "statusCode": 400,
+    # requestLine "-" (timeMillis present — extractor.go:110-113 gates the
+    # contextMap classification path on it)
+    dash = json.dumps({"Logs": {"timeMillis": 1718000000000,
+                                "contextMap": {"requestLine": "-", "statusCode": 400,
                                                "remoteHost": "x"}}})
     assert extract_log_line(dash)["record_type"] == "skip"
+    # same contextMap WITHOUT timeMillis → not HTTP → application
+    # (extractor.go classifier parity)
+    no_tm = json.dumps({"Logs": {"contextMap": {"requestLine": "-", "statusCode": 400,
+                                                "remoteHost": "x"}}})
+    assert extract_log_line(no_tm)["record_type"] == "application"
+    # bytesSent alone (with timeMillis) is HTTP evidence — extractor.go:121-127
+    bs_only = json.dumps({"Logs": {"timeMillis": 1718000000000,
+                                   "contextMap": {"requestLine": "GET / HTTP/1.1",
+                                                  "bytesSent": 10}}})
+    assert extract_log_line(bs_only)["record_type"] == "http"
     # non-HTTP protocol
     rtsp = json.dumps({"Logs": {"requestFirstLine": "DESCRIBE /stream RTSP/1.0",
                                 "status": 200}})
@@ -140,8 +152,10 @@ def test_error_channel():
 
 
 def test_app_log_not_classified_as_http_due_to_source_fields():
-    # contextMap has requestLine-ish fields BUT sourceClassName → application
-    line = json.dumps(
+    # sourceClassName only vetoes the NO-requestLine evidence branch
+    # (extractor.go:121-141); an explicit requestLine wins unconditionally
+    # (extractor.go:112-118)
+    with_rl = json.dumps(
         {
             "Logs": {
                 "contextMap": {"requestLine": "GET / HTTP/1.1", "sourceClassName": "X"},
@@ -150,7 +164,18 @@ def test_app_log_not_classified_as_http_due_to_source_fields():
             }
         }
     )
-    assert extract_log_line(line)["record_type"] == "application"
+    assert extract_log_line(with_rl)["record_type"] == "http"
+    # statusCode evidence alone + sourceClassName → application
+    no_rl = json.dumps(
+        {
+            "Logs": {
+                "contextMap": {"statusCode": 200, "sourceClassName": "X"},
+                "message": "m",
+                "timeMillis": 1,
+            }
+        }
+    )
+    assert extract_log_line(no_rl)["record_type"] == "application"
 
 
 def test_level_extraction_defaults():
