@@ -120,21 +120,23 @@ def grouped_sums(
     sums: dict[str, str],
     count_name: str | None = None,
     batch_size: int | None = None,
-    reduce: str = "driver",
+    reduce: str = "distributed",
 ) -> Dataset:
     """groupby(keys) with SUM/COUNT — pre-aggregated per batch (combiner),
     then a final reduce over partials only.
 
     ``sums``: {output_name: input_column}.  ``count_name``: output COUNT(*).
 
-    ``reduce="driver"``: the per-batch combiner bounds the partial stream to
-    ``|distinct keys| × num_blocks`` rows, so when key cardinality is modest
-    the final reduce is a driver-side pandas groupby — no all-to-all at all
-    (the reference's partial+final fold, ``blob_state_processor.go:231-260``).
-    ``reduce="distributed"`` (unbounded key cardinality, e.g. per-document
-    keys): coarse hash-bucket exchange + vectorized per-bucket combine
-    (see :func:`bucketed_group_reduce`).  ``reduce="sort"``: Ray's native
-    sort-based groupby — avoid for >10k keys (per-group Python overhead).
+    ``reduce="distributed"`` (the safe DEFAULT — correct at any key
+    cardinality): coarse hash-bucket exchange + vectorized per-bucket combine
+    (see :func:`bucketed_group_reduce`); the exchange only ever moves the
+    per-batch partials.  ``reduce="driver"`` (opt-in for key spaces bounded
+    by schema or value domain, e.g. enum columns): the combiner bounds the
+    partial stream to ``|distinct keys| × num_blocks`` rows and the final
+    reduce is a driver-side pandas groupby — no all-to-all at all (the
+    reference's partial+final fold, ``blob_state_processor.go:231-260``).
+    ``reduce="sort"``: Ray's native sort-based groupby — avoid for >10k keys
+    (per-group Python overhead).
     """
     sum_inputs = sorted(set(sums.values()))
 
@@ -181,15 +183,16 @@ def last_by_key(
     order_cols: list[str],
     payload_cols: list[str],
     batch_size: int | None = None,
-    reduce: str = "driver",
+    reduce: str = "distributed",
 ) -> Dataset:
     """Per-key latest row (compacted-state fold, A6).
 
     Two-level: per-batch argmax by ``order_cols`` (combiner) → final argmax
     over the few surviving candidates.  Only candidates leave the map stage.
-    ``reduce="driver"`` folds the candidate stream on the driver (key
-    cardinality is bounded for state-compaction workloads);
-    ``reduce="distributed"`` uses a hash-shuffle ``groupby.map_groups``.
+    ``reduce="distributed"`` (default — safe at any key cardinality) folds
+    candidates through a coarse hash-bucket exchange;
+    ``reduce="driver"`` (opt-in when key cardinality is bounded, the typical
+    state-compaction shape) folds the candidate stream on the driver.
     """
     cols = [key, *order_cols, *[c for c in payload_cols if c not in order_cols and c != key]]
 

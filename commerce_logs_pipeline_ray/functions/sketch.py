@@ -108,3 +108,69 @@ def approx_distinct(ds: Dataset, column: str, p: int = 12) -> float:
         for blob in batch["sketch"].to_pylist():
             merged = merged.merge(HyperLogLog.deserialize(blob, p))
     return merged.estimate()
+
+
+def grouped_quantile_fixedpoint(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    q: float = 0.5,
+    scale: int = 100,
+    out_name: str = "quantile_value",
+) -> "pd.DataFrame":
+    """Per-group quantile via a mergeable FIXED-BIN HISTOGRAM sketch — the
+    scale-safe replacement for ``groupby(key).map_groups(median)``, which
+    ships every raw row of a group to one worker.
+
+    Shape (same as the HLL sketch): per-batch combiners emit sparse
+    ``(key, bin, n)`` histogram partials; a bucketed exchange merges them
+    (the shuffle moves ≤ |keys|×|bins| partial rows, never raw values); the
+    driver folds the tiny merged histogram into quantiles.
+
+    EXACT — including SQL ``median()``'s mid-pair average for even counts —
+    whenever values live on the 1/``scale`` grid (e.g. 2-decimal money
+    amounts with scale=100).  For truly continuous values the result is a
+    quantile approximation with error ≤ 1/(2·scale); raise ``scale`` or swap
+    in a t-digest for that regime.  NULL values are ignored (SQL aggregate
+    semantics).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col]
+        bins = pc.cast(pc.round(pc.multiply(vals, float(scale)), 0), pa.int64())
+        # drop NULL values only — a NULL key is still a group (SQL GROUP BY)
+        flat = pa.table({key: t[key], "bin": bins}).filter(pc.is_valid(bins))
+        g = flat.group_by([key, "bin"]).aggregate([([], "count_all")])
+        return pa.table(
+            {key: g[key], "bin": g["bin"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    from .relational import bucketed_group_reduce
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = bucketed_group_reduce(
+        partials,
+        [key, "bin"],
+        lambda df: df.groupby([key, "bin"], as_index=False, dropna=False)["n"].sum(),
+    ).to_pandas()
+
+    out_keys, out_vals = [], []
+    for k, g in hist.sort_values("bin", kind="stable").groupby(key, sort=True, dropna=False):
+        counts = g["n"].to_numpy()
+        bins = g["bin"].to_numpy()
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        cum = np.cumsum(counts)
+        # 1-indexed rank positions; SQL median/quantile_cont interpolation
+        pos = q * (total - 1) + 1
+        lo_rank, hi_rank = int(np.floor(pos)), int(np.ceil(pos))
+        lo_v = bins[np.searchsorted(cum, lo_rank)] / scale
+        hi_v = bins[np.searchsorted(cum, hi_rank)] / scale
+        frac = pos - lo_rank
+        out_keys.append(k)
+        out_vals.append(lo_v + (hi_v - lo_v) * frac)
+    return pd.DataFrame({key: out_keys, out_name: out_vals})

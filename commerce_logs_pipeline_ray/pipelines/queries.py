@@ -81,7 +81,7 @@ def _i64(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 
 def q_events_by_type(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "events", ["event_type", "value"])
-    out = grouped_sums(ds, ["event_type"], {"total_value": "value"}, "n").to_pandas()
+    out = grouped_sums(ds, ["event_type"], {"total_value": "value"}, "n", reduce="driver").to_pandas()
     out["total_value"] = out["total_value"].round(2)
     return _i64(out, ["n"])
 
@@ -160,7 +160,7 @@ def q_parse_props(sf_dir: str) -> pd.DataFrame:
         return pa.table({"k_mod": pc.cast(pc.subtract(k, pc.multiply(pc.divide(k, 10), 10)), pa.int64()), "value": t["value"]})
 
     ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-    out = grouped_sums(ds, ["k_mod"], {"total_value": "value"}, "n").to_pandas()
+    out = grouped_sums(ds, ["k_mod"], {"total_value": "value"}, "n", reduce="driver").to_pandas()
     out["total_value"] = out["total_value"].round(2)
     return _i64(out, ["k_mod", "n"])
 
@@ -176,18 +176,27 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_orders_by_region(sf_dir: str) -> pd.DataFrame:
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    from ..functions.relational import auto_join
+
+    # nation/region are O(25) rows — fold on the driver and broadcast; the
+    # customer table is O(rows) and scales with the data, so it is read and
+    # enriched DISTRIBUTED, then joined via the size-aware planner (broadcast
+    # while it fits, hash-exchange beyond the threshold) — never built as a
+    # driver-side pandas frame.
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    # pre-fold the 3 dims into one custkey→r_name map on the driver (tiny)
-    cn = cust.to_pandas().merge(
-        nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
-    ).merge(reg.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
-    dim = pa.Table.from_pandas(cn[["c_custkey", "r_name"]], preserve_index=False)
+    nr = nat.to_pandas().merge(reg.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    nr_dim = pa.Table.from_pandas(
+        nr[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"}),
+        preserve_index=False,
+    )
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), nr_dim, "c_nationkey"
+    ).select_columns(["c_custkey", "r_name"])
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(ds, dim.rename_columns(["o_custkey", "r_name"]), "o_custkey")
-    out = grouped_sums(joined, ["r_name"], {"total_price": "o_totalprice"}, "n_orders").to_pandas()
+    joined = auto_join(ds, cust, on="o_custkey", right_on="c_custkey")
+    out = grouped_sums(joined, ["r_name"], {"total_price": "o_totalprice"}, "n_orders", reduce="driver").to_pandas()
     out["total_price"] = out["total_price"].round(2)
     return _i64(out, ["n_orders"])
 
@@ -236,6 +245,7 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "sum_charge": "charge",
         },
         "count_order",
+        reduce="driver",
     ).to_pandas()
     for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
         out[c] = out[c].round(2)
@@ -559,7 +569,7 @@ def q_route_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"sink": sink, "source": t["source"], "bucket": bucket, "n_chars": t["n_chars"]})
 
     ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    out = grouped_sums(ds, ["sink", "source", "bucket"], {"total_chars": "n_chars"}, "n").to_pandas()
+    out = grouped_sums(ds, ["sink", "source", "bucket"], {"total_chars": "n_chars"}, "n", reduce="driver").to_pandas()
     return _i64(out, ["bucket", "total_chars", "n"])
 
 
@@ -646,14 +656,18 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"], filter=expr
     )
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    from ..functions.relational import auto_join as _auto_join
+
+    # nation is tiny (broadcast); customer scales with the data → read it
+    # distributed and attach it through the size-aware planner, not as a
+    # driver-built pandas dim
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    dim = (
-        cust.to_pandas()
-        .merge(nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-        .rename(columns={"c_custkey": "o_custkey"})
-    )
-    orders = broadcast_join(orders, pa.Table.from_pandas(dim, preserve_index=False), "o_custkey")
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nat.rename_columns(["c_nationkey", "n_name"]),
+        "c_nationkey",
+    ).select_columns(["c_custkey", "n_name"])
+    orders = _auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -668,7 +682,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
     from ..functions.relational import auto_join
 
     joined = auto_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
-    out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders").to_pandas()
+    out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders", reduce="driver").to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return _i64(out, ["n_orders"])
 
@@ -909,6 +923,7 @@ def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
         ["record_type", "level"],
         {},
         "n",
+        reduce="driver",
     ).to_pandas()
     return _i64(agg, ["n"])
 
@@ -960,9 +975,21 @@ def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
         ).aggregate([])
 
     pairs = ds.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
-    # global dedup of pairs, then count per type (both on the small pair set)
-    pdf = pairs.groupby(["event_type", "user_id"]).count().to_pandas()
-    out = pdf.groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+
+    # global pair dedup DISTRIBUTED (pair cardinality is |users|×|types| —
+    # can be huge): bucket-exchange on the pair key, per-bucket dedup +
+    # partial per-type count; only the tiny (type, n) partials reach the
+    # driver for the final sum.
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        return d.groupby("event_type", as_index=False, dropna=False).size().rename(
+            columns={"size": "n_users"}
+        )
+
+    from ..functions.relational import bucketed_group_reduce
+
+    part = bucketed_group_reduce(pairs, ["event_type", "user_id"], bucket_count).to_pandas()
+    out = part.groupby("event_type", as_index=False, dropna=False)["n_users"].sum()
     return _i64(out, ["n_users"])
 
 
@@ -972,15 +999,18 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event
 
 
 def q_value_median_per_type(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group median via hash-shuffle groupby + in-group quantile."""
+    """Per-group median via the mergeable fixed-bin histogram sketch
+    (``functions/sketch.py``): per-batch sparse histogram partials → bucketed
+    merge → quantile from counts.  EXACT here because ``value`` is 2-decimal
+    fixed-point, and — unlike ``groupby.map_groups(median)`` — no group's raw
+    rows ever co-locate on one worker."""
+    from ..functions.sketch import grouped_quantile_fixedpoint
+
     ds = _t(sf_dir, "events", ["event_type", "value"])
-
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"event_type": [df["event_type"].iloc[0]], "median_value": [round(float(df["value"].median()), 6)]}
-        )
-
-    out = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    out = grouped_quantile_fixedpoint(
+        ds, "event_type", "value", q=0.5, scale=100, out_name="median_value"
+    )
+    out["median_value"] = out["median_value"].round(6)
     return out
 
 
@@ -1030,7 +1060,7 @@ def q_union_counts(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow", zero_copy_batch=True,
     )
     both = purchases.union(big)
-    out = grouped_sums(both, ["event_type"], {}, "n").to_pandas()
+    out = grouped_sums(both, ["event_type"], {}, "n", reduce="driver").to_pandas()
     return _i64(out, ["n"])
 
 

@@ -50,3 +50,38 @@ def test_query_estimate_close_to_exact(ray_session):
         "SELECT COUNT(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
     ).fetchone()[0]
     assert abs(est - true) / true < 0.08
+
+
+def test_null_values_not_distinct(ray_session):
+    import ray.data as rd
+
+    # NULL must not count as a distinct value, nor collide with ''
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b", None, "", None] * 200}))
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 3) < 0.5
+
+
+def test_grouped_quantile_fixedpoint_exact(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_quantile_fixedpoint
+
+    rng = np.random.default_rng(4)
+    # 2-decimal fixed-point values, one odd-count and one even-count group,
+    # plus NULL values that SQL aggregates ignore
+    a = np.round(rng.uniform(0, 50, size=1001), 2)
+    b = np.round(rng.uniform(10, 99, size=800), 2)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b) + ["a"] * 5,
+            "v": np.concatenate([a, b, [np.nan] * 5]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = grouped_quantile_fixedpoint(ds, "g", "v", q=0.5, out_name="med").set_index("g")["med"]
+    assert out["a"] == np.median(a)
+    assert out["b"] == np.median(b)  # even count → mid-pair average
+    q9 = grouped_quantile_fixedpoint(ds, "g", "v", q=0.9, out_name="q")
+    exp_a = np.quantile(a, 0.9, method="linear")
+    got_a = float(q9.set_index("g")["q"]["a"])
+    assert abs(got_a - exp_a) < 1e-9
