@@ -850,6 +850,17 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 
+def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH-bucketed near-dup pairs (approximate, deterministic
+    seed; rows-only — recall vs the exact tiling is measured in
+    tests/test_dedup.py).  The scale path for high-threshold near-dup."""
+    from ..functions.dedup import embedding_neardup_lsh
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_lsh(ds, threshold=0.4, bits_per_band=4, n_bands=16, dim=64)
+    return _i64(out, ["vec_a", "vec_b"])
+
+
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs (not SQL-expressible → rows-only check;
     validated against planted ground truth in tests/test_dedup.py)."""
@@ -1129,6 +1140,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "value_median_per_type": QuerySpec(
         q_value_median_per_type, SQL_VALUE_MEDIAN, "per-group exact median"
+    ),
+    "embedding_neardup_lsh": QuerySpec(
+        q_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (approx, rows-only)"
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),

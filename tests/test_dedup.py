@@ -97,3 +97,24 @@ def test_embedding_neardup(ray_session):
         assert (i, 100 + i) in got
     # random 16-dim gaussians essentially never hit cos>=0.98
     assert len(got) <= 10
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """Measured recall of the LSH-bucketed path against the exact tiling on
+    the sf0.1 corpus (920 true pairs at cos>=0.4, all near the threshold —
+    the hardest regime for hyperplane banding)."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.dedup import embedding_neardup_lsh
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.1/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_neardup_pairs(ds, threshold=0.4)
+    approx = embedding_neardup_lsh(ds, threshold=0.4, bits_per_band=4, n_bands=16, dim=64)
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert len(e) > 500
+    assert a <= e            # precision 1.0: every candidate exact-verified
+    recall = len(a & e) / len(e)
+    assert recall >= 0.85, f"LSH recall {recall:.3f} below floor"
