@@ -60,7 +60,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+    """DuckDB-equivalent SQL per query (omitted → rows-only check).
 
+    Some oracles read materialized /tmp artifacts (shared line corpus,
+    derived-sequences parquet, reference packing/fingerprints); those are
+    written here so they exist whichever side the driver runs first."""
+    from commerce_logs_pipeline_ray.pipelines.queries import (
+        REGISTRY,
+        prematerialize_oracle_artifacts,
+    )
+
+    prematerialize_oracle_artifacts()
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -882,43 +882,163 @@ def _derived_sequences(sf_dir: str) -> pa.Table:
     return _DERIVED_CACHE[sf_dir]
 
 
+def ensure_derived_parquet(sf_dir: str) -> str:
+    """Materialize the derived sequences table (sid, tokens, n_tok, source)
+    as Parquet in the shared oracle-artifact dir — the Ray queries read it
+    DISTRIBUTED and the DuckDB oracles ``read_parquet``+``UNNEST`` the same
+    file.  Idempotent, atomic."""
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.loglines_file import corpus_dir
+
+    d = corpus_dir(sf_dir)
+    path = _os.path.join(d, "derived.parquet")
+    if not _os.path.exists(path):
+        _os.makedirs(d, exist_ok=True)
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        pq.write_table(_derived_sequences(sf_dir), tmp)
+        _os.replace(tmp, path)
+    return path
+
+
 def q_token_frequency_topk(sf_dir: str) -> pd.DataFrame:
-    """Vocab histogram over the derived tokens payload (rows-only; the
-    word-hash tokenizer is not SQL-expressible — Python-oracle tested)."""
+    """Vocab histogram over the derived tokens payload: per-batch
+    value_counts partials → bucketed reduce → top-50.  Oracle:
+    ``UNNEST(tokens)`` + GROUP BY over the same materialized Parquet."""
     from ..functions.tokens import token_frequency
 
-    ds = rd.from_arrow(_derived_sequences(sf_dir))
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"])
     return token_frequency(ds, topk=50)
 
 
-def q_packing_stats(sf_dir: str) -> pd.DataFrame:
-    """Greedy sequence packing into 512-token rows (rows-only; invariants
-    tested in tests/test_tokens.py)."""
-    from ..functions.tokens import pack_sequences
+SQL_TOKEN_FREQUENCY = """
+SELECT CAST(token AS BIGINT) AS token, COUNT(*) AS "count"
+FROM (SELECT UNNEST(tokens) AS token
+      FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet'))
+GROUP BY 1 ORDER BY "count" DESC, token LIMIT 50
+"""
 
-    ds = rd.from_arrow(_derived_sequences(sf_dir))
-    packed = pack_sequences(ds, max_len=512).to_pandas()
+
+def _pack_source_stats(sub: pa.Table, max_len: int = 512) -> tuple[int, int, int]:
+    """Deterministic FFD packing of ONE source's rows: sort by doc_id first
+    so first-fit-decreasing tie-breaks are partition-independent.  Returns
+    (n_packs, total_tokens, total_docs)."""
+    from ..functions.tokens import pack_batch
+
+    sub = sub.sort_by("doc_id")
+    p = pack_batch(sub, max_len=max_len)
+    return (
+        p.num_rows,
+        int(pc.sum(p["n_tok"]).as_py() or 0),
+        int(pc.sum(p["n_docs"]).as_py() or 0),
+    )
+
+
+def ensure_packing_artifact(sf_dir: str, max_len: int = 512) -> str:
+    """Driver-side REFERENCE packing (per-source, deterministic) written as
+    (source, n_packs, total_tokens, total_docs) Parquet — the oracle's
+    n_packs source.  The distributed query must reproduce it exactly."""
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.loglines_file import corpus_dir
+
+    d = corpus_dir(sf_dir)
+    path = _os.path.join(d, "packed_stats.parquet")
+    if not _os.path.exists(path):
+        _os.makedirs(d, exist_ok=True)
+        seq = _derived_sequences(sf_dir)
+        rows = []
+        srcs = pc.unique(seq["source"].combine_chunks()).to_pylist()
+        for s in sorted(srcs):
+            n_packs, tt, td = _pack_source_stats(
+                seq.filter(pc.equal(seq["source"], s)), max_len
+            )
+            rows.append({"source": s, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows), tmp)
+        _os.replace(tmp, path)
+    return path
+
+
+def q_packing_stats(sf_dir: str) -> pd.DataFrame:
+    """Greedy FFD sequence packing into 512-token rows, co-grouped by source
+    (deterministic: packing order is doc_id within source, independent of
+    block layout).  Oracle cross-checks total_tokens/total_docs straight
+    from the derived table (conservation) and n_packs against the
+    driver-side reference packing.  ``pack_sequences`` (block-local, no
+    shuffle) remains the max-throughput API for when bit-stable layout
+    across reruns is not required."""
+    ensure_packing_artifact(sf_dir)
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "tokens", "n_tok", "source"]
+    )
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        srcs = pc.unique(t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]).to_pylist()
+        rows = []
+        for s in srcs:
+            n_packs, tt, td = _pack_source_stats(t.filter(pc.equal(t["source"], s)))
+            rows.append({"source": s, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
+        return pa.Table.from_pylist(rows)
+
+    # one group per source (bounded key space — the co-group ships each
+    # source's rows to one worker; length-bucket pre-split for skewed
+    # sources is the documented escape hatch)
+    per_source = ds.groupby("source").map_groups(pack_group, batch_format="pyarrow").to_pandas()
+    n_packs = int(per_source["n_packs"].sum())
+    tt = int(per_source["total_tokens"].sum())
+    td = int(per_source["total_docs"].sum())
     out = pd.DataFrame(
         {
-            "n_packs": [len(packed)],
-            "total_tokens": [int(packed["n_tok"].sum())],
-            "total_docs": [int(packed["n_docs"].sum())],
-            "mean_fill": [round(float(packed["n_tok"].mean()) / 512, 6)],
+            "n_packs": [n_packs],
+            "total_tokens": [tt],
+            "total_docs": [td],
+            "mean_fill": [round(tt / n_packs / 512, 6)],
         }
     )
     return _i64(out, ["n_packs", "total_tokens", "total_docs"])
 
 
-def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
-    """Raw JSON log lines → typed records → per-type/status counts (the
-    reference's extraction service end-to-end over a deterministic synthetic
-    line corpus; rows-only — conformance is pytest-verified per fixture
-    shape, tests/test_loglines.py)."""
-    from ..stages.loglines import extract_batch, synth_log_lines
+SQL_PACKING_STATS = """
+WITH ref AS (SELECT CAST(SUM(n_packs) AS BIGINT) AS n_packs
+             FROM read_parquet('/tmp/cpr_oracle/sf0.01/packed_stats.parquet')),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens, COUNT(*) AS total_docs
+        FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet'))
+SELECT n_packs, total_tokens, total_docs,
+       ROUND(CAST(total_tokens AS DOUBLE) / n_packs / 512, 6) AS mean_fill
+FROM ref, tot
+"""
 
-    n = max(2000, int(_sf_of(sf_dir) * 100_000))
-    lines = synth_log_lines(n, seed=42)
-    ds = rd.from_arrow(pa.table({"line": lines}))
+
+def _loglines_corpus_n(sf_dir: str) -> int:
+    return max(2000, int(_sf_of(sf_dir) * 100_000))
+
+
+def ensure_loglines_corpus(sf_dir: str) -> str:
+    """Materialize the deterministic gz-JSONL corpus (+ parquet mirror for
+    the DuckDB oracle) for this sf; idempotent.  Returns the corpus dir."""
+    from ..sources.loglines_file import corpus_dir, write_logline_corpus
+
+    d = corpus_dir(sf_dir)
+    write_logline_corpus(d, _loglines_corpus_n(sf_dir), seed=42)
+    return d
+
+
+def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
+    """Raw gzipped JSON-line files → typed records → per-type/level counts:
+    the reference's extraction service end-to-end over its ACTUAL input
+    shape (gz line blobs, ``processor.go:106-177``), read via
+    ``ray.data.read_text`` with streaming per-shard decompression.  The
+    DuckDB oracle reimplements the classifier in SQL over a parquet mirror
+    of the same lines."""
+    from ..sources.loglines_file import read_logline_corpus
+    from ..stages.loglines import extract_batch
+
+    d = ensure_loglines_corpus(sf_dir)
+    ds = read_logline_corpus(d)
     out = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
     agg = grouped_sums(
         out.map_batches(
@@ -939,6 +1059,81 @@ def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
     return _i64(agg, ["n"])
 
 
+# Full SQL reimplementation of the reference classifier (extractor.go
+# semantics: Apache fields → HTTP; timeMillis+contextMap gate; requestLine
+# sentinels; protocol/method skips; level regex with INFO default) over the
+# parquet mirror of the gz line corpus — an independent computation path
+# checking the Ray extraction end-to-end.
+ORACLE_ARTIFACT_DIR = "/tmp/cpr_oracle/sf0.01"  # the driver's correctness sf
+
+SQL_LOGLINES_EXTRACT = rf"""
+WITH raw AS (SELECT line FROM read_parquet('{ORACLE_ARTIFACT_DIR}/lines.parquet')),
+j AS (
+  SELECT line, CASE WHEN json_valid(line) THEN line::JSON END AS js FROM raw
+),
+base AS (
+  SELECT line, js,
+         COALESCE(CASE WHEN json_type(js, '$.Logs') = 'OBJECT' THEN json_extract(js, '$.Logs') END,
+                  CASE WHEN json_type(js, '$.logs') = 'OBJECT' THEN json_extract(js, '$.logs') END) AS logs,
+         json_extract_string(js, '$.log') AS clog
+  FROM j
+),
+feat AS (
+  SELECT *,
+    COALESCE(NULLIF(json_extract_string(logs, '$.requestFirstLine'), ''),
+             json_extract_string(logs, '$.contextMap.requestLine')) AS rl,
+    (COALESCE(json_extract_string(logs, '$.requestFirstLine'), '') <> ''
+     OR COALESCE(json_extract_string(logs, '$.status'), '') <> ''
+     OR (json_extract(logs, '$.timeMillis') IS NOT NULL
+         AND json_type(logs, '$.contextMap') = 'OBJECT'
+         AND (json_extract(logs, '$.contextMap.requestLine') IS NOT NULL
+              OR ((json_extract(logs, '$.contextMap.statusCode') IS NOT NULL
+                   OR json_extract(logs, '$.contextMap.bytesSent') IS NOT NULL
+                   OR json_extract(logs, '$.contextMap.processMillis') IS NOT NULL
+                   OR json_extract(logs, '$.contextMap.remoteHost') IS NOT NULL)
+                  AND json_extract(logs, '$.contextMap.sourceClassName') IS NULL
+                  AND json_extract(logs, '$.contextMap.sourceMethodName') IS NULL)))) AS is_http,
+    (json_extract(logs, '$.localServerName') IS NOT NULL
+     OR json_extract(logs, '$.cacheStatus') IS NOT NULL) AS is_proxy
+  FROM base
+),
+typed AS (
+  SELECT *,
+    CASE
+      WHEN trim(COALESCE(line, '')) = '' THEN 'skip'
+      WHEN js IS NULL OR json_type(js) <> 'OBJECT' THEN 'error'
+      WHEN logs IS NOT NULL THEN
+        CASE WHEN is_http THEN
+          CASE
+            WHEN rl IS NULL OR rl = '-' THEN 'skip'
+            WHEN NOT regexp_matches(rl, '^[A-Z_]+\s+[^\s]+\s+[A-Z]+/[\d.]+$') THEN 'skip'
+            WHEN regexp_extract(rl, '^([A-Z_]+)\s+([^\s]+)\s+([A-Z]+)/[\d.]+$', 3) <> 'HTTP' THEN 'skip'
+            WHEN regexp_extract(rl, '^([A-Z_]+)\s+([^\s]+)\s+([A-Z]+)/[\d.]+$', 1) NOT IN
+                 ('GET','POST','PUT','DELETE','PATCH','HEAD','OPTIONS','TRACE','CONNECT') THEN 'skip'
+            WHEN is_proxy THEN 'proxy'
+            ELSE 'http'
+          END
+        ELSE 'application' END
+      WHEN clog IS NOT NULL THEN CASE WHEN trim(clog) = '' THEN 'skip' ELSE 'container' END
+      ELSE 'error'
+    END AS record_type
+  FROM feat
+),
+lv AS (
+  SELECT record_type,
+    CASE WHEN record_type IN ('http', 'proxy', 'application') THEN
+           COALESCE(NULLIF(upper(regexp_extract(COALESCE(json_extract_string(logs, '$.level'), ''),
+                    '(?i)\b(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL)\b', 1)), ''), 'INFO')
+         WHEN record_type = 'container' THEN
+           COALESCE(NULLIF(upper(regexp_extract(clog,
+                    '(?i)\b(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL)\b', 1)), ''), 'INFO')
+    END AS level
+  FROM typed
+)
+SELECT record_type, level, COUNT(*) AS n FROM lv GROUP BY 1, 2
+"""
+
+
 def _sf_of(sf_dir: str) -> float:
     import os as _os
 
@@ -957,6 +1152,57 @@ def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(SimHasher(), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out["simhash"] = out["simhash"].map(lambda v: f"{int(v):016x}")
     return _i64(out, ["doc_id"])
+
+
+def ensure_simhash_parquet(sf_dir: str) -> str:
+    """Driver-side reference SimHash fingerprints (doc_id, simhash:int64) —
+    the distributed pass must reproduce them bit-exactly regardless of
+    block slicing (this is the regression surface for sliced-batch bugs)."""
+    import os as _os
+    import uuid as _uuid
+
+    from ..functions.dedup import SimHasher
+    from ..sources.loglines_file import corpus_dir
+
+    d = corpus_dir(sf_dir)
+    path = _os.path.join(d, "simhash.parquet")
+    if not _os.path.exists(path):
+        _os.makedirs(d, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        fps = SimHasher().simhash_batch(docs["text"].to_pylist())
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        pq.write_table(
+            pa.table({"doc_id": docs["doc_id"], "simhash": pa.array(fps.view(np.int64))}), tmp
+        )
+        _os.replace(tmp, path)
+    return path
+
+
+def q_simhash_hamming_buckets(sf_dir: str) -> pd.DataFrame:
+    """Hamming-WEIGHT histogram of the distributed SimHash fingerprints:
+    (popcount(simhash), n) — SQL-checkable via ``bit_count`` over the
+    driver-side reference fingerprints, so the whole distributed hashing +
+    aggregation path gets a hash-green gate."""
+    from ..functions.dedup import SimHasher
+
+    ensure_simhash_parquet(sf_dir)
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def weights(t: pa.Table) -> pa.Table:
+        fps = SimHasher().simhash_batch(t["text"].to_pylist())
+        bits = np.unpackbits(fps.view(np.uint8)).reshape(len(fps), 64).sum(axis=1)
+        return pa.table({"weight": pa.array(bits.astype(np.int64))})
+
+    w = ds.map_batches(weights, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(w, ["weight"], {}, "n", reduce="driver").to_pandas()
+    return _i64(out, ["weight", "n"])
+
+
+SQL_SIMHASH_HAMMING = """
+SELECT CAST(bit_count(simhash) AS BIGINT) AS weight, COUNT(*) AS n
+FROM read_parquet('/tmp/cpr_oracle/sf0.01/simhash.parquet')
+GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1146,9 +1392,25 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
-    "loglines_extract": QuerySpec(
-        q_loglines_extract, None, "JSON log-line extraction e2e (rows-only)"
+    "simhash_hamming_buckets": QuerySpec(
+        q_simhash_hamming_buckets, SQL_SIMHASH_HAMMING, "SimHash popcount histogram vs reference"
     ),
-    "token_frequency_topk": QuerySpec(q_token_frequency_topk, None, "vocab histogram (rows-only)"),
-    "packing_stats": QuerySpec(q_packing_stats, None, "sequence packing stats (rows-only)"),
+    "loglines_extract": QuerySpec(
+        q_loglines_extract, SQL_LOGLINES_EXTRACT, "gz line-file extraction e2e vs SQL classifier"
+    ),
+    "token_frequency_topk": QuerySpec(
+        q_token_frequency_topk, SQL_TOKEN_FREQUENCY, "vocab histogram vs UNNEST oracle"
+    ),
+    "packing_stats": QuerySpec(
+        q_packing_stats, SQL_PACKING_STATS, "per-source FFD packing vs reference + conservation"
+    ),
 }
+
+
+def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Make every /tmp artifact an oracle references exist, independent of
+    query-vs-oracle execution order (called from __ray_entry__.oracle_sql)."""
+    ensure_loglines_corpus(sf_dir)
+    ensure_derived_parquet(sf_dir)
+    ensure_packing_artifact(sf_dir)
+    ensure_simhash_parquet(sf_dir)

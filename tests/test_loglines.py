@@ -247,3 +247,28 @@ def test_zero_status_and_bytes_are_kept():
     # explicit 0 at higher precedence wins over contextMap values
     assert r["status_code"] == 0
     assert r["bytes_sent"] == 0
+
+
+def test_gz_line_file_source_roundtrip(ray_session, tmp_path):
+    """The gz shards and the parquet mirror carry identical lines, and the
+    extraction aggregate over the file source matches the in-memory path."""
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.sources.loglines_file import (
+        read_logline_corpus,
+        write_logline_corpus,
+    )
+
+    d = str(tmp_path / "corpus")
+    gz_paths, pq_path = write_logline_corpus(d, 500, seed=7, num_shards=3)
+    assert len(gz_paths) == 3
+    ds = read_logline_corpus(d)
+    got = sorted(r["line"] for r in ds.take_all())
+    want = sorted(pq.read_table(pq_path)["line"].to_pylist())
+    assert got == want
+    # idempotent rewrite: same bytes
+    import hashlib
+
+    h = hashlib.md5(open(gz_paths[0], "rb").read()).hexdigest()
+    write_logline_corpus(d, 500, seed=7, num_shards=3)
+    assert hashlib.md5(open(gz_paths[0], "rb").read()).hexdigest() == h

@@ -107,3 +107,38 @@ def test_pack_padding():
     )
     packed = pack_batch(t, max_len=8, pad=True, pad_id=0)
     assert all(len(x) == 8 for x in packed["tokens"].to_pylist())
+
+
+def test_packing_stats_partition_independent(ray_session):
+    """Per-source FFD packing yields identical stats at different block
+    layouts (the determinism contract the packing oracle relies on)."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.pipelines.queries import (
+        _pack_source_stats,
+        ensure_derived_parquet,
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = ensure_derived_parquet("/root/testdata/sf0.001")
+    seq = pq.read_table(path)
+    srcs = sorted(pc.unique(seq["source"].combine_chunks()).to_pylist())
+    ref = {s: _pack_source_stats(seq.filter(pc.equal(seq["source"], s))) for s in srcs}
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        rows = []
+        for s in pc.unique(t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]).to_pylist():
+            n_packs, tt, td = _pack_source_stats(t.filter(pc.equal(t["source"], s)))
+            rows.append({"source": s, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
+        return pa.Table.from_pylist(rows)
+
+    for blocks in (2, 7):
+        ds = rd.read_parquet(path, override_num_blocks=blocks)
+        got = (
+            ds.groupby("source").map_groups(pack_group, batch_format="pyarrow").to_pandas()
+            .set_index("source").sort_index()
+        )
+        for s in srcs:
+            assert tuple(got.loc[s]) == ref[s], (blocks, s)
