@@ -77,14 +77,21 @@ class PipelineConfig:
     agg_mode: str = "shuffle"                 # "shuffle" (salted groupby) | "tree" (coalesce reduce)
     num_shards: int = 1                       # checkpoint granularity
     write_routed: bool = True                 # False → aggregate-only (bench tail)
+    # Hive-style layout under each sink: routed/{sink}/shard=N/col=val/…
+    # (e.g. ["date"] or ["tenant"]) — the reference's daily-index sink layout
+    # (docs/trace-model.md:130-145, traces-{sub}-{env}-yyyy.MM.dd) expressed
+    # as partition dirs, so downstream reads prune whole directories.
+    partition_by: list[str] | None = None
 
     # config fields that change WHAT is computed (outputs), as opposed to
     # execution tuning (batch sizes, concurrency, agg strategy) which only
     # changes HOW.  Only semantic fields participate in checkpoint lineage,
     # so re-tuning a job — or appending new input files, which only adds new
-    # shard ids — never invalidates completed shards.
+    # shard ids — never invalidates completed shards.  partition_by is
+    # semantic: it is the on-disk layout contract readers prune against.
     SEMANTIC_FIELDS = (
         "sources", "bucket_width", "num_logical_partitions", "validate", "write_routed",
+        "partition_by",
     )
 
     def lineage_repr(self) -> str:
@@ -130,6 +137,7 @@ def write_routed_batch(
     salt_mod: int,
     write_routed: bool,
     compression: str = "snappy",
+    partition_by: list[str] | None = None,
 ) -> pa.Table:
     """Fused sink-writer + aggregation combiner (runs inside map_batches).
 
@@ -170,13 +178,9 @@ def write_routed_batch(
         present = pc.unique(
             sinks_col.combine_chunks() if isinstance(sinks_col, pa.ChunkedArray) else sinks_col
         ).to_pylist()
-        for sink in sorted(s for s in present if s is not None):
-            sub = projected.filter(pc.equal(projected["sink"], sink))
-            if len(sub) == 0:
-                continue
-            sink_dir = os.path.join(out_dir, "routed", sink, f"shard={shard_id:05d}")
-            os.makedirs(sink_dir, exist_ok=True)
-            path = os.path.join(sink_dir, f"part-{int(batch_digest):016x}.parquet")
+        def _write_one(sub: pa.Table, rel_dir: str) -> None:
+            os.makedirs(rel_dir, exist_ok=True)
+            path = os.path.join(rel_dir, f"part-{int(batch_digest):016x}.parquet")
             tmp = path + f".tmp-{uuid.uuid4().hex}"
             # dictionary-encode the low-cardinality columns only: dictionary
             # attempts on the high-entropy tokens list double the encode cost
@@ -187,6 +191,36 @@ def write_routed_batch(
                 compression=compression,
             )
             os.replace(tmp, path)
+
+        for sink in sorted(s for s in present if s is not None):
+            sub = projected.filter(pc.equal(projected["sink"], sink))
+            if len(sub) == 0:
+                continue
+            sink_dir = os.path.join(out_dir, "routed", sink, f"shard={shard_id:05d}")
+            if not partition_by:
+                _write_one(sub, sink_dir)
+                continue
+            # Hive-style split: one file per distinct partition-key combo
+            # present in this batch (partition cols are bounded-cardinality:
+            # date/tenant).  Values are encoded into dir names; nulls get an
+            # explicit sentinel dir.
+            combos = sub.group_by(partition_by).aggregate([])
+            for row in combos.to_pylist():
+                mask = None
+                parts = []
+                for col in partition_by:
+                    v = row[col]
+                    if v is None:
+                        m = pc.is_null(sub[col])
+                        parts.append(f"{col}=__null__")
+                    else:
+                        m = pc.equal(sub[col], v)
+                        parts.append(f"{col}={v}")
+                    mask = m if mask is None else pc.and_(mask, m)
+                _write_one(
+                    sub.filter(pc.fill_null(mask, False)),
+                    os.path.join(sink_dir, *parts),
+                )
 
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
 
@@ -338,6 +372,7 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
                 "salt_mod": cfg.salt_mod,
                 "write_routed": cfg.write_routed,
                 "compression": cfg.write_compression,
+                "partition_by": cfg.partition_by,
             },
             batch_format="pyarrow",
             batch_size=cfg.write_batch_size,
@@ -409,3 +444,39 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
         wall_seconds=wall,
         metrics={"rows_per_s": round(rows_in_total / wall, 2) if wall else 0.0},
     )
+
+
+def routed_files(
+    output_dir: str, sink: str, partition_filters: dict[str, str] | None = None
+) -> list[str]:
+    """Files of one routed sink, PRUNED by partition-dir values: a filter on
+    a partition column selects whole directories by name — no file footer of
+    a non-matching partition is ever opened (the point of the Hive layout at
+    100 TB)."""
+    parts = "".join(
+        f"/{col}={val}" for col, val in (partition_filters or {}).items()
+    )
+    # filters must follow the layout's partition_by order (prefix allowed);
+    # '**' absorbs any deeper partition levels and the flat layout alike
+    pattern = os.path.join(output_dir, "routed", sink, "shard=*") + parts + "/**/part-*.parquet"
+    hits = sorted(glob.glob(pattern, recursive=True))
+    if not hits:
+        hits = sorted(
+            glob.glob(os.path.join(output_dir, "routed", sink, "shard=*") + parts + "/part-*.parquet")
+        )
+    return hits
+
+
+def read_routed(
+    output_dir: str,
+    sink: str,
+    partition_filters: dict[str, str] | None = None,
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Pruned Dataset read over a routed sink (see :func:`routed_files`)."""
+    files = routed_files(output_dir, sink, partition_filters)
+    if not files:
+        raise FileNotFoundError(
+            f"no routed files for sink={sink!r} filters={partition_filters!r} under {output_dir}"
+        )
+    return rd.read_parquet(files, columns=columns)

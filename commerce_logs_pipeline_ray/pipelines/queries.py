@@ -1205,6 +1205,63 @@ GROUP BY 1
 """
 
 
+def q_span_assembly(sf_dir: str) -> pd.DataFrame:
+    """Trace/span assembly (reference J4 design, traces/model.go:30-49 +
+    pipeline_design.md:103-116): events become partial span updates keyed
+    (trace_id, span_id); fields are merged last-writer-wins PER FIELD —
+    a later update that did not carry a field must not null it out."""
+    from ..functions.spans import merge_spans
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def to_updates(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        span_id = pc.cast(
+            pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 50), 50)), pa.int64()
+        )
+        status = pc.if_else(pc.greater(t["value"], 100.0), t["event_type"], pa.nulls(len(t), pa.string()))
+        val = pc.if_else(pc.equal(t["event_type"], "purchase"), t["value"], pa.nulls(len(t), pa.float64()))
+        return pa.table(
+            {
+                "trace_id": t["user_id"],
+                "span_id": span_id,
+                "ts_us": ts_us,
+                "event_id": t["event_id"],
+                "status": status,
+                "val": val,
+            }
+        )
+
+    updates = ds.map_batches(to_updates, batch_format="pyarrow", zero_copy_batch=True)
+    out = merge_spans(
+        updates,
+        key_cols=["trace_id", "span_id"],
+        order_cols=["ts_us", "event_id"],
+        field_cols=["status", "val"],
+        count_name="n_updates",
+    ).to_pandas()
+    out = out.drop(columns=["event_id"])
+    out["val"] = out["val"].astype("float64").round(2)
+    return _i64(out, ["trace_id", "span_id", "n_updates", "ts_us"])
+
+
+SQL_SPAN_ASSEMBLY = """
+WITH u AS (
+  SELECT user_id AS trace_id, event_id % 50 AS span_id,
+         epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN value > 100.0 THEN event_type END AS status,
+         CASE WHEN event_type = 'purchase' THEN value END AS val
+  FROM events
+)
+SELECT trace_id, span_id,
+       last(status ORDER BY ts_us, event_id) FILTER (WHERE status IS NOT NULL) AS status,
+       ROUND(last(val ORDER BY ts_us, event_id) FILTER (WHERE val IS NOT NULL), 2) AS val,
+       COUNT(*) AS n_updates,
+       MAX(ts_us) AS ts_us
+FROM u GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exploration stats (A5) and set ops (§2.8)
 # ---------------------------------------------------------------------------
@@ -1369,6 +1426,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_views_before_purchase, SQL_VIEWS_BEFORE_PURCHASE, "range (interval) join counts"
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
+    "span_assembly": QuerySpec(
+        q_span_assembly, SQL_SPAN_ASSEMBLY, "J4 span merge: field-wise last-writer-wins"
+    ),
     "hourly_moving_avg": QuerySpec(
         q_hourly_moving_avg, SQL_HOURLY_MOVING_AVG, "sliding window over tumbling agg"
     ),

@@ -287,3 +287,45 @@ def test_execution_tuning_does_not_invalidate_checkpoints(small_sequences, tmp_p
     run_flagship(PipelineConfig(batch_size=1024, enrich_concurrency=2, **base))
     res = run_flagship(PipelineConfig(batch_size=4096, salt_mod=4, agg_mode="tree", **base))
     assert res.shards_skipped == 2 and res.shards_run == 0
+
+
+def test_partitioned_sink_layout_and_pruned_read(small_sequences, tmp_path_factory, ray_session):
+    """partition_by=["tenant"] lays files out Hive-style under each sink and
+    a filtered read touches ONLY the matching partition's directories."""
+    import pyarrow.compute as pc
+
+    from commerce_logs_pipeline_ray.pipelines.flagship import read_routed, routed_files
+
+    paths, table = small_sequences
+    out = tmp_path_factory.mktemp("flagship_part") / "out"
+    cfg = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]),
+        output_dir=str(out),
+        num_shards=2,
+        batch_size=1024,
+        partition_by=["date"],
+    )
+    run_flagship(cfg)
+
+    all_files = routed_files(str(out), "application")
+    dates = sorted({f.split("/date=")[1].split("/")[0] for f in all_files})
+    assert len(dates) >= 2, dates
+    pick = dates[0]
+    picked_files = routed_files(str(out), "application", {"date": pick})
+    assert all_files and picked_files
+    assert len(picked_files) < len(all_files)
+    assert all(f"/date={pick}/" in f for f in picked_files)
+
+    pruned = read_routed(str(out), "application", {"date": pick}).to_pandas()
+    full = read_routed(str(out), "application").to_pandas()
+    assert set(pruned["date"]) == {pick}
+    assert len(pruned) == int((full["date"] == pick).sum())
+
+    # partitioned layout preserves the routed ROW SET exactly
+    flat_out = tmp_path_factory.mktemp("flagship_flat") / "out"
+    run_flagship(PipelineConfig(
+        input_dir=os.path.dirname(paths[0]), output_dir=str(flat_out),
+        num_shards=2, batch_size=1024,
+    ))
+    flat = read_routed(str(flat_out), "application").to_pandas()
+    assert sorted(full["doc_id"]) == sorted(flat["doc_id"])
