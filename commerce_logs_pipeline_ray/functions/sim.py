@@ -88,6 +88,76 @@ def build_lsh_index(
     return indexed, lsh
 
 
+def build_lsh_index_partitioned(
+    embeddings: Dataset,
+    out_dir: str,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+) -> HyperplaneLSH:
+    """The 100-TB shape of the LSH index: signature pass → Parquet written
+    PARTITIONED BY BUCKET (``bucket=N/`` dirs), so a query reads only its
+    probe buckets' files — directory-name pruning, no footer of any other
+    bucket is opened (see :func:`lsh_topk_partitioned`)."""
+    lsh = HyperplaneLSH(dim, bits, seed)
+    planes_ref = ray.put(lsh.planes)
+
+    def sig(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _to_matrix(t)
+        signs = (mat @ planes) >= 0
+        bucket = (signs @ (1 << np.arange(planes.shape[1]))).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    embeddings.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["bucket"], mode="overwrite"
+    )
+    return lsh
+
+
+def _probe_buckets(lsh: HyperplaneLSH, query: np.ndarray, multiprobe: int) -> set[int]:
+    qsig = int(lsh.signature(np.asarray(query, dtype=np.float64).reshape(1, -1))[0])
+    buckets = {qsig}
+    if multiprobe >= 1:
+        for b in range(lsh.bits):
+            buckets.add(qsig ^ (1 << b))
+    if multiprobe >= 2:
+        for b1 in range(lsh.bits):
+            for b2 in range(b1 + 1, lsh.bits):
+                buckets.add(qsig ^ (1 << b1) ^ (1 << b2))
+    return buckets
+
+
+def lsh_topk_partitioned(
+    index_dir: str,
+    lsh: HyperplaneLSH,
+    query: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Query the bucket-partitioned index: list only the probe buckets'
+    directories and brute-force just those vectors."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    q = np.asarray(query, dtype=np.float64)
+    files: list[str] = []
+    for b in sorted(_probe_buckets(lsh, q, multiprobe)):
+        files.extend(sorted(_glob.glob(_os.path.join(index_dir, f"bucket={b}", "*.parquet"))))
+    if not files:
+        return pd.DataFrame({id_col: [], "cos": []})
+    sub = pa.concat_tables([_pq.read_table(f, columns=[id_col, "embedding"]) for f in files])
+    mat = _to_matrix(sub)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
+    ids = np.asarray(sub[id_col].to_numpy(zero_copy_only=False))
+    out = pd.DataFrame({id_col: ids, "cos": np.round(cos, 6)})
+    return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
 def lsh_topk(
     indexed: pd.DataFrame,
     lsh: HyperplaneLSH,
@@ -99,15 +169,7 @@ def lsh_topk(
     """Query the LSH index: search the query's bucket plus all buckets within
     ``multiprobe`` bit flips (recall/latency dial)."""
     q = np.asarray(query, dtype=np.float64)
-    qsig = int(lsh.signature(q.reshape(1, -1))[0])
-    buckets = {qsig}
-    if multiprobe >= 1:
-        for b in range(lsh.bits):
-            buckets.add(qsig ^ (1 << b))
-    if multiprobe >= 2:
-        for b1 in range(lsh.bits):
-            for b2 in range(b1 + 1, lsh.bits):
-                buckets.add(qsig ^ (1 << b1) ^ (1 << b2))
+    buckets = _probe_buckets(lsh, q, multiprobe)
     sub = indexed[indexed["bucket"].isin(buckets)]
     if sub.empty:
         return pd.DataFrame({id_col: [], "cos": []})

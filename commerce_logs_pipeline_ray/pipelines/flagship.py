@@ -446,6 +446,47 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
     )
 
 
+def watch_flagship(
+    cfg: PipelineConfig,
+    poll_interval_s: float = 5.0,
+    max_cycles: int | None = None,
+    idle_cycles_to_stop: int | None = None,
+    clock=time.sleep,
+) -> list[RunResult]:
+    """Polling ingestion loop — the reference blob-monitor's per-environment
+    poll + incremental pickup (``blob-monitor/internal/service/service.go:
+    266-328``) rebuilt on the manifest: each cycle re-lists the input dir,
+    runs the pipeline with ONE SHARD PER FILE (the blob ≙ shard unit, so
+    previously completed files keep their shard ids and are skipped by the
+    manifest), and sleeps.  New files that sort after the existing ones are
+    processed as new shards; nothing completed is reprocessed.
+
+    Stops after ``max_cycles`` polls, or after ``idle_cycles_to_stop``
+    consecutive cycles that found no new work.  ``clock`` is injectable for
+    tests.  Returns one RunResult per cycle that had input.
+    """
+    results: list[RunResult] = []
+    idle = 0
+    cycle = 0
+    while True:
+        files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
+        if files:
+            from dataclasses import replace as _replace
+
+            res = run_flagship(_replace(cfg, num_shards=len(files)))
+            results.append(res)
+            idle = idle + 1 if res.shards_run == 0 else 0
+        else:
+            idle += 1
+        cycle += 1
+        if max_cycles is not None and cycle >= max_cycles:
+            break
+        if idle_cycles_to_stop is not None and idle >= idle_cycles_to_stop:
+            break
+        clock(poll_interval_s)
+    return results
+
+
 def routed_files(
     output_dir: str, sink: str, partition_filters: dict[str, str] | None = None
 ) -> list[str]:

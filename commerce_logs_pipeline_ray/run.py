@@ -61,6 +61,17 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--agg-mode", choices=["shuffle", "tree"], default="shuffle")
     f.add_argument("--validate", action="store_true", help="semantic validation stage")
     f.add_argument("--no-write-routed", action="store_true")
+    f.add_argument("--partition-by", default=None,
+                   help="comma-separated Hive partition cols under each sink (e.g. date,tenant)")
+
+    w = sub.add_parser("watch", help="polling ingestion loop (blob-monitor analogue)")
+    w.add_argument("--input", required=True)
+    w.add_argument("--output", required=True)
+    w.add_argument("--poll-interval", type=float, default=5.0)
+    w.add_argument("--max-cycles", type=int, default=None)
+    w.add_argument("--idle-stop", type=int, default=None,
+                   help="stop after N consecutive cycles with no new work")
+    w.add_argument("--partition-by", default=None)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
@@ -105,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
                 agg_mode=args.agg_mode,
                 validate=args.validate,
                 write_routed=not args.no_write_routed,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
             )
             res = run_flagship(cfg)
             print(
@@ -117,6 +129,32 @@ def main(argv: list[str] | None = None) -> int:
                         "wall_s": round(res.wall_seconds, 3),
                         "rows_per_s": res.metrics.get("rows_per_s"),
                         "output_dir": res.output_dir,
+                    }
+                )
+            )
+            return 0
+
+        if args.cmd == "watch":
+            from .pipelines.flagship import PipelineConfig, watch_flagship
+
+            cfg = PipelineConfig(
+                input_dir=args.input,
+                output_dir=args.output,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
+            )
+            results = watch_flagship(
+                cfg,
+                poll_interval_s=args.poll_interval,
+                max_cycles=args.max_cycles,
+                idle_cycles_to_stop=args.idle_stop,
+            )
+            print(
+                json.dumps(
+                    {
+                        "cycles": len(results),
+                        "rows_in": results[-1].rows_in if results else 0,
+                        "shards_total": (results[-1].shards_run + results[-1].shards_skipped)
+                        if results else 0,
                     }
                 )
             )

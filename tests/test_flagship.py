@@ -329,3 +329,34 @@ def test_partitioned_sink_layout_and_pruned_read(small_sequences, tmp_path_facto
     ))
     flat = read_routed(str(flat_out), "application").to_pandas()
     assert sorted(full["doc_id"]) == sorted(flat["doc_id"])
+
+
+def test_watch_flagship_polling_ingestion(tmp_path, ray_session):
+    """Streaming-arrival simulation: the poll loop picks up files appearing
+    between cycles, reprocesses nothing, and stops when idle."""
+    from commerce_logs_pipeline_ray.datagen import generate_file
+    from commerce_logs_pipeline_ray.pipelines.flagship import watch_flagship
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(2):
+        pq.write_table(generate_file(i, 400, seed=42), str(in_dir / f"part-{i:05d}.parquet"))
+
+    arrivals = {1: [2, 3]}  # after the first sleep, two new files arrive
+    calls = {"n": 0}
+
+    def fake_clock(_s):
+        calls["n"] += 1
+        for i in arrivals.pop(calls["n"], []):
+            pq.write_table(generate_file(i, 400, seed=42), str(in_dir / f"part-{i:05d}.parquet"))
+
+    cfg = PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out"))
+    results = watch_flagship(
+        cfg, poll_interval_s=0, idle_cycles_to_stop=2, max_cycles=10, clock=fake_clock
+    )
+    runs = [(r.shards_run, r.shards_skipped) for r in results]
+    assert runs[0] == (2, 0)          # initial files
+    assert (2, 2) in runs             # the two arrivals, old shards skipped
+    assert runs[-1] == (0, 4)         # idle cycles at the end
+    total = sum(r["row_count"] for r in results[-1].aggregates.to_pylist())
+    assert total == 1600              # every row counted exactly once

@@ -58,3 +58,42 @@ def test_lsh_deterministic(corpus):
     assert (i1["bucket"].to_numpy() == i2["bucket"].to_numpy()).all()
     q = mat[5]
     assert lsh_topk(i1, l1, q, 5).equals(lsh_topk(i2, l2, q, 5))
+
+
+def test_partitioned_lsh_index_prunes_and_agrees(ray_session, tmp_path):
+    """Bucket-partitioned index on disk: a query reads only its probe
+    buckets' dirs and returns the same rows as the in-memory index path."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import (
+        _probe_buckets,
+        build_lsh_index,
+        build_lsh_index_partitioned,
+        lsh_topk,
+        lsh_topk_partitioned,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    d = str(tmp_path / "idx")
+    lsh = build_lsh_index_partitioned(ds, d, dim=64, bits=6, seed=9)
+    # every vector landed in exactly one bucket dir
+    total = sum(
+        sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(bd, "*.parquet")))
+        for bd in glob.glob(os.path.join(d, "bucket=*"))
+    )
+    assert total == 500
+    q = np.asarray(pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet").to_pandas().iloc[3]["embedding"], dtype=np.float64)
+    got = lsh_topk_partitioned(d, lsh, q, k=5, multiprobe=1)
+    indexed, lsh2 = build_lsh_index(ds, dim=64, bits=6, seed=9)
+    want = lsh_topk(indexed, lsh2, q, k=5, multiprobe=1)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    # pruning: probe set < all buckets on disk
+    probed = _probe_buckets(lsh, q, 1)
+    on_disk = {int(os.path.basename(p).split("=")[1]) for p in glob.glob(os.path.join(d, "bucket=*"))}
+    assert len(on_disk - probed) > 0
