@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "user_sessions",
     "error_prior_purchase",
     "minhash_neardup",
+    "embedding_neardup",
+    "value_median_per_type",
+    "span_assembly",
     "token_frequency_topk",
     "loglines_extract",
 ]

@@ -281,6 +281,12 @@ def auto_join(
     is a LOOKUP join — right keys must be unique (dimension-table shape).
     """
     try:
+        # materialize once: size probing would otherwise execute the right
+        # pipeline for count() and AGAIN for the join — the materialized
+        # blocks are reused by whichever path wins (runtime size estimation's
+        # standard cost; callers that KNOW the right side is huge should call
+        # hash_join directly and skip the probe)
+        right = right.materialize()
         right_rows = right.count()
     except Exception:  # count unavailable → be conservative
         right_rows = None

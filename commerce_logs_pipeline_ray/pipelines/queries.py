@@ -908,7 +908,7 @@ def q_token_frequency_topk(sf_dir: str) -> pd.DataFrame:
     ``UNNEST(tokens)`` + GROUP BY over the same materialized Parquet."""
     from ..functions.tokens import token_frequency
 
-    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"])
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8)
     return token_frequency(ds, topk=50)
 
 
@@ -917,6 +917,44 @@ SELECT CAST(token AS BIGINT) AS token, COUNT(*) AS "count"
 FROM (SELECT UNNEST(tokens) AS token
       FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet'))
 GROUP BY 1 ORDER BY "count" DESC, token LIMIT 50
+"""
+
+
+def q_bigram_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-20 adjacent token pairs (within sequences) — packed-int64 bigram
+    keys, value_counts partials, bucketed reduce.  Oracle: lateral
+    generate_series over the token lists."""
+    from ..functions.tokens import bigram_topk
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8)
+    return bigram_topk(ds, k=20)
+
+
+SQL_BIGRAM_TOPK = """
+WITH seq AS (SELECT tokens FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet')),
+z AS (
+  SELECT UNNEST(list_zip(tokens[1:len(tokens) - 1], tokens[2:len(tokens)])) AS p
+  FROM seq WHERE len(tokens) >= 2
+)
+SELECT CAST(p[1] AS BIGINT) AS token_a, CAST(p[2] AS BIGINT) AS token_b, COUNT(*) AS "count"
+FROM z GROUP BY 1, 2 ORDER BY "count" DESC, token_a, token_b LIMIT 20
+"""
+
+
+def q_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Sequence-length buckets (width 16) over the derived corpus."""
+    from ..functions.tokens import length_histogram
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["n_tok"], override_num_blocks=8)
+    return length_histogram(ds, bucket_width=16)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(n_tok // 16 AS BIGINT) AS bucket,
+       COUNT(*) AS n_sequences,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet')
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -1460,6 +1498,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "token_frequency_topk": QuerySpec(
         q_token_frequency_topk, SQL_TOKEN_FREQUENCY, "vocab histogram vs UNNEST oracle"
+    ),
+    "bigram_topk": QuerySpec(q_bigram_topk, SQL_BIGRAM_TOPK, "top-20 token bigrams"),
+    "length_histogram": QuerySpec(
+        q_length_histogram, SQL_LENGTH_HISTOGRAM, "sequence-length buckets"
     ),
     "packing_stats": QuerySpec(
         q_packing_stats, SQL_PACKING_STATS, "per-source FFD packing vs reference + conservation"
