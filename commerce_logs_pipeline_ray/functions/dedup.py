@@ -223,8 +223,10 @@ def minhash_lsh_pairs(
         out = df.groupby(["band_id", "band_hash"], as_index=False).size()
         return out[out["size"] > 1].rename(columns={"size": "n"})
 
+    # the count prune needs only the two 8-byte key columns — never ship the
+    # 512-byte signatures (or doc ids) through this exchange
     dup_tbl = bucketed_group_reduce(
-        band_rows, ["band_id", "band_hash"], count_buckets
+        band_rows.select_columns(["band_id", "band_hash"]), ["band_id", "band_hash"], count_buckets
     ).to_pandas()
     if dup_tbl.empty:
         cols = ["doc_a", "doc_b", "est_jaccard"] + (["jaccard"] if verify else [])
@@ -457,6 +459,8 @@ def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3, bands: int = 4) -
 # ---------------------------------------------------------------------------
 
 def _emb_block(t: pa.Table, id_col: str = "vec_id") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    if len(t) == 0:  # reshape(0, -1) raises; empty blocks are legal
+        return (np.zeros(0, dtype=np.int64), np.zeros((0, 1)), np.zeros(0))
     arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
     mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
     ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -467,6 +471,12 @@ def _emb_block(t: pa.Table, id_col: str = "vec_id") -> tuple[np.ndarray, np.ndar
 @ray.remote
 def _block_pair_cosine(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
     """One tile of the all-pairs cosine matrix: block_a × block_b."""
+    empty = pa.table(
+        {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64()),
+         "cos": pa.array([], type=pa.float64())}
+    )
+    if len(ta) == 0 or len(tb) == 0:
+        return empty
     ia, ma, na = _emb_block(ta)
     ib, mb, nb = _emb_block(tb)
     cos = (ma @ mb.T) / np.outer(na, nb)
@@ -539,6 +549,13 @@ def embedding_neardup_lsh(
     pow2 = (1 << np.arange(bits_per_band)).astype(np.int64)
 
     def band_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"band_id": pa.array([], type=pa.int32()),
+                 "band_val": pa.array([], type=pa.int64()),
+                 "vec_id": pa.array([], type=pa.int64()),
+                 "embedding": t["embedding"]}
+            )
         pl = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
         ids, mat, norms = _emb_block(t)
         signs = (mat @ pl) >= 0  # (n, r*L)

@@ -115,6 +115,15 @@ def build_lsh_index_partitioned(
     return lsh
 
 
+def _brute_topk(ids: np.ndarray, mat: np.ndarray, q: np.ndarray, k: int, id_col: str) -> pd.DataFrame:
+    """Shared exact-scoring tail: cosine vs q, round, (cos desc, id asc), k.
+    Both index paths use THIS so tie-break/rounding can never diverge."""
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
+    out = pd.DataFrame({id_col: ids, "cos": np.round(cos, 6)})
+    return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
 def _probe_buckets(lsh: HyperplaneLSH, query: np.ndarray, multiprobe: int) -> set[int]:
     qsig = int(lsh.signature(np.asarray(query, dtype=np.float64).reshape(1, -1))[0])
     buckets = {qsig}
@@ -150,12 +159,8 @@ def lsh_topk_partitioned(
     if not files:
         return pd.DataFrame({id_col: [], "cos": []})
     sub = pa.concat_tables([_pq.read_table(f, columns=[id_col, "embedding"]) for f in files])
-    mat = _to_matrix(sub)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
     ids = np.asarray(sub[id_col].to_numpy(zero_copy_only=False))
-    out = pd.DataFrame({id_col: ids, "cos": np.round(cos, 6)})
-    return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+    return _brute_topk(ids, _to_matrix(sub), q, k, id_col)
 
 
 def lsh_topk(
@@ -174,7 +179,4 @@ def lsh_topk(
     if sub.empty:
         return pd.DataFrame({id_col: [], "cos": []})
     mat = np.asarray([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
-    out = pd.DataFrame({id_col: sub[id_col].to_numpy(), "cos": np.round(cos, 6)})
-    return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+    return _brute_topk(sub[id_col].to_numpy(), mat, q, k, id_col)

@@ -141,8 +141,10 @@ def grouped_quantile_fixedpoint(
     def partial(t: pa.Table) -> pa.Table:
         vals = t[value_col]
         bins = pc.cast(pc.round(pc.multiply(vals, float(scale)), 0), pa.int64())
-        # drop NULL values only — a NULL key is still a group (SQL GROUP BY)
-        flat = pa.table({key: t[key], "bin": bins}).filter(pc.is_valid(bins))
+        # NULL values aggregate to a NULL bin group: they contribute nothing
+        # to the quantile, but a group whose values are ALL NULL must still
+        # appear in the output (SQL GROUP BY emits it with a NULL median)
+        flat = pa.table({key: t[key], "bin": bins})
         g = flat.group_by([key, "bin"]).aggregate([([], "count_all")])
         return pa.table(
             {key: g[key], "bin": g["bin"], "n": pc.cast(g["count_all"], pa.int64())}
@@ -159,10 +161,13 @@ def grouped_quantile_fixedpoint(
 
     out_keys, out_vals = [], []
     for k, g in hist.sort_values("bin", kind="stable").groupby(key, sort=True, dropna=False):
+        g = g[g["bin"].notna()]  # NULL-value rows carry no quantile mass
         counts = g["n"].to_numpy()
         bins = g["bin"].to_numpy()
         total = int(counts.sum())
-        if total == 0:
+        if total == 0:  # all values NULL → SQL emits the group, median NULL
+            out_keys.append(k)
+            out_vals.append(np.nan)
             continue
         cum = np.cumsum(counts)
         # 1-indexed rank positions; SQL median/quantile_cont interpolation

@@ -127,6 +127,14 @@ def _chunk(items: list, n_chunks: int) -> list[list]:
     return out
 
 
+def partition_segment(col: str, val) -> str:
+    """One Hive dir segment, sanitized: path separators and '=' in values
+    would otherwise corrupt the layout or defeat routed_files' dir matching.
+    Writer and readers MUST share this encoding."""
+    sval = "__null__" if val is None else str(val).replace(os.sep, "_").replace("=", "_")
+    return f"{col}={sval}"
+
+
 def write_routed_batch(
     t: pa.Table,
     *,
@@ -210,12 +218,8 @@ def write_routed_batch(
                 parts = []
                 for col in partition_by:
                     v = row[col]
-                    if v is None:
-                        m = pc.is_null(sub[col])
-                        parts.append(f"{col}=__null__")
-                    else:
-                        m = pc.equal(sub[col], v)
-                        parts.append(f"{col}={v}")
+                    m = pc.is_null(sub[col]) if v is None else pc.equal(sub[col], v)
+                    parts.append(partition_segment(col, v))
                     mask = m if mask is None else pc.and_(mask, m)
                 _write_one(
                     sub.filter(pc.fill_null(mask, False)),
@@ -225,13 +229,21 @@ def write_routed_batch(
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
 
 
-def preflight(cfg: PipelineConfig) -> list[str]:
+def preflight(cfg: PipelineConfig, files: list[str] | None = None) -> list[str]:
     """Fail-fast checks before launching work (reference Kafka connectivity
     probe analog, README.md:429-453 / cmd/ingest/main.go:220-245): input
     exists, schema matches the payload contract, output is writable."""
-    files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
+    if files is None:
+        files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
+    if cfg.partition_by:
+        bad = [c for c in cfg.partition_by if c not in ROUTED_COLUMNS]
+        if bad:
+            raise ValueError(
+                f"partition_by columns {bad} are not routed output columns "
+                f"(choose from {ROUTED_COLUMNS})"
+            )
     # every file's footer, not just the first — a mixed-schema directory must
     # fail BEFORE side-effect writes begin (metadata-only reads, cheap)
     for f in files:
@@ -265,10 +277,15 @@ def _stats_summary(stats: str) -> dict[str, float]:
     return out
 
 
-def run_flagship(cfg: PipelineConfig) -> RunResult:
-    """Run (or resume) the full pipeline.  Ray must already be initialised."""
+def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None) -> RunResult:
+    """Run (or resume) the full pipeline.  Ray must already be initialised.
+
+    ``shard_files``: explicit shard layout (list of file lists) overriding
+    the default sorted-glob + ``num_shards`` chunking — used by
+    :func:`watch_flagship` to keep shard ids stable by ARRIVAL order so
+    late-arriving files that sort early never shift completed shards."""
     t0 = time.perf_counter()
-    files = preflight(cfg)
+    files = preflight(cfg, [f for s in shard_files for f in s] if shard_files else None)
 
     manifest_dir = os.path.join(cfg.output_dir, "manifest")
     agg_dir = os.path.join(cfg.output_dir, "agg")
@@ -279,7 +296,7 @@ def run_flagship(cfg: PipelineConfig) -> RunResult:
     # from the local object store, it is never re-shipped per batch.
     lookup_ref = ray.put(build_source_dict(cfg.sources))
 
-    shards = _chunk(files, cfg.num_shards)
+    shards = shard_files if shard_files is not None else _chunk(files, cfg.num_shards)
 
     # drop leftovers from a previous run with a DIFFERENT shard layout:
     # stale manifest rows, agg partials and routed dirs beyond the current
@@ -452,30 +469,65 @@ def watch_flagship(
     max_cycles: int | None = None,
     idle_cycles_to_stop: int | None = None,
     clock=time.sleep,
+    max_consecutive_errors: int = 5,
 ) -> list[RunResult]:
     """Polling ingestion loop — the reference blob-monitor's per-environment
     poll + incremental pickup (``blob-monitor/internal/service/service.go:
-    266-328``) rebuilt on the manifest: each cycle re-lists the input dir,
-    runs the pipeline with ONE SHARD PER FILE (the blob ≙ shard unit, so
-    previously completed files keep their shard ids and are skipped by the
-    manifest), and sleeps.  New files that sort after the existing ones are
-    processed as new shards; nothing completed is reprocessed.
+    266-328``) rebuilt on the manifest: each cycle re-lists the input dir and
+    runs the pipeline with ONE SHARD PER FILE in FIRST-SEEN order.  The
+    arrival order is persisted (``manifest/watch_order.json``, atomic), so a
+    late-arriving file that sorts lexicographically before existing ones is
+    appended as a NEW shard — completed shard ids never shift, nothing
+    completed is reprocessed, and the registry survives watcher restarts.
+    (Deleting an input file mid-watch shifts the positions after it —
+    affected shards are safely re-run; don't delete from a watched dir.)
+
+    A failed cycle (e.g. a producer's partially-copied file racing the poll)
+    is logged and retried next cycle; ``max_consecutive_errors`` in a row
+    aborts with the last error instead of crash-looping forever.
 
     Stops after ``max_cycles`` polls, or after ``idle_cycles_to_stop``
     consecutive cycles that found no new work.  ``clock`` is injectable for
-    tests.  Returns one RunResult per cycle that had input.
+    tests.  Returns one RunResult per successful cycle that had input.
     """
+    from dataclasses import replace as _replace
+
+    order_path = os.path.join(cfg.output_dir, "manifest", "watch_order.json")
+    order: list[str] = []
+    if os.path.exists(order_path):
+        with open(order_path) as f:
+            order = json.load(f)
+    known = set(order)
+
     results: list[RunResult] = []
     idle = 0
     cycle = 0
+    errors = 0
     while True:
-        files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
-        if files:
-            from dataclasses import replace as _replace
-
-            res = run_flagship(_replace(cfg, num_shards=len(files)))
-            results.append(res)
-            idle = idle + 1 if res.shards_run == 0 else 0
+        on_disk = set(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
+        new = sorted(f for f in on_disk if f not in known)
+        if new:
+            order.extend(new)
+            known.update(new)
+            os.makedirs(os.path.dirname(order_path), exist_ok=True)
+            tmp = order_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(order, f)
+            os.replace(tmp, order_path)
+        present = [f for f in order if f in on_disk]
+        if present:
+            try:
+                res = run_flagship(_replace(cfg, num_shards=len(present)),
+                                   shard_files=[[f] for f in present])
+                errors = 0
+                results.append(res)
+                idle = idle + 1 if res.shards_run == 0 else 0
+            except Exception:
+                # transient by assumption (mid-copy file, racing writer) —
+                # retry next poll; persistent failure aborts loudly
+                errors += 1
+                if errors >= max_consecutive_errors:
+                    raise
         else:
             idle += 1
         cycle += 1
@@ -495,7 +547,7 @@ def routed_files(
     a non-matching partition is ever opened (the point of the Hive layout at
     100 TB)."""
     parts = "".join(
-        f"/{col}={val}" for col, val in (partition_filters or {}).items()
+        "/" + partition_segment(col, val) for col, val in (partition_filters or {}).items()
     )
     # filters must follow the layout's partition_by order (prefix allowed);
     # '**' absorbs any deeper partition levels and the flat layout alike

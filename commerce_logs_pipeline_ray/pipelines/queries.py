@@ -35,6 +35,11 @@ import ray.data as rd
 from ..functions.relational import broadcast_join, grouped_sums, last_by_key, topk
 from ..functions.text import STOPWORD_PATTERN, md5_hex, n_words, quality_batch
 from ..sources.sequences import MALFORM_MOD, MALFORM_REM, docs_tenant, sid_column
+from ..sources.loglines_file import corpus_dir as _corpus_dir
+
+# versioned /tmp dir whose artifacts the static oracle SQL reads (the
+# driver's correctness checks run at sf0.01)
+ORACLE_ARTIFACT_DIR = _corpus_dir("/root/testdata/sf0.01")
 from ..stages.aggregate import final_agg, partial_agg
 from ..stages.parse import parse_batch
 from ..stages.route import route_batch
@@ -882,24 +887,31 @@ def _derived_sequences(sf_dir: str) -> pa.Table:
     return _DERIVED_CACHE[sf_dir]
 
 
+def _ensure_artifact(path: str, build) -> str:
+    """Idempotent atomic Parquet artifact: build() is called only when the
+    (version-keyed) path is missing; written tmp+rename."""
+    import os as _os
+    import uuid as _uuid
+
+    if not _os.path.exists(path):
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        pq.write_table(build(), tmp)
+        _os.replace(tmp, path)
+    return path
+
+
 def ensure_derived_parquet(sf_dir: str) -> str:
     """Materialize the derived sequences table (sid, tokens, n_tok, source)
     as Parquet in the shared oracle-artifact dir — the Ray queries read it
     DISTRIBUTED and the DuckDB oracles ``read_parquet``+``UNNEST`` the same
-    file.  Idempotent, atomic."""
+    file."""
     import os as _os
-    import uuid as _uuid
 
-    from ..sources.loglines_file import corpus_dir
-
-    d = corpus_dir(sf_dir)
-    path = _os.path.join(d, "derived.parquet")
-    if not _os.path.exists(path):
-        _os.makedirs(d, exist_ok=True)
-        tmp = path + f".tmp-{_uuid.uuid4().hex}"
-        pq.write_table(_derived_sequences(sf_dir), tmp)
-        _os.replace(tmp, path)
-    return path
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "derived.parquet"),
+        lambda: _derived_sequences(sf_dir),
+    )
 
 
 def q_token_frequency_topk(sf_dir: str) -> pd.DataFrame:
@@ -912,10 +924,10 @@ def q_token_frequency_topk(sf_dir: str) -> pd.DataFrame:
     return token_frequency(ds, topk=50)
 
 
-SQL_TOKEN_FREQUENCY = """
+SQL_TOKEN_FREQUENCY = f"""
 SELECT CAST(token AS BIGINT) AS token, COUNT(*) AS "count"
 FROM (SELECT UNNEST(tokens) AS token
-      FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet'))
+      FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet'))
 GROUP BY 1 ORDER BY "count" DESC, token LIMIT 50
 """
 
@@ -930,8 +942,8 @@ def q_bigram_topk(sf_dir: str) -> pd.DataFrame:
     return bigram_topk(ds, k=20)
 
 
-SQL_BIGRAM_TOPK = """
-WITH seq AS (SELECT tokens FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet')),
+SQL_BIGRAM_TOPK = f"""
+WITH seq AS (SELECT tokens FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')),
 z AS (
   SELECT UNNEST(list_zip(tokens[1:len(tokens) - 1], tokens[2:len(tokens)])) AS p
   FROM seq WHERE len(tokens) >= 2
@@ -949,11 +961,11 @@ def q_length_histogram(sf_dir: str) -> pd.DataFrame:
     return length_histogram(ds, bucket_width=16)
 
 
-SQL_LENGTH_HISTOGRAM = """
+SQL_LENGTH_HISTOGRAM = f"""
 SELECT CAST(n_tok // 16 AS BIGINT) AS bucket,
        COUNT(*) AS n_sequences,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet')
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
 GROUP BY 1 ORDER BY 1
 """
 
@@ -978,26 +990,18 @@ def ensure_packing_artifact(sf_dir: str, max_len: int = 512) -> str:
     (source, n_packs, total_tokens, total_docs) Parquet — the oracle's
     n_packs source.  The distributed query must reproduce it exactly."""
     import os as _os
-    import uuid as _uuid
 
-    from ..sources.loglines_file import corpus_dir
-
-    d = corpus_dir(sf_dir)
-    path = _os.path.join(d, "packed_stats.parquet")
-    if not _os.path.exists(path):
-        _os.makedirs(d, exist_ok=True)
+    def build() -> pa.Table:
         seq = _derived_sequences(sf_dir)
         rows = []
-        srcs = pc.unique(seq["source"].combine_chunks()).to_pylist()
-        for s in sorted(srcs):
+        for src in sorted(pc.unique(seq["source"].combine_chunks()).to_pylist()):
             n_packs, tt, td = _pack_source_stats(
-                seq.filter(pc.equal(seq["source"], s)), max_len
+                seq.filter(pc.equal(seq["source"], src)), max_len
             )
-            rows.append({"source": s, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
-        tmp = path + f".tmp-{_uuid.uuid4().hex}"
-        pq.write_table(pa.Table.from_pylist(rows), tmp)
-        _os.replace(tmp, path)
-    return path
+            rows.append({"source": src, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
+        return pa.Table.from_pylist(rows)
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "packed_stats.parquet"), build)
 
 
 def q_packing_stats(sf_dir: str) -> pd.DataFrame:
@@ -1040,11 +1044,11 @@ def q_packing_stats(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["n_packs", "total_tokens", "total_docs"])
 
 
-SQL_PACKING_STATS = """
+SQL_PACKING_STATS = f"""
 WITH ref AS (SELECT CAST(SUM(n_packs) AS BIGINT) AS n_packs
-             FROM read_parquet('/tmp/cpr_oracle/sf0.01/packed_stats.parquet')),
+             FROM read_parquet('{ORACLE_ARTIFACT_DIR}/packed_stats.parquet')),
 tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens, COUNT(*) AS total_docs
-        FROM read_parquet('/tmp/cpr_oracle/sf0.01/derived.parquet'))
+        FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet'))
 SELECT n_packs, total_tokens, total_docs,
        ROUND(CAST(total_tokens AS DOUBLE) / n_packs / 512, 6) AS mean_fill
 FROM ref, tot
@@ -1102,7 +1106,6 @@ def q_loglines_extract(sf_dir: str) -> pd.DataFrame:
 # sentinels; protocol/method skips; level regex with INFO default) over the
 # parquet mirror of the gz line corpus — an independent computation path
 # checking the Ray extraction end-to-end.
-ORACLE_ARTIFACT_DIR = "/tmp/cpr_oracle/sf0.01"  # the driver's correctness sf
 
 SQL_LOGLINES_EXTRACT = rf"""
 WITH raw AS (SELECT line FROM read_parquet('{ORACLE_ARTIFACT_DIR}/lines.parquet')),
@@ -1120,19 +1123,22 @@ feat AS (
   SELECT *,
     COALESCE(NULLIF(json_extract_string(logs, '$.requestFirstLine'), ''),
              json_extract_string(logs, '$.contextMap.requestLine')) AS rl,
+    -- presence = json_type(...) IS NOT NULL (a JSON null value IS present,
+    -- mirroring Python's `key in dict`); Apache-field evidence = non-empty
+    -- STRING FORM (mirroring _field_evidence)
     (COALESCE(json_extract_string(logs, '$.requestFirstLine'), '') <> ''
      OR COALESCE(json_extract_string(logs, '$.status'), '') <> ''
      OR (json_extract(logs, '$.timeMillis') IS NOT NULL
          AND json_type(logs, '$.contextMap') = 'OBJECT'
-         AND (json_extract(logs, '$.contextMap.requestLine') IS NOT NULL
-              OR ((json_extract(logs, '$.contextMap.statusCode') IS NOT NULL
-                   OR json_extract(logs, '$.contextMap.bytesSent') IS NOT NULL
-                   OR json_extract(logs, '$.contextMap.processMillis') IS NOT NULL
-                   OR json_extract(logs, '$.contextMap.remoteHost') IS NOT NULL)
-                  AND json_extract(logs, '$.contextMap.sourceClassName') IS NULL
-                  AND json_extract(logs, '$.contextMap.sourceMethodName') IS NULL)))) AS is_http,
-    (json_extract(logs, '$.localServerName') IS NOT NULL
-     OR json_extract(logs, '$.cacheStatus') IS NOT NULL) AS is_proxy
+         AND (json_type(logs, '$.contextMap.requestLine') IS NOT NULL
+              OR ((json_type(logs, '$.contextMap.statusCode') IS NOT NULL
+                   OR json_type(logs, '$.contextMap.bytesSent') IS NOT NULL
+                   OR json_type(logs, '$.contextMap.processMillis') IS NOT NULL
+                   OR json_type(logs, '$.contextMap.remoteHost') IS NOT NULL)
+                  AND json_type(logs, '$.contextMap.sourceClassName') IS NULL
+                  AND json_type(logs, '$.contextMap.sourceMethodName') IS NULL)))) AS is_http,
+    (json_type(logs, '$.localServerName') IS NOT NULL
+     OR json_type(logs, '$.cacheStatus') IS NOT NULL) AS is_proxy
   FROM base
 ),
 typed AS (
@@ -1152,7 +1158,8 @@ typed AS (
             ELSE 'http'
           END
         ELSE 'application' END
-      WHEN clog IS NOT NULL THEN CASE WHEN trim(clog) = '' THEN 'skip' ELSE 'container' END
+      WHEN json_type(js, '$.log') IS NOT NULL THEN
+        CASE WHEN trim(COALESCE(clog, '')) = '' THEN 'skip' ELSE 'container' END
       ELSE 'error'
     END AS record_type
   FROM feat
@@ -1197,23 +1204,15 @@ def ensure_simhash_parquet(sf_dir: str) -> str:
     the distributed pass must reproduce them bit-exactly regardless of
     block slicing (this is the regression surface for sliced-batch bugs)."""
     import os as _os
-    import uuid as _uuid
 
     from ..functions.dedup import SimHasher
-    from ..sources.loglines_file import corpus_dir
 
-    d = corpus_dir(sf_dir)
-    path = _os.path.join(d, "simhash.parquet")
-    if not _os.path.exists(path):
-        _os.makedirs(d, exist_ok=True)
+    def build() -> pa.Table:
         docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         fps = SimHasher().simhash_batch(docs["text"].to_pylist())
-        tmp = path + f".tmp-{_uuid.uuid4().hex}"
-        pq.write_table(
-            pa.table({"doc_id": docs["doc_id"], "simhash": pa.array(fps.view(np.int64))}), tmp
-        )
-        _os.replace(tmp, path)
-    return path
+        return pa.table({"doc_id": docs["doc_id"], "simhash": pa.array(fps.view(np.int64))})
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "simhash.parquet"), build)
 
 
 def q_simhash_hamming_buckets(sf_dir: str) -> pd.DataFrame:
@@ -1236,9 +1235,9 @@ def q_simhash_hamming_buckets(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["weight", "n"])
 
 
-SQL_SIMHASH_HAMMING = """
+SQL_SIMHASH_HAMMING = f"""
 SELECT CAST(bit_count(simhash) AS BIGINT) AS weight, COUNT(*) AS n
-FROM read_parquet('/tmp/cpr_oracle/sf0.01/simhash.parquet')
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/simhash.parquet')
 GROUP BY 1
 """
 

@@ -90,7 +90,14 @@ def read_logline_corpus(out_dir: str, **read_kwargs) -> rd.Dataset:
     return ds.rename_columns({"text": "line"})
 
 
+# bump whenever ANY artifact generator changes semantics (synth_log_lines,
+# derive_sequences, pack_batch, SimHasher) — a stale /tmp surviving across
+# builds must never be compared against newer code
+ARTIFACT_VERSION = 2
+
+
 def corpus_dir(sf_dir: str, base: str = "/tmp/cpr_oracle") -> str:
     """Deterministic per-sf artifact directory shared by the Ray queries and
-    the DuckDB oracles (both sides read the same materialized inputs)."""
-    return os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    the DuckDB oracles (both sides read the same materialized inputs).
+    Versioned: generator changes move to a fresh directory."""
+    return os.path.join(base, f"v{ARTIFACT_VERSION}", os.path.basename(sf_dir.rstrip("/")))

@@ -159,13 +159,20 @@ def _timestamp_ns(logs: dict, root: dict) -> int | None:
     return _parse_rfc3339_ns(root.get("@timestamp") or "")
 
 
+def _field_evidence(v) -> bool:
+    """Apache-field evidence rule shared with the SQL oracle: the field is
+    present AND its string form is non-empty (JSON null → absent; 0/false →
+    '0'/'false' → evidence, matching ``json_extract_string`` semantics)."""
+    return v is not None and str(v) != ""
+
+
 def _is_http_request_log(logs: dict) -> bool:
     """extractor.go:103-146 exactly: Apache fields (non-empty
     requestFirstLine/status) → HTTP; else the contextMap path is gated on
     BOTH timeMillis and contextMap being present, then requestLine → HTTP,
     then ANY of statusCode/bytesSent/processMillis/remoteHost counts as HTTP
     evidence unless source{Class,Method}Name marks it an application log."""
-    if str(logs.get("requestFirstLine") or "") != "" or str(logs.get("status") or "") != "":
+    if _field_evidence(logs.get("requestFirstLine")) or _field_evidence(logs.get("status")):
         return True
     if logs.get("timeMillis") is None:
         return False
@@ -208,7 +215,12 @@ def extract_log_line(line: str) -> dict:
         return rec
 
     try:
-        logs = obj.get("Logs") or obj.get("logs")
+        # dispatch on OBJECT-ness, not truthiness: {"Logs": {}} is a present
+        # (empty) structured record — Go's non-nil pointer semantics and the
+        # SQL oracle's json_type(...)='OBJECT' both agree
+        logs = obj.get("Logs")
+        if not isinstance(logs, dict):
+            logs = obj.get("logs")
         if isinstance(logs, dict):
             return _extract_structured(logs, obj, rec)
         if "log" in obj:
@@ -246,7 +258,9 @@ def _extract_request_line(raw, rec) -> bool:
 def _extract_structured(logs: dict, root: dict, rec: dict) -> dict:
     ctx = logs.get("contextMap") if isinstance(logs.get("contextMap"), dict) else {}
     if _is_http_request_log(logs):
-        request_line = logs.get("requestFirstLine") or ctx.get("requestLine")
+        rfl = logs.get("requestFirstLine")
+        # string-form precedence (matches the oracle's NULLIF(string, ''))
+        request_line = str(rfl) if _field_evidence(rfl) else ctx.get("requestLine")
         if not _extract_request_line(request_line, rec):
             return rec
         rec["record_type"] = "proxy" if _is_proxy_log(logs) else "http"

@@ -360,3 +360,48 @@ def test_watch_flagship_polling_ingestion(tmp_path, ray_session):
     assert runs[-1] == (0, 4)         # idle cycles at the end
     total = sum(r["row_count"] for r in results[-1].aggregates.to_pylist())
     assert total == 1600              # every row counted exactly once
+
+
+def test_partition_by_validated_in_preflight(small_sequences, tmp_path, ray_session):
+    paths, _ = small_sequences
+    cfg = PipelineConfig(
+        input_dir=os.path.dirname(paths[0]), output_dir=str(tmp_path / "out"),
+        partition_by=["not_a_column"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not routed output columns"):
+        run_flagship(cfg)
+
+
+def test_watch_out_of_order_arrival_does_not_reprocess(tmp_path, ray_session):
+    """A late file that sorts BEFORE existing ones becomes a NEW shard
+    (arrival-order registry) — completed shards keep their ids and are
+    skipped, not wiped."""
+    from commerce_logs_pipeline_ray.datagen import generate_file
+    from commerce_logs_pipeline_ray.pipelines.flagship import watch_flagship
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # initial files sort LATE (part-0009x); the straggler sorts first
+    for i in (8, 9):
+        pq.write_table(generate_file(i, 400, seed=42), str(in_dir / f"part-0009{i}.parquet"))
+
+    calls = {"n": 0}
+
+    def fake_clock(_s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            pq.write_table(generate_file(1, 400, seed=42), str(in_dir / "part-00001.parquet"))
+
+    cfg = PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out"))
+    results = watch_flagship(cfg, poll_interval_s=0, idle_cycles_to_stop=2,
+                             max_cycles=10, clock=fake_clock)
+    runs = [(r.shards_run, r.shards_skipped) for r in results]
+    assert runs[0] == (2, 0)
+    # the early-sorting straggler is shard 2 — the two completed shards are
+    # SKIPPED, never re-run
+    assert (1, 2) in runs
+    assert all(skipped + ran <= 3 for ran, skipped in runs)
+    total = sum(r["row_count"] for r in results[-1].aggregates.to_pylist())
+    assert total == 1200

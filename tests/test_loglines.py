@@ -272,3 +272,20 @@ def test_gz_line_file_source_roundtrip(ray_session, tmp_path):
     h = hashlib.md5(open(gz_paths[0], "rb").read()).hexdigest()
     write_logline_corpus(d, 500, seed=7, num_shards=3)
     assert hashlib.md5(open(gz_paths[0], "rb").read()).hexdigest() == h
+
+
+def test_edge_shapes_match_sql_oracle_rules():
+    """Falsy/null field shapes where Python and the SQL oracle must agree
+    (review findings): empty Logs object, JSON-null requestLine, status 0."""
+    # {"Logs": {}} is a PRESENT structured record (Go non-nil pointer) →
+    # application, not error
+    assert extract_log_line(json.dumps({"Logs": {}}))["record_type"] == "application"
+    # JSON-null requestLine counts as present (key-in semantics) → HTTP
+    # classification → then no parseable request line → skip
+    null_rl = json.dumps({"Logs": {"timeMillis": 1, "contextMap": {"requestLine": None}}})
+    assert extract_log_line(null_rl)["record_type"] == "skip"
+    # status 0: non-empty string form '0' = Apache evidence → http path →
+    # no request line → skip (NOT application)
+    assert extract_log_line(json.dumps({"Logs": {"status": 0}}))["record_type"] == "skip"
+    # log: null → blank container → skip (not error)
+    assert extract_log_line(json.dumps({"log": None}))["record_type"] == "skip"

@@ -85,3 +85,18 @@ def test_grouped_quantile_fixedpoint_exact(ray_session):
     exp_a = np.quantile(a, 0.9, method="linear")
     got_a = float(q9.set_index("g")["q"]["a"])
     assert abs(got_a - exp_a) < 1e-9
+
+
+def test_quantile_all_null_group_emitted(ray_session):
+    """A group whose values are all NULL appears with a NULL median (SQL
+    GROUP BY semantics), instead of being dropped."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_quantile_fixedpoint
+
+    df = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 10,
+                       "v": [1.25] * 10 + [np.nan] * 10})
+    out = grouped_quantile_fixedpoint(rd.from_pandas(df).repartition(4), "g", "v",
+                                      out_name="med").set_index("g")["med"]
+    assert out["a"] == 1.25
+    assert "b" in out.index and np.isnan(out["b"])
