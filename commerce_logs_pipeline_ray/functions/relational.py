@@ -240,6 +240,27 @@ def topk(
     return pruned.sort(sort_keys, descending=descending).limit(k)
 
 
+def grouped_topk(
+    ds: Dataset,
+    keys: list[str],
+    sort_cols: list[str],
+    descending: list[bool],
+    k: int,
+) -> Dataset:
+    """Per-GROUP top-k (SQL ``row_number() OVER (PARTITION BY keys ORDER BY
+    …) <= k``): per-batch prune to k candidates per key (combiner), then a
+    bucketed exchange and one vectorized per-bucket head — the shuffle moves
+    at most ``k × |keys| × num_blocks`` candidate rows, never the corpus."""
+    ascending = [not d for d in descending]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    candidates = ds.map_batches(prune, batch_format="pandas")
+    return bucketed_group_reduce(candidates, keys, prune)
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

@@ -1299,6 +1299,70 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_top_events_per_type(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP top-k: the 3 highest-value events of each type (window-rank
+    semantics, distributed as combiner-pruned candidates + bucketed head)."""
+    from ..functions.relational import grouped_topk
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = grouped_topk(
+        ds, ["event_type"], ["value", "event_id"], [True, False], 3
+    ).to_pandas()
+    out["value"] = out["value"].round(2)
+    return _i64(out, ["event_id"])
+
+
+SQL_TOP_EVENTS_PER_TYPE = """
+SELECT event_type, event_id, ROUND(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+def q_sample_docs_md5(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-hash sampling (the reference's MD5 shard filter
+    F5, filters.go:160-189, as a SQL-checkable 1/16 sample): keep docs whose
+    md5(doc_id) hex digest starts with '0'.  Hash-based sampling is the
+    100-TB-safe way to subset reproducibly — no RNG state, stable across
+    partitionings and reruns."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        fp = md5_hex(pc.cast(t["doc_id"], pa.string()))
+        mask = pc.equal(pc.utf8_slice_codeunits(fp, 0, 1), "0")
+        return t.filter(mask)
+
+    out = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _i64(out, ["doc_id"])
+
+
+SQL_SAMPLE_DOCS_MD5 = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+def q_value_p95_per_type(sf_dir: str) -> pd.DataFrame:
+    """p95 per group via the same mergeable histogram sketch as the median —
+    any quantile from one partial-pass."""
+    from ..functions.sketch import grouped_quantile_fixedpoint
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantile_fixedpoint(
+        ds, "event_type", "value", q=0.95, scale=100, out_name="p95_value"
+    )
+    out["p95_value"] = out["p95_value"].round(6)
+    return out
+
+
+SQL_VALUE_P95 = """
+SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exploration stats (A5) and set ops (§2.8)
 # ---------------------------------------------------------------------------
@@ -1483,6 +1547,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "value_median_per_type": QuerySpec(
         q_value_median_per_type, SQL_VALUE_MEDIAN, "per-group exact median"
+    ),
+    "value_p95_per_type": QuerySpec(
+        q_value_p95_per_type, SQL_VALUE_P95, "per-group p95 via histogram sketch"
+    ),
+    "top_events_per_type": QuerySpec(
+        q_top_events_per_type, SQL_TOP_EVENTS_PER_TYPE, "per-group top-k (window rank)"
+    ),
+    "sample_docs_md5": QuerySpec(
+        q_sample_docs_md5, SQL_SAMPLE_DOCS_MD5, "F5 deterministic hash sampling"
     ),
     "embedding_neardup_lsh": QuerySpec(
         q_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (approx, rows-only)"
