@@ -661,7 +661,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"], filter=expr
     )
-    from ..functions.relational import auto_join as _auto_join
+    from ..functions.relational import auto_join
 
     # nation is tiny (broadcast); customer scales with the data → read it
     # distributed and attach it through the size-aware planner, not as a
@@ -672,7 +672,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
         nat.rename_columns(["c_nationkey", "n_name"]),
         "c_nationkey",
     ).select_columns(["c_custkey", "n_name"])
-    orders = _auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    orders = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -684,8 +684,6 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
         li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"], {"revenue": "rev"}, "n_items", reduce="distributed",
     )
-    from ..functions.relational import auto_join
-
     joined = auto_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
     out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders", reduce="driver").to_pandas()
     out["revenue"] = out["revenue"].round(2)
@@ -985,23 +983,28 @@ def _pack_source_stats(sub: pa.Table, max_len: int = 512) -> tuple[int, int, int
     )
 
 
+def _pack_stats_table(t: pa.Table, max_len: int = 512) -> pa.Table:
+    """(source, n_packs, total_tokens, total_docs) for every source present
+    in ``t`` — the one per-source packing loop shared by the distributed
+    query and the driver-side reference artifact."""
+    col = t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]
+    rows = []
+    for src in sorted(pc.unique(col).to_pylist()):
+        n_packs, tt, td = _pack_source_stats(t.filter(pc.equal(t["source"], src)), max_len)
+        rows.append({"source": src, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
+    return pa.Table.from_pylist(rows)
+
+
 def ensure_packing_artifact(sf_dir: str, max_len: int = 512) -> str:
     """Driver-side REFERENCE packing (per-source, deterministic) written as
     (source, n_packs, total_tokens, total_docs) Parquet — the oracle's
     n_packs source.  The distributed query must reproduce it exactly."""
     import os as _os
 
-    def build() -> pa.Table:
-        seq = _derived_sequences(sf_dir)
-        rows = []
-        for src in sorted(pc.unique(seq["source"].combine_chunks()).to_pylist()):
-            n_packs, tt, td = _pack_source_stats(
-                seq.filter(pc.equal(seq["source"], src)), max_len
-            )
-            rows.append({"source": src, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
-        return pa.Table.from_pylist(rows)
-
-    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "packed_stats.parquet"), build)
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "packed_stats.parquet"),
+        lambda: _pack_stats_table(_derived_sequences(sf_dir), max_len),
+    )
 
 
 def q_packing_stats(sf_dir: str) -> pd.DataFrame:
@@ -1018,18 +1021,10 @@ def q_packing_stats(sf_dir: str) -> pd.DataFrame:
         ensure_derived_parquet(sf_dir), columns=["doc_id", "tokens", "n_tok", "source"]
     )
 
-    def pack_group(t: pa.Table) -> pa.Table:
-        srcs = pc.unique(t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]).to_pylist()
-        rows = []
-        for s in srcs:
-            n_packs, tt, td = _pack_source_stats(t.filter(pc.equal(t["source"], s)))
-            rows.append({"source": s, "n_packs": n_packs, "total_tokens": tt, "total_docs": td})
-        return pa.Table.from_pylist(rows)
-
     # one group per source (bounded key space — the co-group ships each
     # source's rows to one worker; length-bucket pre-split for skewed
     # sources is the documented escape hatch)
-    per_source = ds.groupby("source").map_groups(pack_group, batch_format="pyarrow").to_pandas()
+    per_source = ds.groupby("source").map_groups(_pack_stats_table, batch_format="pyarrow").to_pandas()
     n_packs = int(per_source["n_packs"].sum())
     tt = int(per_source["total_tokens"].sum())
     td = int(per_source["total_docs"].sum())
@@ -1062,9 +1057,9 @@ def _loglines_corpus_n(sf_dir: str) -> int:
 def ensure_loglines_corpus(sf_dir: str) -> str:
     """Materialize the deterministic gz-JSONL corpus (+ parquet mirror for
     the DuckDB oracle) for this sf; idempotent.  Returns the corpus dir."""
-    from ..sources.loglines_file import corpus_dir, write_logline_corpus
+    from ..sources.loglines_file import write_logline_corpus
 
-    d = corpus_dir(sf_dir)
+    d = _corpus_dir(sf_dir)
     write_logline_corpus(d, _loglines_corpus_n(sf_dir), seed=42)
     return d
 
