@@ -1184,6 +1184,44 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
+def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: the decode is the
+    documented deterministic stub — no codecs in this container): synthetic
+    binary payloads → actor-pool decode (state in __init__, once per actor)
+    → per-type feature aggregates.  Exercises the real Ray side: binary
+    columns, small batch sizing, actor concurrency, list<float> output."""
+    from ..stages.multimodal import ImageDecoder, synth_media_table
+
+    n = max(300, int(_sf_of(sf_dir) * 30_000))
+    ds = rd.from_arrow(synth_media_table(n, seed=42)).repartition(8)
+    feats = ds.map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=64,            # binary payloads: keep batch_bytes bounded
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        arr = t["feature"].combine_chunks() if isinstance(t["feature"], pa.ChunkedArray) else t["feature"]
+        mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        flat = pa.table(
+            {"media_type": t["media_type"], "fsum": pa.array(mat.sum(axis=1))}
+        )
+        g = flat.group_by(["media_type"]).aggregate([("fsum", "sum"), ([], "count_all")])
+        return pa.table(
+            {"media_type": g["media_type"], "fsum": g["fsum_sum"],
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    partials = feats.map_batches(agg, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = partials.groupby("media_type", as_index=False).agg(
+        n=("n", "sum"), mean_feature_sum=("fsum", "sum")
+    )
+    out["mean_feature_sum"] = (out["mean_feature_sum"] / out["n"]).round(6)
+    return _i64(out, ["n"])
+
+
 def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-doc 64-bit SimHash (rows-only; determinism tested in pytest)."""
     from ..functions.dedup import SimHasher
@@ -1237,13 +1275,9 @@ GROUP BY 1
 """
 
 
-def q_span_assembly(sf_dir: str) -> pd.DataFrame:
-    """Trace/span assembly (reference J4 design, traces/model.go:30-49 +
-    pipeline_design.md:103-116): events become partial span updates keyed
-    (trace_id, span_id); fields are merged last-writer-wins PER FIELD —
-    a later update that did not carry a field must not null it out."""
-    from ..functions.spans import merge_spans
-
+def _span_updates(sf_dir: str) -> rd.Dataset:
+    """Events as partial span updates keyed (trace_id, span_id) — shared by
+    the span-assembly and trace-summary queries."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
     def to_updates(t: pa.Table) -> pa.Table:
@@ -1264,9 +1298,18 @@ def q_span_assembly(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    updates = ds.map_batches(to_updates, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(to_updates, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_span_assembly(sf_dir: str) -> pd.DataFrame:
+    """Trace/span assembly (reference J4 design, traces/model.go:30-49 +
+    pipeline_design.md:103-116): events become partial span updates keyed
+    (trace_id, span_id); fields are merged last-writer-wins PER FIELD —
+    a later update that did not carry a field must not null it out."""
+    from ..functions.spans import merge_spans
+
     out = merge_spans(
-        updates,
+        _span_updates(sf_dir),
         key_cols=["trace_id", "span_id"],
         order_cols=["ts_us", "event_id"],
         field_cols=["status", "val"],
@@ -1275,6 +1318,51 @@ def q_span_assembly(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["event_id"])
     out["val"] = out["val"].astype("float64").round(2)
     return _i64(out, ["trace_id", "span_id", "n_updates", "ts_us"])
+
+
+def q_trace_summary(sf_dir: str) -> pd.DataFrame:
+    """Trace rollup over assembled spans (reference Trace = spans grouped by
+    trace_id, traces/model.go:46-49): per trace, span count, merged-update
+    count and latest activity — a second grouped reduce over the span merge,
+    all distributed (the span table never lands on the driver whole)."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..functions.spans import merge_spans
+
+    merged = merge_spans(
+        _span_updates(sf_dir),
+        key_cols=["trace_id", "span_id"],
+        order_cols=["ts_us", "event_id"],
+        field_cols=["status", "val"],
+        count_name="n_updates",
+    )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("trace_id", dropna=False)
+        return pd.DataFrame(
+            {
+                "n_spans": g.size(),
+                "n_updates": g["n_updates"].sum(),
+                "last_ts_us": g["ts_us"].max(),
+            }
+        ).reset_index()
+
+    out = bucketed_group_reduce(merged, ["trace_id"], roll).to_pandas()
+    return _i64(out, ["trace_id", "n_spans", "n_updates", "last_ts_us"])
+
+
+SQL_TRACE_SUMMARY = """
+WITH u AS (
+  SELECT user_id AS trace_id, event_id % 50 AS span_id,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+), s AS (
+  SELECT trace_id, span_id, COUNT(*) AS n_updates, MAX(ts_us) AS ts_us
+  FROM u GROUP BY 1, 2
+)
+SELECT trace_id, COUNT(*) AS n_spans, CAST(SUM(n_updates) AS BIGINT) AS n_updates,
+       MAX(ts_us) AS last_ts_us
+FROM s GROUP BY trace_id
+"""
 
 
 SQL_SPAN_ASSEMBLY = """
@@ -1524,6 +1612,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "span_assembly": QuerySpec(
         q_span_assembly, SQL_SPAN_ASSEMBLY, "J4 span merge: field-wise last-writer-wins"
+    ),
+    "trace_summary": QuerySpec(
+        q_trace_summary, SQL_TRACE_SUMMARY, "trace rollup over assembled spans"
+    ),
+    "media_decode_stats": QuerySpec(
+        q_media_decode_stats, None, "multimodal actor-pool decode plumbing (rows-only)"
     ),
     "hourly_moving_avg": QuerySpec(
         q_hourly_moving_avg, SQL_HOURLY_MOVING_AVG, "sliding window over tumbling agg"

@@ -63,8 +63,11 @@ RECORD_COLUMNS: list[tuple[str, pa.DataType]] = [
     ("process_millis", pa.int64()),
     ("local_server_name", pa.string()),
     ("remote_host", pa.string()),
+    ("remote_user", pa.string()),
+    ("referer", pa.string()),
     ("user_agent", pa.string()),
     ("cache_status", pa.string()),
+    ("pod_ip", pa.string()),
     ("pod", pa.string()),
     ("service", pa.string()),
     ("thrown", pa.string()),
@@ -274,6 +277,12 @@ def _extract_structured(logs: dict, root: dict, rec: dict) -> dict:
             rec["local_server_name"] = _coerce_str(logs.get("localServerName"))
             rec["user_agent"] = _coerce_str(logs.get("userAgent"))
             rec["cache_status"] = _coerce_str(logs.get("cacheStatus"))
+            # full proxy projection — extractor.go:733-755: remoteUser/referer
+            # from the Apache-format Logs object, pod_ip from root kubernetes
+            rec["remote_user"] = _coerce_str(logs.get("remoteUser"))
+            rec["referer"] = _coerce_str(logs.get("referer"))
+            kube = root.get("kubernetes")
+            rec["pod_ip"] = _coerce_str(kube.get("pod_ip")) if isinstance(kube, dict) else None
         rec["level"] = extract_level(str(logs.get("level") or ""))
         return rec
 
@@ -335,7 +344,10 @@ def synth_log_lines(n: int, seed: int = 42) -> list[str]:
                 "status": int(rng.choice([200, 502])),
                 "localServerName": "shop.example.com",
                 "userAgent": "UA", "cacheStatus": str(rng.choice(["HIT", "MISS"])),
-                "timeMillis": ts_ms}}))
+                "remoteUser": "-" if i % 3 else "user1",
+                "referer": f"https://shop.example.com{paths[(i + 1) % len(paths)]}",
+                "timeMillis": ts_ms},
+                "kubernetes": {"pod_ip": f"10.1.0.{i % 255}"}}))
         elif kind < 0.80:  # application
             lines.append(json.dumps({"logs": {
                 "instant": {"epochSecond": ts_ms // 1000, "nanoOfSecond": int(rng.integers(0, 1_000_000_000))},

@@ -289,3 +289,17 @@ def test_edge_shapes_match_sql_oracle_rules():
     assert extract_log_line(json.dumps({"Logs": {"status": 0}}))["record_type"] == "skip"
     # log: null → blank container → skip (not error)
     assert extract_log_line(json.dumps({"log": None}))["record_type"] == "skip"
+
+
+def test_proxy_full_projection():
+    line = json.dumps({
+        "Logs": {"requestFirstLine": "GET /a HTTP/1.1", "status": 200,
+                 "localServerName": "s", "remoteUser": "u1",
+                 "referer": "https://x/y", "cacheStatus": "HIT"},
+        "kubernetes": {"pod_ip": "10.1.2.3"},
+    })
+    r = extract_log_line(line)
+    assert r["record_type"] == "proxy"
+    assert r["remote_user"] == "u1"
+    assert r["referer"] == "https://x/y"
+    assert r["pod_ip"] == "10.1.2.3"
