@@ -84,8 +84,15 @@ def main() -> int:
         if spec.sql is None:
             print(f"ok   {name}: rows={len(ray_res)} (rows-only, no SQL oracle)")
             continue
+        # artifact-backed oracles hardcode the driver's sf0.01 artifact dir
+        # (oracle SQL strings are static) — retarget them to THIS sf's
+        # artifacts so the whole registry is checkable at any scale factor
+        from commerce_logs_pipeline_ray.pipelines.queries import ORACLE_ARTIFACT_DIR
+        from commerce_logs_pipeline_ray.sources.loglines_file import corpus_dir
+
+        sql = spec.sql.replace(ORACLE_ARTIFACT_DIR, corpus_dir(sf_dir))
         try:
-            sql_res = con.execute(spec.sql).df()
+            sql_res = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: sql error {e}")
             failures += 1
