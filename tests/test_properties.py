@@ -124,3 +124,60 @@ def test_engine_stages_agree_with_oracle_on_any_mix(rows_spec):
     for i, r in enumerate(rows):
         k = (r["doc_id"], r["source"], r["n_tok"])
         assert got_sinks[i] in want_by_key[k]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab c", max_size=30), min_size=1, max_size=25),
+)
+def test_minhash_vectorized_signatures_equal_scalar_path(texts):
+    """The batch-vectorized flat-stream signatures must equal the per-doc
+    scalar construction (word_shingles → minhash_signature) for ANY corpus —
+    the vectorization (cumsum offsets, reduceat segment minima, column-chunked
+    hashing) must never change a value."""
+    from commerce_logs_pipeline_ray.functions.dedup import (
+        MinHasher,
+        minhash_signature,
+        word_shingles,
+    )
+
+    h = MinHasher(num_hashes=16, bands=4, shingle_k=3, seed=7)
+    got = h.signatures(texts)
+    for i, t in enumerate(texts):
+        # scalar reference: unique shingles → per-hash minima.  The
+        # vectorized path hashes the NON-unique gram stream, but min() over
+        # duplicates equals min() over uniques, so values must agree when
+        # the gram-hash construction agrees (both mix word-hashes the same
+        # way for docs with >= k words; shorter docs collapse to one gram).
+        grams, starts = h._shingle_stream([t])
+        want = minhash_signature(np.unique(grams), h.a, h.b)
+        assert (got[i] == want).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]),
+                  st.one_of(st.none(), st.integers(0, 5000))),
+        min_size=1, max_size=300,
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_grouped_quantile_matches_numpy_for_any_fixed_point_data(rows, q):
+    """Histogram-sketch quantile == numpy linear quantile for any 2-decimal
+    data, any q, any partitioning; all-NULL groups emit NULL."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_quantile_fixedpoint
+
+    df = pd.DataFrame(rows, columns=["g", "cents"])
+    df["v"] = df["cents"].astype("float64") / 100.0
+    ds = rd.from_pandas(df[["g", "v"]]).repartition(3)
+    out = grouped_quantile_fixedpoint(ds, "g", "v", q=q, out_name="qv").set_index("g")["qv"]
+    for g, sub in df.groupby("g"):
+        vals = sub["v"].dropna().to_numpy()
+        if len(vals) == 0:
+            assert np.isnan(out[g])
+        else:
+            assert abs(out[g] - np.quantile(vals, q, method="linear")) < 1e-9
