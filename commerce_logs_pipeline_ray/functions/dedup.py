@@ -51,6 +51,42 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
     return np.unique(np.fromiter((fnv1a64_single(g) for g in grams), dtype=np.uint64, count=len(grams)))
 
 
+def gram_hash_stream(
+    texts: list[str], k: int, gram_mix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat k-gram hash stream + per-doc offsets, vectorized.
+
+    ONE Arrow-buffer FNV pass over every word in the batch; k-gram hashes
+    built by mixing the word hashes with shifted-array arithmetic (no
+    per-gram string construction).  Shared by :class:`MinHasher` and
+    :class:`ShingleExploder`.
+    """
+    words_per_doc = [(s or "").split(" ") for s in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
+    flat_words = [w for ws in words_per_doc for w in ws]
+    wh = fnv1a64(pa.array(flat_words, type=pa.string()))
+    starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # k-gram mix within docs: gram_i = Σ_j mix_j * wh[i+j]; grams shorter
+    # than k fall back to the doc's full-word mix (matches word_shingles'
+    # short-doc behaviour of one whole-doc gram)
+    gram_counts = np.maximum(counts - k + 1, 1)
+    g_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(gram_counts, out=g_starts[1:])
+    total = int(g_starts[-1])
+    grams = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # positions: for doc d, gram g lives at g_starts[d]+g and reads
+        # words starts[d]+g .. +g+k-1 (clamped for short docs)
+        doc_idx = np.repeat(np.arange(len(texts)), gram_counts)
+        within = np.arange(total) - g_starts[doc_idx]
+        base = starts[doc_idx] + within
+        for j in range(k):
+            widx = np.minimum(base + j, starts[doc_idx] + counts[doc_idx] - 1)
+            grams += gram_mix[j] * wh[widx]
+    return grams, g_starts
+
+
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_hashes minima of (a*x + b) mod M61 over the shingle set."""
     # (S, 1) * (H,) broadcast — vectorized over shingles × hash functions
@@ -97,31 +133,7 @@ class MinHasher:
 
     def _shingle_stream(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Flat k-gram hash stream + per-doc offsets, vectorized."""
-        k = self.shingle_k
-        words_per_doc = [(s or "").split(" ") for s in texts]
-        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
-        flat_words = [w for ws in words_per_doc for w in ws]
-        wh = fnv1a64(pa.array(flat_words, type=pa.string()))
-        starts = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        # k-gram mix within docs: gram_i = Σ_j mix_j * wh[i+j]; grams shorter
-        # than k fall back to the doc's full-word mix (matches word_shingles'
-        # short-doc behaviour of one whole-doc gram)
-        gram_counts = np.maximum(counts - k + 1, 1)
-        g_starts = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(gram_counts, out=g_starts[1:])
-        total = int(g_starts[-1])
-        grams = np.zeros(total, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # positions: for doc d, gram g lives at g_starts[d]+g and reads
-            # words starts[d]+g .. +g+k-1 (clamped for short docs)
-            doc_idx = np.repeat(np.arange(len(texts)), gram_counts)
-            within = np.arange(total) - g_starts[doc_idx]
-            base = starts[doc_idx] + within
-            for j in range(k):
-                widx = np.minimum(base + j, starts[doc_idx] + counts[doc_idx] - 1)
-                grams += self.gram_mix[j] * wh[widx]
-        return grams, g_starts
+        return gram_hash_stream(texts, self.shingle_k, self.gram_mix)
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_hashes) MinHash signatures, vectorized.
@@ -179,6 +191,143 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
+
+
+class ShingleExploder:
+    """map_batches stage: text → distinct ``(shingle, doc_id, n_sh)`` rows.
+
+    One vectorized gram-hash pass per batch (:func:`gram_hash_stream`), then
+    per-doc dedup via one lexsort — no per-row Python.  ``n_sh`` (the doc's
+    DISTINCT shingle count) rides on every exploded row so the downstream
+    pair reduce can compute Jaccard without a second join back to the corpus.
+    """
+
+    def __init__(self, shingle_k: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed + 1)
+        self.gram_mix = rng.integers(1, 1 << 62, size=shingle_k, dtype=np.uint64)
+        self.shingle_k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {"shingle": pa.array([], type=pa.uint64()),
+                 "doc_id": t["doc_id"],
+                 "n_sh": pa.array([], type=pa.int64())}
+            )
+        grams, g_starts = gram_hash_stream(texts, self.shingle_k, self.gram_mix)
+        doc_idx = np.repeat(np.arange(n), np.diff(g_starts))
+        order = np.lexsort((grams, doc_idx))
+        di, gr = doc_idx[order], grams[order]
+        keep = np.r_[True, (di[1:] != di[:-1]) | (gr[1:] != gr[:-1])]
+        di, gr = di[keep], gr[keep]
+        n_sh = np.bincount(di, minlength=n)
+        doc_arr = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        return pa.table(
+            {
+                "shingle": pa.array(gr),
+                "doc_id": pc.take(doc_arr, pa.array(di, type=pa.int64())),
+                "n_sh": pa.array(n_sh[di], type=pa.int64()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    seed: int = 42,
+    df_cutoff: int | None = None,
+) -> pd.DataFrame:
+    """EXACT all pairs with word-k-gram-shingle Jaccard ≥ ``threshold``,
+    distributed as a shingle inverted-index self-join (the classic exact
+    set-similarity join): explode docs to distinct ``(shingle, doc_id,
+    n_sh)`` rows → group by shingle → emit co-occurring doc pairs → group by
+    pair → ``|A∩B| = pair count``, ``J = c / (n_a + n_b - c)``.
+
+    Both exchanges move coarse hash buckets (:func:`bucketed_group_reduce`),
+    never documents; nothing but the qualifying pairs reaches the driver.
+
+    Scale note: the pair stream is Θ(Σ_shingle df²) — a shingle appearing in
+    m docs emits m(m-1)/2 rows.  Natural-language k≥3 shingles are
+    near-unique so this is ~|near-dup pairs|·|shingles/doc| in practice, but
+    a pathological hot shingle (boilerplate) can blow it up; ``df_cutoff``
+    drops shingles with document frequency > cutoff (standard df-pruning —
+    a doc pair sharing ONLY ultra-common shingles is below any useful
+    threshold anyway, but strictly this trades exactness for boundedness;
+    prefix/positional filtering à la PPJoin is the published exact scale
+    path).  Default ``None`` = exact.
+
+    Returns columns ``doc_a, doc_b, jaccard`` (doc_a < doc_b), exact — the
+    ground-truth counterpart of :func:`minhash_lsh_pairs`' estimates
+    (oracle-checked in SQL via DuckDB gram explode, see
+    ``pipelines/queries.py::SQL_JACCARD_NEARDUP``).
+    """
+    from .relational import bucketed_group_reduce
+
+    rows = docs.map_batches(
+        ShingleExploder(shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def shingle_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per coarse bucket: emit co-occurring doc pairs per shingle group.
+        Size-2 groups (the overwhelming case for near-dup corpora) are one
+        vectorized pass; rare df>2 shingles take `np.triu_indices`."""
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+             "doc_b": pd.Series(dtype=df["doc_id"].dtype),
+             "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
+        )
+        df = df.sort_values(["shingle", "doc_id"], kind="stable")
+        sh = df["shingle"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return empty
+        change = np.r_[True, sh[1:] != sh[:-1]]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, n])
+        if df_cutoff is not None:
+            keep = sizes <= df_cutoff
+            starts, sizes = starts[keep], sizes[keep]
+        ids = df["doc_id"].to_numpy()
+        ns = df["n_sh"].to_numpy()
+        outs = []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            outs.append(pd.DataFrame({
+                "doc_a": ids[s2], "doc_b": ids[s2 + 1],
+                "na": ns[s2], "nb": ns[s2 + 1],
+            }))
+        for s, m in zip(starts[sizes > 2], sizes[sizes > 2]):
+            gi, gn = ids[s : s + m], ns[s : s + m]
+            ii, jj = np.triu_indices(m, k=1)
+            outs.append(pd.DataFrame({
+                "doc_a": gi[ii], "doc_b": gi[jj], "na": gn[ii], "nb": gn[jj],
+            }))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    pair_stream = bucketed_group_reduce(rows, ["shingle"], shingle_pairs)
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            c=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+        j = g["c"] / (g["na"] + g["nb"] - g["c"])
+        out = g.assign(jaccard=j)
+        return out.loc[out["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
+
+    result = bucketed_group_reduce(pair_stream, ["doc_a", "doc_b"], pair_reduce).to_pandas()
+    if result.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="object"), "doc_b": pd.Series(dtype="object"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    return result.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_lsh_pairs(

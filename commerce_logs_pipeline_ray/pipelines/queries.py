@@ -864,6 +864,43 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["vec_a", "vec_b"])
 
 
+def q_jaccard_neardup(sf_dir: str) -> pd.DataFrame:
+    """EXACT word-3-gram-shingle Jaccard pairs ≥ 0.5 via the distributed
+    shingle inverted-index self-join — the ground-truth counterpart of
+    `minhash_neardup`'s LSH estimates, and the one dedup family checkable
+    against a full SQL reimplementation (DuckDB gram explode + self-join)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=3)
+    return _i64(out, ["doc_a", "doc_b"])
+
+
+# Gram semantics mirror functions/dedup.py::gram_hash_stream for docs with
+# >= k words (every sf's documents table: min 10 words): gram i = words
+# [i, i+k).  DuckDB list slicing is 1-based inclusive, so w[i:i+2] is the
+# 3-gram starting at i, for i in 1 .. len(w)-2.
+SQL_JACCARD_NEARDUP = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs (not SQL-expressible → rows-only check;
     validated against planted ground truth in tests/test_dedup.py)."""
@@ -1648,6 +1685,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_neardup_lsh": QuerySpec(
         q_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (approx, rows-only)"
+    ),
+    "jaccard_neardup": QuerySpec(
+        q_jaccard_neardup, SQL_JACCARD_NEARDUP, "exact n-gram Jaccard similarity join"
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),

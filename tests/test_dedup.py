@@ -118,3 +118,56 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     assert a <= e            # precision 1.0: every candidate exact-verified
     recall = len(a & e) / len(e)
     assert recall >= 0.85, f"LSH recall {recall:.3f} below floor"
+
+
+def _brute_jaccard_pairs(rows, threshold, k=3):
+    """O(N²) scalar reference: exact word-k-gram Jaccard over gram STRINGS."""
+    def grams(t):
+        w = t.split(" ")
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sets = {r["doc_id"]: grams(r["text"]) for r in rows}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_exact_matches_bruteforce(planted_docs):
+    """The distributed inverted-index join must equal the O(N²) scalar
+    reference bit-for-bit — pair set AND jaccard values."""
+    from commerce_logs_pipeline_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds, rows = planted_docs
+    got = ngram_jaccard_pairs(ds, threshold=0.5)
+    want = _brute_jaccard_pairs(rows, threshold=0.5)
+    got_pairs = {(a, b): j for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert set(got_pairs) == set(want)
+    for p, j in want.items():
+        assert got_pairs[p] == j, f"jaccard mismatch for {p}"
+    assert (0, 2000) in got_pairs and got_pairs[(0, 2000)] == 1.0
+
+
+def test_ngram_jaccard_df_cutoff_drops_hot_shingles(ray_session):
+    """df_cutoff=1 leaves no shingle shared by >1 doc → no pairs at all;
+    result keeps the output schema."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e f", "a b c d e g"]}
+    )
+    full = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1)
+    assert len(full) == 1
+    cut = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1, df_cutoff=1)
+    assert len(cut) == 0
+    assert list(cut.columns) == ["doc_a", "doc_b", "jaccard"]

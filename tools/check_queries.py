@@ -7,7 +7,10 @@ Usage: python tools/check_queries.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
