@@ -9,6 +9,12 @@
   cost drops to O(N/2^bits · d) at a measured recall (see
   tests/test_sim.py).  At 100 TB the bucketed corpus is written partitioned
   by signature so a query touches only its partitions.
+* **IVF** (scale path, data-adaptive): spherical k-means coarse quantizer
+  trained on a deterministic strided sample; corpus written partitioned by
+  nearest-centroid list; a query brute-forces only its ``nprobe`` nearest
+  lists.  Unlike LSH's data-oblivious hyperplanes, the lists follow the
+  corpus distribution — fewer probes at equal recall on clustered data
+  (recall measured in tests/test_sim.py).
 """
 
 from __future__ import annotations
@@ -156,6 +162,105 @@ def lsh_topk_partitioned(
     files: list[str] = []
     for b in sorted(_probe_buckets(lsh, q, multiprobe)):
         files.extend(sorted(_glob.glob(_os.path.join(index_dir, f"bucket={b}", "*.parquet"))))
+    if not files:
+        return pd.DataFrame({id_col: [], "cos": []})
+    sub = pa.concat_tables([_pq.read_table(f, columns=[id_col, "embedding"]) for f in files])
+    ids = np.asarray(sub[id_col].to_numpy(zero_copy_only=False))
+    return _brute_topk(ids, _to_matrix(sub), q, k, id_col)
+
+
+def train_ivf_centroids(
+    embeddings: Dataset,
+    nlist: int = 16,
+    dim: int = 64,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for an IVF index: Lloyd's on a
+    DETERMINISTIC strided sample (every ``N/sample_size``-th id — independent
+    of partitioning/arrival order, unlike ``limit()``), unit-normalized so
+    assignment by max dot product == max cosine.  Driver-side: the sample is
+    Θ(sample_size·d) no matter the corpus size; only the (nlist, dim)
+    centroid matrix is ever broadcast.  Returns unit-row centroids.
+    """
+    n = embeddings.count()
+    stride = max(1, n // sample_size)
+
+    def take_strided(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mask = pa.array(ids % stride == 0)
+        return t.filter(mask)
+
+    sample = embeddings.map_batches(take_strided, batch_format="pyarrow", zero_copy_batch=True)
+    st = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    mat = _to_matrix(st)
+    mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members) == 0:
+                # reseed an empty list with the worst-served point
+                best = (mat @ cent.T).max(axis=1)
+                cent[c] = mat[int(best.argmin())]
+                continue
+            m = members.sum(axis=0)
+            cent[c] = m / np.sqrt((m * m).sum())
+    return cent
+
+
+def build_ivf_index_partitioned(
+    embeddings: Dataset,
+    out_dir: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+) -> None:
+    """Assign every vector to its nearest centroid list (one broadcast-matmul
+    ``map_batches`` pass) and write the corpus Parquet PARTITIONED BY LIST
+    (``list_id=N/`` dirs) — a query reads only its ``nprobe`` lists' files,
+    the IVF analogue of :func:`build_lsh_index_partitioned`."""
+    cent_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        mat = _to_matrix(t)
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        norms[norms == 0] = 1.0
+        list_id = ((mat / norms) @ cent.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(list_id))
+
+    embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["list_id"], mode="overwrite"
+    )
+
+
+def ivf_topk(
+    index_dir: str,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Query the IVF index: score the query against the (tiny) centroid
+    matrix, brute-force only the ``nprobe`` nearest lists' partition dirs.
+    ``nprobe == nlist`` degrades gracefully to exact brute force (every list
+    scanned), which is how the registry query stays oracle-comparable."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.sqrt((q * q).sum())
+    order = np.argsort(-(centroids @ qn), kind="stable")[:nprobe]
+    files: list[str] = []
+    for c in sorted(int(x) for x in order):
+        files.extend(sorted(_glob.glob(_os.path.join(index_dir, f"list_id={c}", "*.parquet"))))
     if not files:
         return pd.DataFrame({id_col: [], "cos": []})
     sub = pa.concat_tables([_pq.read_table(f, columns=[id_col, "embedding"]) for f in files])

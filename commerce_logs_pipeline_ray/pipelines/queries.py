@@ -434,6 +434,46 @@ def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["vec_id"])
 
 
+def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 by cosine THROUGH the IVF index machinery: train the spherical
+    k-means coarse quantizer, build the list-partitioned on-disk index
+    (idempotent versioned /tmp artifact), query it.  Registered with
+    ``nprobe == nlist`` so every list is scanned — exact by construction,
+    sharing `cosine_topk`'s SQL oracle while exercising centroid training,
+    the partitioned build, and the dir-pruned read path end-to-end.  The
+    approximate scale path (``nprobe < nlist``) is recall-measured in
+    tests/test_sim.py."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..functions.sim import build_ivf_index_partitioned, ivf_topk, train_ivf_centroids
+
+    emb0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pads.field("vec_id") == 0,
+    )
+    qvec = np.asarray(emb0["embedding"].to_pylist()[0], dtype=np.float64)
+
+    nlist = 16
+    index_dir = _os.path.join(_corpus_dir(sf_dir), "ivf_index_v1")
+    cent_path = _os.path.join(index_dir, "centroids.npy")
+    if not _os.path.exists(cent_path):
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        cent = train_ivf_centroids(ds, nlist=nlist, dim=len(qvec), seed=42)
+        tmp = index_dir + f".tmp-{_uuid.uuid4().hex}"
+        build_ivf_index_partitioned(ds, tmp, cent)
+        np.save(_os.path.join(tmp, "centroids.npy"), cent)
+        try:
+            _os.rename(tmp, index_dir)  # atomic publish; loser cleans up
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    cent = np.load(cent_path)
+    out = ivf_topk(index_dir, cent, qvec, k=10, nprobe=nlist)
+    return _i64(out, ["vec_id"])
+
+
 # CAST to DOUBLE[]: DuckDB computes list_cosine_similarity on FLOAT[] in
 # float32; the Ray side (numpy) computes in float64 — force float64 on both.
 SQL_COSINE_TOPK = """
@@ -1629,6 +1669,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT, "document fingerprint"),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup via content hash"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
+    "ann_ivf_topk": QuerySpec(
+        q_ann_ivf_topk, SQL_COSINE_TOPK, "IVF index build + query (exact at nprobe=nlist)"
+    ),
     "pipeline_docs": QuerySpec(q_pipeline_docs, SQL_PIPELINE_DOCS, "flagship parse→enrich→route→agg"),
     "route_documents": QuerySpec(q_route_documents, SQL_ROUTE_DOCUMENTS, "predicate fan-out counts"),
     "order_revenue_topk": QuerySpec(

@@ -97,3 +97,54 @@ def test_partitioned_lsh_index_prunes_and_agrees(ray_session, tmp_path):
     probed = _probe_buckets(lsh, q, 1)
     on_disk = {int(os.path.basename(p).split("=")[1]) for p in glob.glob(os.path.join(d, "bucket=*"))}
     assert len(on_disk - probed) > 0
+
+
+def test_ivf_exact_at_full_probe_and_recall_at_nprobe(ray_session, tmp_path):
+    """IVF: nprobe==nlist scans every list → exactly the brute-force top-k;
+    nprobe=4/16 keeps high recall while provably pruning on-disk reads."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import (
+        brute_force_topk,
+        build_ivf_index_partitioned,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds, nlist=16, dim=64, seed=5)
+    assert cent.shape == (16, 64)
+    assert np.allclose(np.sqrt((cent * cent).sum(axis=1)), 1.0)
+    d = str(tmp_path / "ivf")
+    build_ivf_index_partitioned(ds, d, cent)
+    # every vector landed in exactly one list dir
+    total = sum(
+        sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(ld, "*.parquet")))
+        for ld in glob.glob(os.path.join(d, "list_id=*"))
+    )
+    assert total == 500
+    q = np.asarray(pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet").to_pandas().iloc[3]["embedding"], dtype=np.float64)
+    exact = brute_force_topk(ds, q, k=10)
+    full = ivf_topk(d, cent, q, k=10, nprobe=16)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    approx = ivf_topk(d, cent, q, k=10, nprobe=4)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5, f"IVF recall {recall} below floor"
+
+
+def test_ivf_centroids_deterministic(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import train_ivf_centroids
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    c1 = train_ivf_centroids(ds, nlist=8, dim=64, seed=3)
+    c2 = train_ivf_centroids(ds.repartition(7), nlist=8, dim=64, seed=3)
+    assert np.array_equal(c1, c2), "centroids must not depend on partitioning"
