@@ -33,6 +33,10 @@ from .hashing import fnv1a64, fnv1a64_single
 
 MERSENNE_61 = (1 << 61) - 1
 
+# Sentinel "word hash" for pad positions in sub-k-word docs (an arbitrary
+# odd 64-bit constant; collides with a real word hash w.p. ~2^-64).
+_PAD_WORD_HASH = np.uint64(0xD6E8FEB86659FD93)
+
 
 def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -67,23 +71,28 @@ def gram_hash_stream(
     wh = fnv1a64(pa.array(flat_words, type=pa.string()))
     starts = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    # k-gram mix within docs: gram_i = Σ_j mix_j * wh[i+j]; grams shorter
-    # than k fall back to the doc's full-word mix (matches word_shingles'
-    # short-doc behaviour of one whole-doc gram)
+    # k-gram mix within docs: gram_i = Σ_j mix_j * wh[i+j]; docs shorter
+    # than k words emit ONE gram with out-of-range positions filled by a
+    # pad sentinel (matching word_shingles' one-whole-doc-gram semantics).
+    # Padding — NOT clamp-repeating the last word — so a 2-word doc "a b"
+    # can never hash-collide with a genuine "a b b" 3-gram in a longer doc.
     gram_counts = np.maximum(counts - k + 1, 1)
     g_starts = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(gram_counts, out=g_starts[1:])
     total = int(g_starts[-1])
     grams = np.zeros(total, dtype=np.uint64)
+    wh_ext = np.append(wh, _PAD_WORD_HASH)
+    pad_idx = wh.shape[0]
     with np.errstate(over="ignore"):
         # positions: for doc d, gram g lives at g_starts[d]+g and reads
-        # words starts[d]+g .. +g+k-1 (clamped for short docs)
+        # words starts[d]+g .. +g+k-1 (pad-sentinel past the doc's end)
         doc_idx = np.repeat(np.arange(len(texts)), gram_counts)
         within = np.arange(total) - g_starts[doc_idx]
         base = starts[doc_idx] + within
+        last = starts[doc_idx] + counts[doc_idx] - 1
         for j in range(k):
-            widx = np.minimum(base + j, starts[doc_idx] + counts[doc_idx] - 1)
-            grams += gram_mix[j] * wh[widx]
+            widx = base + j
+            grams += gram_mix[j] * wh_ext[np.where(widx > last, pad_idx, widx)]
     return grams, g_starts
 
 

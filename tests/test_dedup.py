@@ -171,3 +171,21 @@ def test_ngram_jaccard_df_cutoff_drops_hot_shingles(ray_session):
     cut = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1, df_cutoff=1)
     assert len(cut) == 0
     assert list(cut.columns) == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_short_doc_grams_never_collide_with_clamped_long_grams():
+    """A doc with fewer than k words emits ONE pad-sentinel gram — it must
+    NOT equal the gram a longer doc produces for the clamp-repeated word
+    sequence (e.g. "a b" vs the genuine 3-gram "a b b"), and two identical
+    short docs must still share their gram."""
+    from commerce_logs_pipeline_ray.functions.dedup import gram_hash_stream
+
+    h = MinHasher(num_hashes=16, bands=4, shingle_k=3, seed=7)
+    grams, starts = gram_hash_stream(
+        ["a b", "x a b b y", "a b"], 3, h.gram_mix
+    )
+    short = set(grams[starts[0]:starts[1]].tolist())
+    long_ = set(grams[starts[1]:starts[2]].tolist())
+    short2 = set(grams[starts[2]:starts[3]].tolist())
+    assert len(short) == 1 and short == short2
+    assert not (short & long_), "pad-sentinel gram collided with a real 3-gram"
