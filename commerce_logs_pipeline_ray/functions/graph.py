@@ -1,0 +1,149 @@
+"""Distributed connected components — the dedup-clustering endgame.
+
+Near-dup detection (``functions/dedup.py``) yields PAIRS; a real training-data
+dedup must contract those pairs into CLUSTERS and keep one canonical document
+per cluster.  Pairwise similarity is transitive-ish but the pair set is not:
+a→b and b→c pairs must collapse into one {a,b,c} cluster even when (a,c)
+itself is below threshold.
+
+Algorithm: alternating **large-star / small-star** contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — O(log²n)
+rounds, each round two bucketed group-reduces over the EDGE set only (never
+the corpus).  Min-label propagation would need O(diameter) rounds, which on a
+pathological chain of gradually-edited documents is O(n); star contraction
+halves every path each round, so the iteration count is bounded regardless
+of cluster shape.
+
+Every round runs as Dataset ``bucketed_group_reduce`` exchanges keyed on the
+node id; the driver sees only an O(1) convergence signature per round and,
+at the end, the (node → component-min) star map — sized by the number of
+DOCUMENTS THAT HAVE A DUPLICATE, not by the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from .relational import bucketed_group_reduce
+
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Per bucket of SYMMETRIC edges grouped by u: connect every neighbor
+    v > u to min(N(u) ∪ {u})."""
+    if df.empty:
+        return df[["u", "v"]]
+    m = np.minimum(df.groupby("u")["v"].transform("min").to_numpy(), df["u"].to_numpy())
+    keep = df["v"].to_numpy() > df["u"].to_numpy()
+    out = pd.DataFrame({"u": df["v"].to_numpy()[keep], "v": m[keep]})
+    return out.drop_duplicates(ignore_index=True)
+
+
+def _small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Per bucket of ORIENTED (u > v) edges grouped by u: connect u and every
+    neighbor except the min to min(N(u))."""
+    if df.empty:
+        return df[["u", "v"]]
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    m = df.groupby("u")["v"].transform("min").to_numpy()
+    keep = v != m
+    g = df.groupby("u", as_index=False)["v"].min()  # one (u → min) edge per u
+    out = pd.DataFrame(
+        {
+            "u": np.concatenate([v[keep], g["u"].to_numpy()]),
+            "v": np.concatenate([m[keep], g["v"].to_numpy()]),
+        }
+    )
+    return out.drop_duplicates(ignore_index=True)
+
+
+def _symmetrize(t: pa.Table) -> pa.Table:
+    u, v = t["u"].combine_chunks(), t["v"].combine_chunks()
+    return pa.table({"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])})
+
+
+def _orient(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    hi = pc.max_element_wise(t["u"], t["v"])
+    lo = pc.min_element_wise(t["u"], t["v"])
+    return pa.table({"u": hi, "v": lo})
+
+
+def _signature(edges: Dataset) -> tuple[int, int]:
+    """O(1)-per-block convergence check: (row count, order-insensitive
+    mix-hash of the edge multiset).  Stars are fixed points of both phases,
+    so an unchanged signature means converged (hash collision odds ~2^-64)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"], dtype=np.uint64)
+        v = np.asarray(t["v"], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (u * _P1) ^ (v * _P2)
+        return pa.table(
+            {"n": pa.array([len(t)], type=pa.int64()),
+             "h": pa.array([int(mix.sum(dtype=np.uint64))], type=pa.uint64())}
+        )
+
+    parts = edges.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return 0, 0
+    return int(parts["n"].sum()), int(np.sum(parts["h"].to_numpy(dtype=np.uint64), dtype=np.uint64))
+
+
+def connected_components(
+    edges: Dataset,
+    num_buckets: int = 64,
+    max_rounds: int = 50,
+) -> pd.DataFrame:
+    """(node, component) for every node appearing in ``edges``; component id
+    is the component's MIN node id.
+
+    ``edges``: Dataset with int64 columns ``u, v`` (undirected pair list,
+    self-loops ignored).  Each round is two edge-set shuffles; the returned
+    frame is sized by the nodes IN the edge set (dup docs), which for dedup
+    is output-sized.  Each round materializes the shrunken edge set so the
+    lazy lineage doesn't re-run all prior rounds.
+    """
+    import pyarrow.compute as pc
+
+    edges = edges.map_batches(
+        lambda t: _orient(t.filter(pc.fill_null(pc.not_equal(t["u"], t["v"]), False))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    sig = _signature(edges)
+    if sig[0] == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")})
+
+    for _ in range(max_rounds):
+        sym = edges.map_batches(_symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+        big = bucketed_group_reduce(sym, ["u"], _large_star_bucket, num_buckets=num_buckets)
+        edges = bucketed_group_reduce(
+            big, ["u"], _small_star_bucket, num_buckets=num_buckets
+        ).materialize()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    star = edges.to_pandas()  # (leaf → root) star edges, one row per leaf
+    roots = np.setdiff1d(star["v"].unique(), star["u"].to_numpy())
+    out = pd.concat(
+        [
+            star.rename(columns={"u": "node", "v": "component"}),
+            pd.DataFrame({"node": roots, "component": roots}),
+        ],
+        ignore_index=True,
+    ).drop_duplicates("node", ignore_index=True)
+    return out.sort_values("node", ignore_index=True).astype("int64")

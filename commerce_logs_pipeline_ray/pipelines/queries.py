@@ -941,6 +941,118 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+# Shared gram/pair CTE prefix (identical to SQL_JACCARD_NEARDUP's pair
+# derivation) + transitive closure: near-dup PAIRS contracted into CLUSTERS
+# labeled by their min doc_id — the SQL mirror of star-contraction CC.
+_SQL_CLUSTER_CTE = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), gsizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN gsizes sa ON sa.doc_id = doc_a
+  JOIN gsizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+"""
+
+
+def _neardup_components(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """(node, component) over the exact-Jaccard near-dup pair graph."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import connected_components
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, shingle_k=3)
+    edges = rd.from_pandas(
+        pairs.rename(columns={"doc_a": "u", "doc_b": "v"})[["u", "v"]].astype("int64")
+    )
+    return connected_components(edges)
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → connected components (distributed star contraction,
+    `functions/graph.py`) → per-cluster sizes.  a~b and b~c must land in ONE
+    cluster even when (a,c) is itself below threshold — the property pair
+    queries can't express."""
+    comp = _neardup_components(sf_dir)
+    out = (
+        comp.groupby("component", as_index=False)
+        .agg(size=("node", "count"))
+        .rename(columns={"component": "cluster_id"})
+    )
+    return _i64(out, ["cluster_id", "size"])
+
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_CLUSTER_CTE
+    + "SELECT cluster_id, COUNT(*) AS size FROM comp GROUP BY cluster_id"
+)
+
+
+def q_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """Keep-one-per-cluster over the FULL corpus: broadcast the (output-sized)
+    drop set into a map_batches filter, count kept docs per source — the
+    materialized endgame of the dedup family (no corpus shuffle; the corpus
+    streams once)."""
+    import ray as _ray
+
+    comp = _neardup_components(sf_dir)
+    drops = pa.array(
+        comp.loc[comp["node"] != comp["component"], "node"].to_numpy(), type=pa.int64()
+    )
+    drop_ref = _ray.put(drops)
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dset = _ray.get(drop_ref)
+        dropped = pc.fill_null(pc.is_in(t["doc_id"], value_set=dset), False)
+        flat = pa.table(
+            {"source": t["source"],
+             "kept": pc.cast(pc.invert(dropped), pa.int64())}
+        )
+        g = flat.group_by(["source"]).aggregate([("kept", "sum"), ([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "n_kept": g["kept_sum"],
+             "n_docs": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = partials.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_kept=("n_kept", "sum")
+    )
+    return _i64(out, ["n_docs", "n_kept"])
+
+
+SQL_DEDUP_SURVIVORS = (
+    _SQL_CLUSTER_CTE
+    + """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN doc_id IN (SELECT node FROM comp WHERE node <> cluster_id)
+                THEN 0 ELSE 1 END) AS n_kept
+FROM documents GROUP BY source
+"""
+)
+
+
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs (not SQL-expressible → rows-only check;
     validated against planted ground truth in tests/test_dedup.py)."""
@@ -1733,6 +1845,12 @@ REGISTRY: dict[str, QuerySpec] = {
         q_jaccard_neardup, SQL_JACCARD_NEARDUP, "exact n-gram Jaccard similarity join"
     ),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters, SQL_DEDUP_CLUSTERS, "near-dup pairs → connected components (star contraction)"
+    ),
+    "dedup_survivors": QuerySpec(
+        q_dedup_survivors, SQL_DEDUP_SURVIVORS, "keep-one-per-cluster over the full corpus"
+    ),
     "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
     "simhash_hamming_buckets": QuerySpec(
         q_simhash_hamming_buckets, SQL_SIMHASH_HAMMING, "SimHash popcount histogram vs reference"

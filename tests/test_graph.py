@@ -1,0 +1,81 @@
+"""Connected components (star contraction): exact component labeling for any
+edge-list shape — chains, triangles, dup/reversed edges, self-loops — and
+cluster semantics (a~b, b~c ⇒ one cluster without an (a,c) edge)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from commerce_logs_pipeline_ray.functions.graph import connected_components
+
+
+def _cc(ray_session, df, **kw):
+    import ray.data as rd
+
+    return connected_components(rd.from_pandas(df), **kw)
+
+
+def _reference_components(edges: pd.DataFrame) -> dict[int, int]:
+    """Scalar union-find ground truth."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(edges["u"], edges["v"]):
+        if u == v:
+            parent.setdefault(u, u)
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_chain_triangle_and_pair(ray_session):
+    edges = pd.DataFrame({"u": [1, 2, 10, 20, 21, 20], "v": [2, 3, 11, 21, 22, 22]})
+    out = _cc(ray_session, edges)
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_long_path_contracts_in_logarithmic_rounds(ray_session):
+    n = 200
+    path = pd.DataFrame({"u": np.arange(n - 1), "v": np.arange(1, n)})
+    out = _cc(ray_session, path, max_rounds=12)  # star contraction, not O(n) propagation
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+
+
+def test_self_loops_and_duplicate_edges_ignored(ray_session):
+    edges = pd.DataFrame({"u": [5, 6, 6, 7], "v": [5, 7, 7, 6]})
+    out = _cc(ray_session, edges)
+    got = dict(zip(out["node"], out["component"]))
+    # node 5 has only a self-loop → not in the edge graph at all
+    assert got == {6: 6, 7: 6}
+
+
+def test_empty_edge_list(ray_session):
+    out = _cc(ray_session, pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}))
+    assert out.empty and list(out.columns) == ["node", "component"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=80
+    )
+)
+def test_components_match_union_find_for_any_graph(ray_session, pairs):
+    import ray.data as rd
+
+    edges = pd.DataFrame(pairs, columns=["u", "v"])
+    out = connected_components(rd.from_pandas(edges), num_buckets=8)
+    want = _reference_components(edges[edges["u"] != edges["v"]])
+    got = dict(zip(out["node"], out["component"]))
+    assert got == want

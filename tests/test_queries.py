@@ -23,6 +23,8 @@ SUBSET = [
     "order_revenue_topk",
     "union_counts",
     "embedding_neardup",
+    "dedup_clusters",
+    "dedup_survivors",
 ]
 
 
