@@ -200,3 +200,83 @@ def pack_sequences(ds: Dataset, max_len: int = 2048, batch_size: int = 4096) -> 
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-level exact dedup on the tokens payload
+# ---------------------------------------------------------------------------
+
+# two independent odd multipliers → a 128-bit effective position-sensitive
+# fingerprint; with an odd base, any single-position token difference changes
+# the hash (Δ·r^p ≡ 0 mod 2^64 ⇒ Δ ≡ 0), and multi-position cancellations
+# must defeat BOTH bases simultaneously
+_FP_R1 = np.uint64(0x9E3779B97F4A7C15)
+_FP_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FP_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def sequence_fingerprints(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarray]:
+    """Order-sensitive 2×64-bit fingerprints of each row's token array,
+    fully vectorized over the flat values buffer: fp_j = (Σ_i tok_i · r_j^i
+    mod 2^64) · MIX ⊕ len.  Segment sums via wrap-around cumsum (no
+    reduceat edge cases); bit-exact function of the token array only, so
+    equal arrays collide by construction and unequal ones don't (w.p.
+    ~2^-128)."""
+    values, offsets = _flat_tokens(t, col)
+    starts = (offsets - offsets[0]).astype(np.int64)
+    lens = np.diff(starts)
+    window = values[offsets[0] : offsets[-1]].astype(np.uint64)
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    maxlen = int(lens.max()) if len(window) else 0
+    pos = (np.arange(len(window), dtype=np.int64) - np.repeat(starts[:-1], lens)) if len(window) else np.zeros(0, np.int64)
+    out = []
+    with np.errstate(over="ignore"):
+        for r in (_FP_R1, _FP_R2):
+            pows = np.ones(max(maxlen, 1), dtype=np.uint64)
+            if maxlen > 1:
+                pows[1:] = np.cumprod(np.full(maxlen - 1, r, dtype=np.uint64))
+            terms = window * pows[pos]
+            csum = np.zeros(len(window) + 1, dtype=np.uint64)
+            np.cumsum(terms, out=csum[1:])
+            seg = csum[starts[1:]] - csum[starts[:-1]]
+            out.append((seg * _FP_MIX) ^ lens.astype(np.uint64))
+    return out[0], out[1]
+
+
+def sequence_dedup_stats(ds: Dataset, group_col: str = "source") -> pd.DataFrame:
+    """(group, n_seqs, n_unique) where n_unique counts DISTINCT token arrays
+    (bit-exact list equality) within each group — the sequence-level exact
+    dedup a tokenized corpus needs before training.
+
+    Per-batch: fingerprint every row (one vectorized pass), dedup locally,
+    emit (group, fp1, fp2) partials + per-group row counts.  The exchange
+    then moves distinct-fingerprint rows only, bucketed by fingerprint hash
+    so each bucket dedups its own keys exactly (same tail shape as
+    ``dedup_exact``/``distinct_users_per_type``)."""
+    from .relational import bucketed_group_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        fp1, fp2 = sequence_fingerprints(t)
+        df = pd.DataFrame(
+            {group_col: t[group_col].to_pandas(), "fp1": fp1, "fp2": fp2, "n": 1}
+        )
+        g = df.groupby([group_col, "fp1", "fp2"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, "fp1", "fp2"], as_index=False)["n"].sum()
+        return g.groupby(group_col, as_index=False).agg(
+            n_seqs=("n", "sum"), n_unique=("fp1", "count")
+        )
+
+    parts = bucketed_group_reduce(partials, [group_col, "fp1", "fp2"], per_bucket).to_pandas()
+    out = parts.groupby(group_col, as_index=False).agg(
+        n_seqs=("n_seqs", "sum"), n_unique=("n_unique", "sum")
+    )
+    for c in ("n_seqs", "n_unique"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)

@@ -1239,6 +1239,135 @@ FROM ref, tot
 """
 
 
+def q_dedup_sequences(sf_dir: str) -> pd.DataFrame:
+    """Sequence-level EXACT dedup on the tokens payload: per-source counts of
+    distinct token arrays (bit-exact list equality) via vectorized dual-64-bit
+    fingerprints + bucketed distinct reduce — the corpus never ships whole
+    token arrays, only 24-byte fingerprint rows."""
+    from ..functions.tokens import sequence_dedup_stats
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens", "source"])
+    return sequence_dedup_stats(ds, group_col="source")
+
+
+SQL_DEDUP_SEQUENCES = f"""
+SELECT source, COUNT(*) AS n_seqs, COUNT(DISTINCT tokens) AS n_unique
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+GROUP BY source ORDER BY source
+"""
+
+
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded global shuffle for training epochs: order by
+    md5(doc_id ‖ epoch-seed), take the first 100.  Hash-ordering IS the
+    shuffle — reproducible across reruns/partitionings, no RNG state, and it
+    runs as a distributed top-k (per-block prune to k, tiny final sort), not
+    a full all-to-all sort."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = md5_hex(
+            pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":epoch1", "")
+        )
+        return t.append_column("shuffle_key", key)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk(keyed, ["shuffle_key"], [False], 100).to_pandas()
+    return _i64(out, ["doc_id"])
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100
+"""
+
+
+def q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val split: a doc is 'val' iff md5(doc_id ‖ salt)
+    sorts below the hex prefix '1a' (0x1a/0x100 ≈ 10.2% — hash-fraction
+    splitting, the leakage-safe way to split at 100 TB: membership is a pure
+    function of the id, never of partitioning or sampling state)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        fp = md5_hex(
+            pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":split", "")
+        )
+        split = pc.if_else(pc.less(fp, "1a"), "val", "train")
+        return pa.table({"source": t["source"], "split": split})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(tagged, ["source", "split"], {}, "n", reduce="driver").to_pandas()
+    return _i64(out, ["n"])
+
+
+SQL_SPLIT_COUNTS = """
+SELECT source,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < '1a'
+            THEN 'val' ELSE 'train' END AS split,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage: build the top-100 vocab from the corpus itself
+    (distributed histogram, deterministic count-desc/token-asc ties),
+    broadcast it, then one streaming pass counts in/out-of-vocab tokens per
+    source.  The classic two-phase aggregate→broadcast→scan pipeline."""
+    from ..functions.tokens import _flat_tokens, token_frequency
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens", "source"])
+    vocab = np.sort(token_frequency(ds, topk=100)["token"].to_numpy().astype(np.int32))
+    import ray as _ray
+
+    vocab_ref = _ray.put(vocab)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref)
+        values, offsets = _flat_tokens(t)
+        lens = np.diff(offsets - offsets[0])
+        window = values[offsets[0] : offsets[-1]]
+        oov = np.ones(len(window), dtype=np.int64)
+        idx = np.searchsorted(v, window)
+        idx[idx == len(v)] = 0
+        oov[v[idx] == window] = 0
+        csum = np.concatenate([[0], np.cumsum(oov)])
+        starts = (offsets - offsets[0]).astype(np.int64)
+        per_row_oov = csum[starts[1:]] - csum[starts[:-1]]
+        flat = pa.table(
+            {"source": t["source"],
+             "n_tokens": pa.array(lens, type=pa.int64()),
+             "n_oov": pa.array(per_row_oov, type=pa.int64())}
+        )
+        g = flat.group_by(["source"]).aggregate([("n_tokens", "sum"), ("n_oov", "sum")])
+        return pa.table(
+            {"source": g["source"], "n_tokens": g["n_tokens_sum"], "n_oov": g["n_oov_sum"]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum")
+    )
+    out["oov_rate"] = (out["n_oov"] / out["n_tokens"]).round(6)
+    return _i64(out, ["n_tokens", "n_oov"])
+
+
+SQL_OOV_RATE = f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+), vocab AS (
+  SELECT token FROM tok GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 100
+)
+SELECT source, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok GROUP BY source
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -1867,6 +1996,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "packing_stats": QuerySpec(
         q_packing_stats, SQL_PACKING_STATS, "per-source FFD packing vs reference + conservation"
+    ),
+    "dedup_sequences": QuerySpec(
+        q_dedup_sequences, SQL_DEDUP_SEQUENCES, "bit-exact token-array dedup counts per source"
+    ),
+    "epoch_shuffle": QuerySpec(
+        q_epoch_shuffle, SQL_EPOCH_SHUFFLE, "seeded hash-order epoch shuffle (distributed top-k)"
+    ),
+    "split_counts": QuerySpec(
+        q_split_counts, SQL_SPLIT_COUNTS, "deterministic hash-fraction train/val split"
+    ),
+    "oov_rate": QuerySpec(
+        q_oov_rate, SQL_OOV_RATE, "vocab build → broadcast → OOV-rate scan (two-phase)"
     ),
 }
 

@@ -3,6 +3,7 @@
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -142,3 +143,50 @@ def test_packing_stats_partition_independent(ray_session):
         )
         for s in srcs:
             assert tuple(got.loc[s]) == ref[s], (blocks, s)
+
+
+def test_sequence_fingerprints_properties():
+    """Equal token arrays → equal fps; order/length/value changes → different
+    fps; block-layout invariant (chunked vs contiguous)."""
+    from commerce_logs_pipeline_ray.functions.tokens import sequence_fingerprints
+
+    rows = [[1, 2, 3], [1, 2, 3], [3, 2, 1], [1, 2], [], [1, 2, 3, 0], [0, 1, 2, 3]]
+    t = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    f1, f2 = sequence_fingerprints(t)
+    fp = list(zip(f1.tolist(), f2.tolist()))
+    assert fp[0] == fp[1]
+    distinct = {fp[0], fp[2], fp[3], fp[4], fp[5], fp[6]}
+    assert len(distinct) == 6  # all structurally different arrays differ
+    chunked = pa.concat_tables([t.slice(0, 3), t.slice(3)])
+    g1, g2 = sequence_fingerprints(chunked)
+    assert (g1 == f1).all() and (g2 == f2).all()
+
+
+def test_sequence_dedup_stats_counts_planted_duplicates(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        rows.append({"source": f"s{i % 3}", "tokens": rng.integers(0, 50, size=10).tolist()})
+    # plant exact dupes: 5 copies of row 0's tokens in s0, 2 in s1
+    for _ in range(5):
+        rows.append({"source": "s0", "tokens": rows[0]["tokens"]})
+    for _ in range(2):
+        rows.append({"source": "s1", "tokens": rows[0]["tokens"]})
+    df = pd.DataFrame(rows)
+    from commerce_logs_pipeline_ray.functions.tokens import sequence_dedup_stats
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(df["source"]),
+        "tokens": pa.array(df["tokens"].tolist(), type=pa.list_(pa.int32())),
+    })).repartition(5)
+    out = sequence_dedup_stats(ds)
+    got = out.set_index("source")
+    # exact ground truth via python sets
+    ref = df.groupby("source")["tokens"].agg(
+        n_seqs="count", n_unique=lambda s: len({tuple(x) for x in s})
+    )
+    for s in ref.index:
+        assert got.loc[s, "n_seqs"] == ref.loc[s, "n_seqs"]
+        assert got.loc[s, "n_unique"] == ref.loc[s, "n_unique"]
