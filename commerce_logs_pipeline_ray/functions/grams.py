@@ -1,0 +1,171 @@
+"""Corpus-level word-k-gram analyses for training-data curation.
+
+Built on the same vectorized gram-hash kernel as the dedup family
+(:func:`functions.dedup.gram_hash_stream` — one Arrow-buffer FNV pass per
+batch, k-grams by shifted-array mixing, no per-gram strings):
+
+* **contamination_counts** — benchmark/test-set contamination check: the
+  distinct grams of a (small) benchmark subset are collected once and
+  broadcast (``ray.put``); one streaming pass over the corpus counts, per
+  document, how many of its gram OCCURRENCES appear in the benchmark set.
+  The classic aggregate → broadcast → scan shape: the corpus is never
+  shuffled, and only tiny per-source partial rows leave each task.
+* **repetition_stats** — intra-document repetition: per-doc total vs
+  DISTINCT gram counts (boilerplate / degenerate-generation detector).
+  Entirely block-local — no shuffle at all; per-source partials are the
+  only thing reduced.
+
+Both are SQL-expressible over the same gram semantics (DuckDB
+``string_split`` + list-slice explode, see ``pipelines/queries.py``), so the
+driver's DuckDB oracle checks them end-to-end.  Gram semantics are defined
+for docs with ≥ k words (all provided corpora; shorter docs hash as one
+padded gram, see ``gram_hash_stream``).
+
+Scale notes (100 TB): the benchmark gram set is Θ(|benchmark| · grams/doc)
+— a held-out eval set, orders of magnitude smaller than the corpus; it is
+``ray.put`` once and read zero-copy by every task.  If the benchmark itself
+were huge, swap the broadcast for a bucketed semi-join on gram hash (same
+exchange as functions/dedup.py::ngram_jaccard_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .dedup import gram_hash_stream
+
+
+def _gram_mix(k: int, seed: int) -> np.ndarray:
+    # identical parameter derivation to ShingleExploder/MinHasher (seed+1) so
+    # every gram-based operator in the engine shares one gram-hash space
+    rng = np.random.default_rng(seed + 1)
+    return rng.integers(1, 1 << 62, size=k, dtype=np.uint64)
+
+
+def benchmark_gram_set(
+    docs: Dataset, bench_mod: int = 29, k: int = 3, seed: int = 42
+) -> np.ndarray:
+    """Sorted distinct gram hashes of the benchmark subset
+    (``doc_id % bench_mod == 0``).  Distinct-per-batch partials are unioned
+    on the driver — the set is benchmark-sized, not corpus-sized."""
+    mix = _gram_mix(k, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        if len(sub) == 0:
+            return pa.table({"gram": pa.array([], type=pa.uint64())})
+        grams, _ = gram_hash_stream(sub["text"].to_pylist(), k, mix)
+        return pa.table({"gram": pa.array(np.unique(grams))})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return np.unique(parts["gram"].to_numpy().astype(np.uint64))
+
+
+def contamination_counts(
+    docs: Dataset,
+    bench_mod: int = 29,
+    k: int = 3,
+    seed: int = 42,
+    group_col: str = "source",
+) -> pd.DataFrame:
+    """Per-``group_col``: how many non-benchmark docs share ≥1 word k-gram
+    with the benchmark subset, and the total count of overlapping gram
+    occurrences.  Returns (group, n_docs, n_contaminated, total_hits)."""
+    bench = benchmark_gram_set(docs, bench_mod=bench_mod, k=k, seed=seed)
+    bench_ref = ray.put(bench)
+    mix = _gram_mix(k, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sub = t.filter(pa.array(ids % bench_mod != 0))
+        n = len(sub)
+        if n == 0:
+            return pa.table(
+                {group_col: pa.array([], type=pa.string()),
+                 "n_docs": pa.array([], type=pa.int64()),
+                 "n_contaminated": pa.array([], type=pa.int64()),
+                 "total_hits": pa.array([], type=pa.int64())}
+            )
+        grams, g_starts = gram_hash_stream(sub["text"].to_pylist(), k, mix)
+        # sorted-array membership: searchsorted beats np.isin's internal sort
+        # because bench is pre-sorted once
+        idx = np.searchsorted(bset, grams)
+        idx[idx == len(bset)] = 0
+        hit = (bset[idx] == grams).astype(np.int64) if len(bset) else np.zeros(len(grams), np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        per_doc = csum[g_starts[1:]] - csum[g_starts[:-1]]
+        flat = pa.table(
+            {group_col: sub[group_col],
+             "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+             "n_contaminated": pa.array((per_doc > 0).astype(np.int64)),
+             "total_hits": pa.array(per_doc)}
+        )
+        g = flat.group_by([group_col]).aggregate(
+            [("n_docs", "sum"), ("n_contaminated", "sum"), ("total_hits", "sum")]
+        )
+        return pa.table(
+            {group_col: g[group_col], "n_docs": g["n_docs_sum"],
+             "n_contaminated": g["n_contaminated_sum"], "total_hits": g["total_hits_sum"]}
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby(group_col, as_index=False).sum()
+    for c in ("n_docs", "n_contaminated", "total_hits"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)
+
+
+def repetition_stats(
+    docs: Dataset, k: int = 3, seed: int = 42, group_col: str = "source"
+) -> pd.DataFrame:
+    """Per-``group_col`` intra-document repetition: total vs distinct gram
+    counts and how many docs repeat at least one gram.  Returns
+    (group, n_docs, n_repetitive, total_grams, distinct_grams)."""
+    mix = _gram_mix(k, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {group_col: pa.array([], type=pa.string()),
+                 "n_docs": pa.array([], type=pa.int64()),
+                 "n_repetitive": pa.array([], type=pa.int64()),
+                 "total_grams": pa.array([], type=pa.int64()),
+                 "distinct_grams": pa.array([], type=pa.int64())}
+            )
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        totals = np.diff(g_starts)
+        doc_idx = np.repeat(np.arange(n), totals)
+        order = np.lexsort((grams, doc_idx))
+        di, gr = doc_idx[order], grams[order]
+        keep = np.r_[True, (di[1:] != di[:-1]) | (gr[1:] != gr[:-1])] if len(di) else np.zeros(0, bool)
+        distinct = np.bincount(di[keep], minlength=n) if len(di) else np.zeros(n, np.int64)
+        flat = pa.table(
+            {group_col: t[group_col],
+             "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+             "n_repetitive": pa.array((totals > distinct).astype(np.int64)),
+             "total_grams": pa.array(totals.astype(np.int64)),
+             "distinct_grams": pa.array(distinct.astype(np.int64))}
+        )
+        g = flat.group_by([group_col]).aggregate(
+            [("n_docs", "sum"), ("n_repetitive", "sum"),
+             ("total_grams", "sum"), ("distinct_grams", "sum")]
+        )
+        return pa.table(
+            {group_col: g[group_col], "n_docs": g["n_docs_sum"],
+             "n_repetitive": g["n_repetitive_sum"], "total_grams": g["total_grams_sum"],
+             "distinct_grams": g["distinct_grams_sum"]}
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby(group_col, as_index=False).sum()
+    for c in ("n_docs", "n_repetitive", "total_grams", "distinct_grams"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)

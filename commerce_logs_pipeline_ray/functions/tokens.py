@@ -280,3 +280,137 @@ def sequence_dedup_stats(ds: Dataset, group_col: str = "source") -> pd.DataFrame
     for c in ("n_seqs", "n_unique"):
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity-style quality signal on the tokens payload)
+# ---------------------------------------------------------------------------
+
+def unigram_counts(ds: Dataset, vocab_size: int) -> np.ndarray:
+    """Dense (vocab_size,) int64 corpus token histogram.
+
+    Per-batch ``np.bincount`` over the flat values buffer → per-batch sparse
+    (token, count) partials → driver sum into the dense array.  The driver
+    holds Θ(vocab) only (a BPE vocab is ~10^5 — KBs), never corpus rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        cnt = np.bincount(window, minlength=vocab_size)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"token": pa.array(nz, type=pa.int64()),
+             "count": pa.array(cnt[nz], type=pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    dense = np.zeros(vocab_size, dtype=np.int64)
+    np.add.at(dense, parts["token"].to_numpy(), parts["count"].to_numpy())
+    return dense
+
+
+def surprisal_stats(
+    ds: Dataset, vocab_size: int, group_col: str = "source"
+) -> pd.DataFrame:
+    """Per-group mean unigram surprisal: two-phase aggregate → broadcast →
+    scan.  Phase 1 builds the corpus unigram distribution (distributed
+    histogram); phase 2 broadcasts the dense log-prob table (``ray.put``,
+    read zero-copy per task) and scores every sequence —
+    surp(seq) = mean_i −ln p(tok_i) — emitting per-group partial sums only.
+
+    Returns (group, n_seqs, avg_surprisal) with avg_surprisal = the mean of
+    per-sequence surprisals, rounded to 6 (float64 on both engine and
+    oracle; summation-order noise is ~1e-13, far inside the rounding)."""
+    import ray as _ray
+
+    counts = unigram_counts(ds, vocab_size)
+    total = float(counts.sum())
+    with np.errstate(divide="ignore"):
+        neg_logp = -np.log(counts / total)  # inf for unseen tokens (never indexed)
+    lp_ref = _ray.put(neg_logp)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = _ray.get(lp_ref) if isinstance(lp_ref, _ray.ObjectRef) else lp_ref
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        starts = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(starts)
+        csum = np.zeros(len(window) + 1, dtype=np.float64)
+        np.cumsum(lp[window], out=csum[1:])
+        per_seq = (csum[starts[1:]] - csum[starts[:-1]]) / np.maximum(lens, 1)
+        flat = pa.table(
+            {group_col: t[group_col],
+             "n_seqs": pa.array(np.ones(len(t), dtype=np.int64)),
+             "surp_sum": pa.array(per_seq)}
+        )
+        g = flat.group_by([group_col]).aggregate([("n_seqs", "sum"), ("surp_sum", "sum")])
+        return pa.table(
+            {group_col: g[group_col], "n_seqs": g["n_seqs_sum"], "surp_sum": g["surp_sum_sum"]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby(group_col, as_index=False).sum()
+    out["avg_surprisal"] = (out["surp_sum"] / out["n_seqs"]).round(6)
+    out["n_seqs"] = out["n_seqs"].astype("int64")
+    return out[[group_col, "n_seqs", "avg_surprisal"]].sort_values(group_col, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence chunking (context-window splitting)
+# ---------------------------------------------------------------------------
+
+def chunk_batch(t: pa.Table, *, max_len: int, id_col: str = "doc_id") -> pa.Table:
+    """Split every row's token array into ⌈n/max_len⌉ contiguous chunks of at
+    most ``max_len`` tokens (last chunk short).  The flat values buffer is
+    REUSED — chunking only rewrites the offsets array, so token bytes are
+    never copied (cf. pack_batch, which must copy to reorder).
+
+    Output: (id_col, chunk_id, tokens, n_tok, …passthrough group cols)."""
+    values, offsets = _flat_tokens(t)
+    starts = (offsets - offsets[0]).astype(np.int64)
+    lens = np.diff(starts)
+    n_chunks = np.maximum((lens + max_len - 1) // max_len, 1)
+    # chunk boundary offsets: for row r with c chunks, offsets start[r] +
+    # j*max_len (j=0..c-1), then the row's end closes the last chunk
+    row_idx = np.repeat(np.arange(len(t)), n_chunks)
+    within = np.arange(len(row_idx)) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    chunk_starts = starts[row_idx] + within * max_len
+    chunk_ends = np.minimum(chunk_starts + max_len, starts[1:][row_idx])
+    chunk_ends = np.maximum(chunk_ends, chunk_starts)  # empty rows → one empty chunk
+    clens = chunk_ends - chunk_starts
+    # chunks tile each row's span and rows tile the window, so the chunk
+    # boundaries ARE a valid offsets array over the shared window view —
+    # no token gather, just new offsets over the same buffer
+    window = values[offsets[0] : offsets[-1]]
+    chunk_offsets = (
+        np.concatenate([chunk_starts, [int(chunk_ends[-1])]])
+        if len(row_idx)
+        else np.zeros(1, np.int64)
+    )
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(chunk_offsets), pa.array(window, type=pa.int32())
+    )
+    cols = {
+        id_col: pc.take(
+            t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            pa.array(row_idx, type=pa.int64()),
+        ),
+        "chunk_id": pa.array(within.astype(np.int32)),
+        "tokens": tokens.cast(pa.list_(pa.int32())),
+        "n_tok": pa.array(clens.astype(np.int32)),
+    }
+    for extra in t.column_names:
+        if extra not in (id_col, "tokens", "n_tok", "chunk_id"):
+            col = t[extra].combine_chunks() if isinstance(t[extra], pa.ChunkedArray) else t[extra]
+            cols[extra] = pc.take(col, pa.array(row_idx, type=pa.int64()))
+    return pa.table(cols)
+
+
+def chunk_sequences(ds: Dataset, max_len: int = 128, id_col: str = "doc_id") -> Dataset:
+    """Dataset-level chunking stage (embarrassingly parallel, zero-shuffle)."""
+    return ds.map_batches(
+        chunk_batch,
+        fn_kwargs={"max_len": max_len, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1368,6 +1368,186 @@ FROM tok GROUP BY source
 """
 
 
+def q_unigram_surprisal(sf_dir: str) -> pd.DataFrame:
+    """Perplexity-style quality signal: corpus unigram LM (distributed
+    histogram) → broadcast dense −ln p table → one scan scores every
+    sequence; per-source mean surprisal.  Two-phase aggregate → broadcast →
+    scan, like ``oov_rate`` but with a real LM score."""
+    from ..functions.tokens import surprisal_stats
+    from ..schema import VOCAB_SIZE
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens", "source"], override_num_blocks=8
+    )
+    return surprisal_stats(ds, VOCAB_SIZE, group_col="source")
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+), cnt AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS s FROM cnt
+), seq AS (
+  SELECT doc_id, source, AVG(-LN(c / (SELECT s FROM tot))) AS surp
+  FROM tok JOIN cnt USING (token) GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_seqs, ROUND(AVG(surp), 6) AS avg_surprisal
+FROM seq GROUP BY source
+"""
+
+
+def q_chunk_stats(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking: split every sequence into ≤128-token chunks
+    (offsets-only rewrite, token buffer shared) and aggregate per-source
+    chunk counts FROM THE CHUNK OUTPUT — the oracle recomputes the expected
+    counts arithmetically from n_tok, so any kernel slip (lost/duplicated
+    token, off-by-one boundary) breaks equality."""
+    from ..functions.tokens import chunk_sequences
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "tokens", "source"],
+        override_num_blocks=8,
+    )
+    chunks = chunk_sequences(ds, max_len=128, id_col="doc_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        full = pc.cast(pc.equal(t["n_tok"], 128), pa.int64())
+        first = pc.cast(pc.equal(t["chunk_id"], 0), pa.int64())
+        flat = pa.table(
+            {"source": t["source"], "n_seqs": first, "n_chunks": pa.array([1] * len(t), pa.int64()),
+             "n_full": full, "tokens_out": pc.cast(t["n_tok"], pa.int64())}
+        )
+        g = flat.group_by(["source"]).aggregate(
+            [("n_seqs", "sum"), ("n_chunks", "sum"), ("n_full", "sum"), ("tokens_out", "sum")]
+        )
+        return pa.table(
+            {"source": g["source"], "n_seqs": g["n_seqs_sum"], "n_chunks": g["n_chunks_sum"],
+             "n_full": g["n_full_sum"], "tokens_out": g["tokens_out_sum"]}
+        )
+
+    parts = chunks.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)
+    return _i64(out, ["n_seqs", "n_chunks", "n_full", "tokens_out"])
+
+
+SQL_CHUNK_STATS = f"""
+SELECT source, COUNT(*) AS n_seqs,
+       SUM(GREATEST((n_tok + 127) // 128, 1)) AS n_chunks,
+       SUM(n_tok // 128) AS n_full,
+       SUM(n_tok) AS tokens_out
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+GROUP BY source
+"""
+
+
+def q_contamination_check(sf_dir: str) -> pd.DataFrame:
+    """Benchmark-contamination scan: distinct word-3-grams of the held-out
+    subset (doc_id % 29 == 0) are built distributed, unioned on the driver
+    (benchmark-sized), broadcast once, then one streaming pass counts each
+    remaining doc's overlapping gram occurrences."""
+    from ..functions.grams import contamination_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    return contamination_counts(ds, bench_mod=29, k=3)
+
+
+SQL_CONTAMINATION = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0
+), hits AS (
+  SELECT doc_id, source, SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS n_hit
+  FROM grams WHERE doc_id % 29 <> 0 GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS n_contaminated,
+       SUM(n_hit) AS total_hits
+FROM hits GROUP BY source
+"""
+
+
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Intra-document repetition detector: per-source total vs DISTINCT
+    3-gram counts (zero-shuffle — per-doc stats are block-local, only
+    per-source partials reduce)."""
+    from ..functions.grams import repetition_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    return repetition_stats(ds, k=3)
+
+
+SQL_REPETITION = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS tot, COUNT(DISTINCT g) AS dst
+  FROM grams GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN tot > dst THEN 1 ELSE 0 END) AS n_repetitive,
+       SUM(tot) AS total_grams, SUM(dst) AS distinct_grams
+FROM per_doc GROUP BY source
+"""
+
+
+def q_domain_mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Mixture resampling: each source carries a target keep-rate
+    (deterministic {.25,.5,.75,1.0} from the source id); membership is a
+    pure hash function of doc_id (md5-fraction, like ``split_counts``) so
+    the sample is reproducible across runs/partitionings and never requires
+    a shuffle — one streaming tag+count pass."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    thresholds = pa.array(["40000000", "80000000", "c0000000", None], type=pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        # % 4 as bit_wise_and(x, 3): pyarrow.compute has no mod kernel
+        m = pc.cast(
+            pc.bit_wise_and(pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 10), pa.int64()), 3),
+            pa.int32(),
+        )
+        thr = pc.take(thresholds, m)
+        h8 = pc.utf8_slice_codeunits(
+            md5_hex(pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":mix", "")),
+            0, 8,
+        )
+        keep = pc.fill_null(pc.less(h8, thr), True)  # rate 1.0 → keep all
+        flat = pa.table(
+            {"source": t["source"],
+             "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+             "n_kept": pc.cast(keep, pa.int64())}
+        )
+        g = flat.group_by(["source"]).aggregate([("n_docs", "sum"), ("n_kept", "sum")])
+        return pa.table(
+            {"source": g["source"], "n_docs": g["n_docs_sum"], "n_kept": g["n_kept_sum"]}
+        )
+
+    parts = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)
+    return _i64(out, ["n_docs", "n_kept"])
+
+
+SQL_DOMAIN_MIX = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 3 THEN 1
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+                     CASE CAST(substr(source, 4) AS INT) % 4
+                          WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+                          ELSE 'c0000000' END
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -2008,6 +2188,21 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "oov_rate": QuerySpec(
         q_oov_rate, SQL_OOV_RATE, "vocab build → broadcast → OOV-rate scan (two-phase)"
+    ),
+    "unigram_surprisal": QuerySpec(
+        q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL, "unigram-LM perplexity quality signal"
+    ),
+    "chunk_stats": QuerySpec(
+        q_chunk_stats, SQL_CHUNK_STATS, "context-window chunking vs arithmetic oracle"
+    ),
+    "contamination_check": QuerySpec(
+        q_contamination_check, SQL_CONTAMINATION, "benchmark n-gram contamination scan"
+    ),
+    "repetition_stats": QuerySpec(
+        q_repetition_stats, SQL_REPETITION, "intra-doc repeated-gram detector"
+    ),
+    "domain_mix_sample": QuerySpec(
+        q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"
     ),
 }
 

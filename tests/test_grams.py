@@ -1,0 +1,94 @@
+"""Gram-based curation operators vs pure-Python oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from commerce_logs_pipeline_ray.functions.grams import (
+    benchmark_gram_set,
+    contamination_counts,
+    repetition_stats,
+)
+
+
+def _grams(text: str, k: int = 3) -> list[str]:
+    w = text.split(" ")
+    return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+
+def _corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    rows = []
+    vocab = [f"w{i}" for i in range(40)]
+    for i in range(120):
+        words = list(rng.choice(vocab, size=12))
+        rows.append({"doc_id": i, "source": f"s{i % 3}", "text": " ".join(words)})
+    # doc 29 and 58 are "benchmark" (29 % 29 == 0 is False for 29... use 0, 29k)
+    # benchmark membership is doc_id % 29 == 0: docs 0, 29, 58, 87, 116
+    # plant contamination: doc 5 copies a 3-gram from benchmark doc 0
+    bench_gram = " ".join(rows[0]["text"].split(" ")[:3])
+    rows[5]["text"] = bench_gram + " " + rows[5]["text"]
+    # plant repetition: doc 7 repeats one gram twice
+    rows[7]["text"] = "a b c a b c x"
+    return pd.DataFrame(rows)
+
+
+def _ds(df, blocks=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_benchmark_gram_set_matches_python(ray_session):
+    df = _corpus()
+    got = benchmark_gram_set(_ds(df), bench_mod=29, k=3)
+    bench_docs = df[df["doc_id"] % 29 == 0]
+    n_expected = len({g for t in bench_docs["text"] for g in _grams(t)})
+    assert len(got) == n_expected  # distinct hash count == distinct gram count
+
+
+def test_contamination_counts_vs_python_oracle(ray_session):
+    df = _corpus()
+    out = contamination_counts(_ds(df), bench_mod=29, k=3).set_index("source")
+
+    bench = {g for t in df[df["doc_id"] % 29 == 0]["text"] for g in _grams(t)}
+    rest = df[df["doc_id"] % 29 != 0]
+    ref = {}
+    for _, r in rest.iterrows():
+        hits = sum(g in bench for g in _grams(r["text"]))
+        a = ref.setdefault(r["source"], [0, 0, 0])
+        a[0] += 1
+        a[1] += int(hits > 0)
+        a[2] += hits
+    for s, (nd, nc, th) in ref.items():
+        assert out.loc[s, "n_docs"] == nd
+        assert out.loc[s, "n_contaminated"] == nc
+        assert out.loc[s, "total_hits"] == th
+    # the planted copy must register
+    assert out["n_contaminated"].sum() >= 1
+
+
+def test_contamination_partition_invariant(ray_session):
+    df = _corpus()
+    a = contamination_counts(_ds(df, 2), bench_mod=29)
+    b = contamination_counts(_ds(df, 9), bench_mod=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_repetition_stats_vs_python_oracle(ray_session):
+    df = _corpus()
+    out = repetition_stats(_ds(df), k=3).set_index("source")
+    ref = {}
+    for _, r in df.iterrows():
+        gs = _grams(r["text"])
+        a = ref.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(len(gs) > len(set(gs)))
+        a[2] += len(gs)
+        a[3] += len(set(gs))
+    for s, (nd, nr, tot, dst) in ref.items():
+        assert tuple(out.loc[s, ["n_docs", "n_repetitive", "total_grams", "distinct_grams"]]) == (
+            nd, nr, tot, dst
+        ), s
+    # the planted "a b c a b c x" doc repeats gram "a b c"
+    assert out.loc["s1", "n_repetitive"] >= 1

@@ -190,3 +190,60 @@ def test_sequence_dedup_stats_counts_planted_duplicates(ray_session):
     for s in ref.index:
         assert got.loc[s, "n_seqs"] == ref.loc[s, "n_seqs"]
         assert got.loc[s, "n_unique"] == ref.loc[s, "n_unique"]
+
+
+def test_chunk_sequences_bit_exact_conservation(ray_session):
+    """Concatenating each doc's chunks in chunk_id order reproduces the
+    original token array bit-exactly, at any partitioning."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import chunk_sequences
+
+    rng = np.random.default_rng(11)
+    rows = [rng.integers(0, 1000, size=int(n)).tolist() for n in rng.integers(1, 300, size=80)]
+    rows.append([])  # empty sequence → one empty chunk
+    ids = [f"d{i}" for i in range(len(rows))]
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "source": pa.array(["s"] * len(rows)),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+    out = chunk_sequences(ds, max_len=64).to_pandas()
+    assert (out["n_tok"] <= 64).all()
+    out = out.sort_values(["doc_id", "chunk_id"])
+    rebuilt = out.groupby("doc_id")["tokens"].agg(lambda s: [x for c in s for x in c])
+    for i, d in enumerate(ids):
+        assert list(rebuilt[d]) == rows[i], d
+    # chunk counts: ceil(n/64), min 1
+    n_chunks = out.groupby("doc_id").size()
+    for i, d in enumerate(ids):
+        assert n_chunks[d] == max((len(rows[i]) + 63) // 64, 1), d
+
+
+def test_surprisal_stats_vs_python_oracle(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import surprisal_stats
+
+    rng = np.random.default_rng(5)
+    V = 50
+    rows = [rng.integers(0, V, size=int(n)).tolist() for n in rng.integers(3, 40, size=60)]
+    src = [f"s{i % 4}" for i in range(len(rows))]
+    t = pa.table({
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        "source": pa.array(src),
+    })
+    out = surprisal_stats(rd.from_arrow(t).repartition(5), V).set_index("source")
+
+    cnt = Counter(x for r in rows for x in r)
+    total = sum(cnt.values())
+    per_seq = [sum(-math.log(cnt[x] / total) for x in r) / len(r) for r in rows]
+    ref = pd.DataFrame({"source": src, "surp": per_seq}).groupby("source")["surp"].agg(
+        ["count", "mean"]
+    )
+    for s in ref.index:
+        assert out.loc[s, "n_seqs"] == ref.loc[s, "count"]
+        assert abs(out.loc[s, "avg_surprisal"] - round(ref.loc[s, "mean"], 6)) <= 1e-6
