@@ -1548,6 +1548,117 @@ FROM documents GROUP BY source
 """
 
 
+def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Vector AGGREGATE over the embedding column: per-label centroid
+    (dimension-wise mean).  Per-batch partials are (label, sum-vector, n)
+    — one ``np.add.at`` scatter per batch over the zero-copy matrix view —
+    and only |labels|·d floats ever reduce; rows never shuffle."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sums": pa.array([], pa.list_(pa.float64()))})
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        labels = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(uniq), "n": pa.array(n),
+             "sums": pa.array(list(sums), type=pa.list_(pa.float64()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows = []
+    for label, g in parts.groupby("label"):
+        n = int(g["n"].sum())
+        s = np.sum(np.stack([np.asarray(x) for x in g["sums"]]), axis=0)
+        cent = np.round(s / n, 6)
+        rows.extend(
+            {"label": int(label), "dim": d, "n": n, "centroid": float(v)}
+            for d, v in enumerate(cent)
+        )
+    return pd.DataFrame(rows).sort_values(["label", "dim"], ignore_index=True)
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS dim, emb[i] AS v
+  FROM e, unnest(generate_series(1, len(emb))) AS t(i)
+)
+SELECT CAST(label AS BIGINT) AS label, dim, COUNT(*) AS n, ROUND(AVG(v), 6) AS centroid
+FROM ex GROUP BY label, dim
+"""
+
+
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Domain-drift detector: KL(P(token|source) ‖ P(token)) per source over
+    the tokens payload.  Per-batch (source, token) count partials →
+    distributed bucketed reduce → the ≤|sources|·|vocab| count rows (vocab
+    is bounded, not corpus-sized) finish on the driver."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens", "source"], override_num_blocks=8
+    )
+    from ..functions.tokens import _flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]].astype(np.int64)
+        lens = np.diff(offsets - offsets[0])
+        src = pc.take(
+            t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"],
+            pa.array(np.repeat(np.arange(len(t)), lens), type=pa.int64()),
+        )
+        flat = pa.table({"source": src, "token": pa.array(window), "c": pa.array(np.ones(len(window), np.int64))})
+        g = flat.group_by(["source", "token"]).aggregate([("c", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"], "c": g["c_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    st = bucketed_group_reduce(
+        partials, ["source", "token"],
+        lambda df: df.groupby(["source", "token"], as_index=False)["c"].sum(),
+    ).to_pandas()
+    ns = st.groupby("source")["c"].transform("sum")
+    ct = st.groupby("token")["c"].transform("sum")
+    n = float(st["c"].sum())
+    p_ts = st["c"] / ns
+    term = p_ts * np.log(p_ts / (ct / n))
+    out = (
+        pd.DataFrame({"source": st["source"], "term": term})
+        .groupby("source", as_index=False)["term"].sum()
+        .rename(columns={"term": "kl"})
+    )
+    out["kl"] = out["kl"].round(6)
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_SOURCE_KL = f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY source, token
+), s AS (
+  SELECT source, SUM(c) AS ns FROM st GROUP BY source
+), t AS (
+  SELECT token, SUM(c) AS ct FROM st GROUP BY token
+), tot AS (
+  SELECT SUM(c) AS n FROM st
+)
+SELECT st.source, ROUND(SUM((c / ns) * LN((c / ns) / (ct / (SELECT n FROM tot)))), 6) AS kl
+FROM st JOIN s USING (source) JOIN t USING (token)
+GROUP BY st.source
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -2203,6 +2314,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "domain_mix_sample": QuerySpec(
         q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"
+    ),
+    "embedding_centroids": QuerySpec(
+        q_embedding_centroids, SQL_EMBEDDING_CENTROIDS, "per-label embedding centroid (vector agg)"
+    ),
+    "source_kl": QuerySpec(
+        q_source_kl, SQL_SOURCE_KL, "KL(P(token|source) || P(token)) domain drift"
     ),
 }
 
