@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "span_assembly",
     "token_frequency_topk",
     "loglines_extract",
+    "dedup_sequences",
+    "unigram_surprisal",
+    "chunk_stats",
+    "contamination_check",
+    "source_kl",
 ]
 
 

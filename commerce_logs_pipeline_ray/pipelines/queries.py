@@ -1246,7 +1246,9 @@ def q_dedup_sequences(sf_dir: str) -> pd.DataFrame:
     token arrays, only 24-byte fingerprint rows."""
     from ..functions.tokens import sequence_dedup_stats
 
-    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens", "source"])
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens", "source"], override_num_blocks=8
+    )
     return sequence_dedup_stats(ds, group_col="source")
 
 
@@ -1602,30 +1604,7 @@ def q_source_kl(sf_dir: str) -> pd.DataFrame:
     the tokens payload.  Per-batch (source, token) count partials →
     distributed bucketed reduce → the ≤|sources|·|vocab| count rows (vocab
     is bounded, not corpus-sized) finish on the driver."""
-    from ..functions.relational import bucketed_group_reduce
-
-    ds = rd.read_parquet(
-        ensure_derived_parquet(sf_dir), columns=["tokens", "source"], override_num_blocks=8
-    )
-    from ..functions.tokens import _flat_tokens
-
-    def partial(t: pa.Table) -> pa.Table:
-        values, offsets = _flat_tokens(t)
-        window = values[offsets[0] : offsets[-1]].astype(np.int64)
-        lens = np.diff(offsets - offsets[0])
-        src = pc.take(
-            t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"],
-            pa.array(np.repeat(np.arange(len(t)), lens), type=pa.int64()),
-        )
-        flat = pa.table({"source": src, "token": pa.array(window), "c": pa.array(np.ones(len(window), np.int64))})
-        g = flat.group_by(["source", "token"]).aggregate([("c", "sum")])
-        return pa.table({"source": g["source"], "token": g["token"], "c": g["c_sum"]})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    st = bucketed_group_reduce(
-        partials, ["source", "token"],
-        lambda df: df.groupby(["source", "token"], as_index=False)["c"].sum(),
-    ).to_pandas()
+    st = _source_token_counts(sf_dir)
     ns = st.groupby("source")["c"].transform("sum")
     ct = st.groupby("token")["c"].transform("sum")
     n = float(st["c"].sum())
@@ -1656,6 +1635,82 @@ WITH tok AS (
 SELECT st.source, ROUND(SUM((c / ns) * LN((c / ns) / (ct / (SELECT n FROM tot)))), 6) AS kl
 FROM st JOIN s USING (source) JOIN t USING (token)
 GROUP BY st.source
+"""
+
+
+def _source_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed (source, token, c) reduce shared by source_kl/tfidf —
+    bounded by |sources|·|vocab| rows, never corpus-sized."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..functions.tokens import _flat_tokens
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens", "source"], override_num_blocks=8
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]].astype(np.int64)
+        lens = np.diff(offsets - offsets[0])
+        src = pc.take(
+            t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"],
+            pa.array(np.repeat(np.arange(len(t)), lens), type=pa.int64()),
+        )
+        flat = pa.table(
+            {"source": src, "token": pa.array(window),
+             "c": pa.array(np.ones(len(window), np.int64))}
+        )
+        g = flat.group_by(["source", "token"]).aggregate([("c", "sum")])
+        return pa.table({"source": g["source"], "token": g["token"], "c": g["c_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_reduce(
+        partials, ["source", "token"],
+        lambda df: df.groupby(["source", "token"], as_index=False)["c"].sum(),
+    ).to_pandas()
+
+
+def q_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Distinctive tokens per source: tf-idf = (c/ns)·ln(S/df) with df =
+    #sources containing the token; top-3 per source, ties broken by token id.
+    Same distributed (source, token) reduce as ``source_kl``; the ranking
+    runs on the bounded |sources|·|vocab| stats table."""
+    st = _source_token_counts(sf_dir)
+    ns = st.groupby("source")["c"].transform("sum")
+    df_t = st.groupby("token")["source"].transform("size")
+    S = st["source"].nunique()
+    st = st.assign(tfidf=np.round((st["c"] / ns) * np.log(S / df_t), 6))
+    out = (
+        st.sort_values(["source", "tfidf", "token"], ascending=[True, False, True])
+        .groupby("source", sort=False)
+        .head(3)
+        .loc[:, ["source", "token", "tfidf"]]
+        .reset_index(drop=True)
+    )
+    return _i64(out, ["token"])
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT source, UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY source, token
+), s AS (
+  SELECT source, SUM(c) AS ns FROM st GROUP BY source
+), d AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM st GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS S FROM st
+), scored AS (
+  SELECT st.source, st.token,
+         ROUND((c / ns) * LN((SELECT S FROM n) / df), 6) AS tfidf
+  FROM st JOIN s USING (source) JOIN d USING (token)
+)
+SELECT source, token, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3
 """
 
 
@@ -2320,6 +2375,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "source_kl": QuerySpec(
         q_source_kl, SQL_SOURCE_KL, "KL(P(token|source) || P(token)) domain drift"
+    ),
+    "tfidf_topk": QuerySpec(
+        q_tfidf_topk, SQL_TFIDF_TOPK, "top-3 distinctive tokens per source by tf-idf"
     ),
 }
 
