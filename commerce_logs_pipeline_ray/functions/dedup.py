@@ -570,41 +570,71 @@ def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3, bands: int = 4) -
     band_mask = np.uint64((1 << bits_per_band) - 1)
 
     def explode(t: pa.Table) -> pa.Table:
-        sims = t["simhash"].to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_pylist()
-        band_id, band_val, doc = [], [], []
-        for b in range(bands):
-            chunk = (sims >> np.uint64(bits_per_band * b)) & band_mask
-            band_id.extend([b] * len(ids))
-            band_val.extend(chunk.tolist())
-            doc.extend(ids)
+        """fp → one (band_id, band_val, doc_id, simhash) row per band —
+        all columns built by numpy repeat/shift, no per-row Python."""
+        sims = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sims)
+        shifts = (np.uint64(bits_per_band) * np.arange(bands, dtype=np.uint64))[:, None]
+        vals = ((sims[None, :] >> shifts) & band_mask).astype(np.int64)  # (bands, n)
+        doc_arr = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
         return pa.table(
             {
-                "band_id": pa.array(band_id, type=pa.int32()),
-                "band_val": pa.array(band_val, type=pa.int64()),
-                "doc_id": pa.array(doc),
+                "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_val": pa.array(vals.reshape(-1)),
+                "doc_id": pa.concat_arrays([doc_arr] * bands) if bands > 1 else doc_arr,
                 "simhash": pa.array(np.tile(sims, bands)),
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        hs = rows["simhash"].tolist()
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    out.append((ids[i], ids[j], d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
-    pairs = (
-        fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per coarse bucket: pairwise Hamming distances within each
+        (band_id, band_val) group — XOR + byte-table popcount, vectorized
+        over all candidate pairs at once."""
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="object"), "doc_b": pd.Series(dtype="object"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        df = df.drop_duplicates(["band_id", "band_val", "doc_id"]).sort_values(
+            ["band_id", "band_val", "doc_id"], kind="stable"
+        )
+        n = len(df)
+        if n == 0:
+            return empty
+        bi = df["band_id"].to_numpy()
+        bv = df["band_val"].to_numpy()
+        change = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, n])
+        ids = df["doc_id"].to_numpy()
+        hs = df["simhash"].to_numpy().astype(np.uint64)
+        ii_all, jj_all = [], []
+        for s, m in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ii, jj = np.triu_indices(m, k=1)
+            ii_all.append(ii + s)
+            jj_all.append(jj + s)
+        if not ii_all:
+            return empty
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        d = _popcount64(hs[ii] ^ hs[jj])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
+             "hamming": d[keep].astype(np.int64)}
+        )
+
+    from .relational import bucketed_group_reduce
+
+    pairs = bucketed_group_reduce(
+        fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["band_id", "band_val"],
+        bucket_pairs,
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
     return (

@@ -25,6 +25,14 @@ SUBSET = [
     "embedding_neardup",
     "dedup_clusters",
     "dedup_survivors",
+    "chunk_stats",
+    "contamination_check",
+    "repetition_stats",
+    "domain_mix_sample",
+    "unigram_surprisal",
+    "source_kl",
+    "tfidf_topk",
+    "embedding_centroids",
 ]
 
 
@@ -45,7 +53,12 @@ def test_query_matches_oracle(name, con, ray_session):
     ray_df = spec.fn(SF_DIR)
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
-    sql_df = con.execute(spec.sql).df()
+    # artifact-backed oracle SQL hardcodes the driver's sf0.01 dir — retarget
+    # to this sf's artifacts (same rewrite as tools/check_queries.py)
+    from commerce_logs_pipeline_ray.pipelines.queries import ORACLE_ARTIFACT_DIR
+    from commerce_logs_pipeline_ray.sources.loglines_file import corpus_dir
+
+    sql_df = con.execute(spec.sql.replace(ORACLE_ARTIFACT_DIR, corpus_dir(SF_DIR))).df()
     problems = compare(name, ray_df, sql_df)
     assert not problems, problems
 
