@@ -74,7 +74,14 @@ class PipelineConfig:
     enrich_mode: str = "tasks"                # "tasks" (broadcast ref) | "actors" (pool)
     enrich_concurrency: int = 4               # actor-pool size when enrich_mode="actors"
     salt_mod: int = 8                         # >1 → salted two-stage reduce
-    agg_mode: str = "shuffle"                 # "shuffle" (salted groupby) | "tree" (coalesce reduce)
+    # final-reduce plan.  The per-sink aggregate's key space is BOUNDED
+    # (|sinks|×|sources|×|buckets| — hundreds of rows), so the right plan is
+    # a combiner tree over the already-additive partials: no all-to-all at
+    # all, and the sort-shuffle's fixed spin-up (~4 s/execution, measured)
+    # stops throttling high-CPU runs.  "shuffle" keeps the explicit
+    # salted hash-exchange for UNBOUNDED key spaces (both modes bit-equal,
+    # tests/test_flagship.py).
+    agg_mode: str = "tree"                    # "tree" (coalesce reduce) | "shuffle" (salted groupby)
     num_shards: int = 1                       # checkpoint granularity
     write_routed: bool = True                 # False → aggregate-only (bench tail)
     # Hive-style layout under each sink: routed/{sink}/shard=N/col=val/…
