@@ -414,3 +414,82 @@ def chunk_sequences(ds: Dataset, max_len: int = 128, id_col: str = "doc_id") -> 
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-pass exact top-k without a token exchange
+# ---------------------------------------------------------------------------
+
+def heavy_hitters_topk(ds: Dataset, k: int = 20, capacity: int = 256) -> pd.DataFrame:
+    """EXACT top-k tokens via the classic two-pass heavy-hitter pattern —
+    no shuffle at all, unlike :func:`token_frequency`'s grouped exchange:
+
+    1. **Candidate pass**: per batch, keep tokens with batch count >
+       |batch|/``capacity``.  Pigeonhole: any token with GLOBAL frequency
+       > n/capacity must clear that bar in ≥1 batch, and at most
+       ``capacity`` tokens per batch can — so the union (driver-side,
+       ≤ capacity × blocks rows) provably contains every global heavy
+       hitter.  Exactness requires the k-th frequency > n/capacity (true
+       for any Zipf-ish corpus; raise ``capacity`` otherwise — the result
+       degrades loudly via the assertion, never silently).
+    2. **Verify pass**: broadcast the candidate set, count ONLY candidates
+       exactly in one streaming scan, take the top-k.
+
+    Works for unbounded key domains (bigrams, URLs) where a dense
+    histogram is impossible; per-batch work is one ``np.bincount``-free
+    ``pc.value_counts``.
+    """
+    import ray as _ray
+
+    def candidates(t: pa.Table) -> pa.Table:
+        """ONE row per batch: (candidate token list, batch token total)."""
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        vc = pc.value_counts(pa.array(window))
+        counts = pc.struct_field(vc, "counts")
+        mask = pc.greater(counts, pa.scalar(len(window) // capacity, pa.int64()))
+        toks = pc.struct_field(vc, "values").filter(mask)
+        return pa.table(
+            {"cands": pa.array([toks.to_pylist()], type=pa.list_(pa.int32())),
+             "n_batch": pa.array([len(window)], pa.int64())}
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_total = int(cand["n_batch"].sum())
+    cand_tokens = np.unique(
+        np.concatenate([np.asarray(x, np.int32) for x in cand["cands"]])
+    ) if len(cand) else np.zeros(0, np.int32)
+    if len(cand_tokens) < k:
+        # fewer certified candidates than requested — the distribution is too
+        # flat for this capacity; a silent short result would be unsound
+        raise AssertionError(
+            f"heavy_hitters_topk: only {len(cand_tokens)} candidates cleared "
+            f"n/capacity — raise capacity for exactness"
+        )
+    cand_ref = _ray.put(cand_tokens)
+
+    def exact(t: pa.Table) -> pa.Table:
+        cs = _ray.get(cand_ref) if isinstance(cand_ref, _ray.ObjectRef) else cand_ref
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        idx = np.searchsorted(cs, window)
+        idx[idx == len(cs)] = 0
+        hit = cs[idx] == window if len(cs) else np.zeros(len(window), bool)
+        cnt = np.bincount(idx[hit], minlength=len(cs)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"token": pa.array(cs[nz].astype(np.int64)), "count": pa.array(cnt[nz])}
+        )
+
+    parts = ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("token", as_index=False)["count"].sum()
+    agg = agg.sort_values(["count", "token"], ascending=[False, True], ignore_index=True)
+    out = agg.head(k).reset_index(drop=True)
+    # soundness check: the k-th hitter must clear the pigeonhole bar, else
+    # capacity was too small for this distribution — fail loudly, never
+    # return a silently-unsound top-k
+    assert len(out) < k or out["count"].iloc[-1] > n_total / capacity, (
+        f"heavy_hitters_topk: k-th count {out['count'].iloc[-1]} ≤ n/capacity "
+        f"{n_total / capacity:.1f} — raise capacity for exactness"
+    )
+    return out[["token", "count"]]

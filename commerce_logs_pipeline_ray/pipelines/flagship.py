@@ -75,13 +75,16 @@ class PipelineConfig:
     enrich_concurrency: int = 4               # actor-pool size when enrich_mode="actors"
     salt_mod: int = 8                         # >1 → salted two-stage reduce
     # final-reduce plan.  The per-sink aggregate's key space is BOUNDED
-    # (|sinks|×|sources|×|buckets| — hundreds of rows), so the right plan is
-    # a combiner tree over the already-additive partials: no all-to-all at
-    # all, and the sort-shuffle's fixed spin-up (~4 s/execution, measured)
-    # stops throttling high-CPU runs.  "shuffle" keeps the explicit
-    # salted hash-exchange for UNBOUNDED key spaces (both modes bit-equal,
-    # tests/test_flagship.py).
-    agg_mode: str = "tree"                    # "tree" (coalesce reduce) | "shuffle" (salted groupby)
+    # (|sinks|×|sources|×|buckets| — hundreds of rows) and the write stage's
+    # fused combiner already collapsed raw rows, so the right plan is to
+    # merge the KB-sized partial stream on the driver: the job then has NO
+    # all-to-all operator at all, and the streaming executor's AllToAll
+    # resource reservation stops starving the fused map stage (measured
+    # 2.4×-at-8-CPUs / see stages/aggregate.py::final_agg).  "shuffle"
+    # keeps the explicit salted hash-exchange for UNBOUNDED key spaces;
+    # "tree" is the in-graph middle ground.  All modes bit-equal
+    # (tests/test_flagship.py).
+    agg_mode: str = "driver"                  # "driver" | "tree" | "shuffle"
     num_shards: int = 1                       # checkpoint granularity
     write_routed: bool = True                 # False → aggregate-only (bench tail)
     # Hive-style layout under each sink: routed/{sink}/shard=N/col=val/…
@@ -404,7 +407,12 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
             num_cpus=cfg.write_num_cpus,
         )
         shard_agg = final_agg(partials, keys=AGG_KEYS, salted=cfg.salt_mod > 1, mode=cfg.agg_mode)
-        agg_table = pa.Table.from_pandas(shard_agg.to_pandas(), preserve_index=False)
+        if hasattr(shard_agg, "to_pandas"):  # Dataset (shuffle/tree modes)
+            stats_src, agg_pdf = shard_agg, shard_agg.to_pandas()
+        else:  # driver mode returns the merged pandas frame; stats live on
+            # the consumed partial stream's plan
+            stats_src, agg_pdf = partials, shard_agg
+        agg_table = pa.Table.from_pandas(agg_pdf, preserve_index=False)
         agg_table = agg_table.select(AGG_SCHEMA.names).cast(AGG_SCHEMA)
         pq.write_table(agg_table, agg_path)
 
@@ -417,7 +425,7 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
             per_sink[sink] = int(cnt)
         wall = time.perf_counter() - t_shard
         try:
-            op_walls = _stats_summary(shard_agg.stats())
+            op_walls = _stats_summary(stats_src.stats())
         except Exception:  # stats formatting is best-effort telemetry
             op_walls = {}
         record = {

@@ -548,7 +548,7 @@ def q_pipeline_docs(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    out = final_agg(partials, keys=[*_PIPE_KEYS, "n_tok_bucket"], salted=False).to_pandas()
+    out = final_agg(partials, keys=[*_PIPE_KEYS, "n_tok_bucket"], salted=False)
     return _i64(out, ["n_tok_bucket", "row_count", "token_count"])
 
 
@@ -1714,6 +1714,49 @@ SELECT source, token, tfidf FROM (
 """
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """EXACT top-20 tokens via the two-pass heavy-hitter pattern (pigeonhole
+    candidate pass → broadcast exact-count verify) — zero shuffles, vs
+    ``token_frequency_topk``'s grouped exchange.  Same oracle shape."""
+    from ..functions.tokens import heavy_hitters_topk
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8
+    )
+    return heavy_hitters_topk(ds, k=20, capacity=256)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+)
+SELECT CAST(token AS BIGINT) AS token, COUNT(*) AS count
+FROM tok GROUP BY token ORDER BY count DESC, token LIMIT 20
+"""
+
+
+def q_curriculum_order(sf_dir: str) -> pd.DataFrame:
+    """Curriculum ordering: GLOBAL distributed sort (``Dataset.sort`` — the
+    real range-partitioned exchange, not the top-k prune) of the corpus by
+    difficulty proxy (n_tok asc, doc_id tiebreak); first 50 rows of the
+    sorted stream.  At scale the sorted dataset would stream straight into
+    a partitioned writer; the limit keeps the oracle comparable."""
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "n_tok", "source"],
+        override_num_blocks=8,
+    )
+    out = ds.sort(["n_tok", "doc_id"]).limit(50).to_pandas()
+    return _i64(out, ["n_tok"])
+
+
+SQL_CURRICULUM_ORDER = f"""
+SELECT doc_id, n_tok, source
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+ORDER BY n_tok, doc_id LIMIT 50
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -2378,6 +2421,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "tfidf_topk": QuerySpec(
         q_tfidf_topk, SQL_TFIDF_TOPK, "top-3 distinctive tokens per source by tf-idf"
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters, SQL_HEAVY_HITTERS, "two-pass exact heavy hitters (zero-shuffle top-k)"
+    ),
+    "curriculum_order": QuerySpec(
+        q_curriculum_order, SQL_CURRICULUM_ORDER, "global distributed sort by difficulty proxy"
     ),
 }
 

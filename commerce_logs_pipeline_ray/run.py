@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--batch-size", type=int, default=32768)
     f.add_argument("--enrich-mode", choices=["tasks", "actors"], default="tasks")
     f.add_argument("--enrich-concurrency", type=int, default=4)
-    f.add_argument("--agg-mode", choices=["shuffle", "tree"], default="tree")
+    f.add_argument("--agg-mode", choices=["driver", "tree", "shuffle"], default="driver")
     f.add_argument("--validate", action="store_true", help="semantic validation stage")
     f.add_argument("--no-write-routed", action="store_true")
     f.add_argument("--partition-by", default=None,

@@ -408,12 +408,12 @@ def test_watch_out_of_order_arrival_does_not_reprocess(tmp_path, ray_session):
 
 
 def test_agg_modes_bit_equal(small_sequences, tmp_path_factory, ray_session):
-    """tree (combiner coalesce, default) and shuffle (salted hash-exchange)
-    final reduces produce identical aggregate tables."""
+    """driver (partials merged driver-side, default), tree (coalesce) and
+    shuffle (salted hash-exchange) final reduces produce identical tables."""
     paths, _ = small_sequences
     base = dict(input_dir=os.path.dirname(paths[0]), num_shards=1)
     results = {}
-    for mode in ("tree", "shuffle"):
+    for mode in ("driver", "tree", "shuffle"):
         out = tmp_path_factory.mktemp(f"agg_{mode}") / "out"
         res = run_flagship(PipelineConfig(output_dir=str(out), agg_mode=mode, salt_mod=8, **base))
         results[mode] = (
@@ -421,4 +421,5 @@ def test_agg_modes_bit_equal(small_sequences, tmp_path_factory, ray_session):
             .sort_values(["sink", "source", "n_tok_bucket"])
             .reset_index(drop=True)
         )
+    assert results["driver"].equals(results["shuffle"])
     assert results["tree"].equals(results["shuffle"])

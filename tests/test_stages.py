@@ -101,7 +101,7 @@ def test_partial_plus_final_agg_equals_oracle(small_sequences, ray_session):
         partial = partial_agg(routed, salt_mod=salt)
         ds = rd.from_arrow(partial)
         got = {}
-        for r in final_agg(ds, salted=salt > 1).to_pandas().to_dict("records"):
+        for r in final_agg(ds, salted=salt > 1).to_dict("records"):
             got[(r["sink"], r["source"], r["tenant"], r["n_tok_bucket"])] = (
                 int(r["row_count"]),
                 int(r["token_count"]),

@@ -247,3 +247,38 @@ def test_surprisal_stats_vs_python_oracle(ray_session):
     for s in ref.index:
         assert out.loc[s, "n_seqs"] == ref.loc[s, "count"]
         assert abs(out.loc[s, "avg_surprisal"] - round(ref.loc[s, "mean"], 6)) <= 1e-6
+
+
+def test_heavy_hitters_matches_exact_topk(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import heavy_hitters_topk
+
+    rng = np.random.default_rng(9)
+    # Zipf-ish: heavy head + uniform tail over a large domain
+    head = rng.integers(0, 30, size=8000)
+    tail = rng.integers(30, 100000, size=4000)
+    toks = np.concatenate([head, tail])
+    rng.shuffle(toks)
+    rows = np.array_split(toks, 300)
+    t = pa.table({"tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))})
+    want = Counter(int(x) for x in toks)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    for blocks in (3, 11):
+        got = heavy_hitters_topk(rd.from_arrow(t).repartition(blocks), k=15, capacity=256)
+        assert list(zip(got["token"], got["count"])) == ranked, blocks
+
+
+def test_heavy_hitters_capacity_guard(ray_session):
+    """A flat distribution whose k-th count can't clear n/capacity must fail
+    loudly, not return an unsound top-k."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import heavy_hitters_topk
+
+    rng = np.random.default_rng(2)
+    toks = rng.permutation(np.repeat(np.arange(5000, dtype=np.int32), 2))
+    rows = np.array_split(toks, 50)
+    t = pa.table({"tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))})
+    with pytest.raises(AssertionError, match="raise capacity"):
+        heavy_hitters_topk(rd.from_arrow(t).repartition(4), k=10, capacity=8)
