@@ -2278,6 +2278,244 @@ SELECT event_type, COUNT(*) AS n FROM (
 """
 
 # ---------------------------------------------------------------------------
+# Scrub / normalize / sampling curation operators
+# ---------------------------------------------------------------------------
+
+def ensure_messy_parquet(sf_dir: str) -> str:
+    """Materialize the planted-PII messy corpus (sources/messy.py) in the
+    shared oracle-artifact dir; both oracle sides read the same file."""
+    import os as _os
+
+    from ..sources.messy import build_messy_table
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "messy.parquet"),
+        lambda: build_messy_table(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        ),
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction scan over the messy corpus: one vectorized RE2 pass per
+    PII class + the rewrite chain inside ``map_batches``; only per-source
+    counter partials (≤ |sources| rows per block) reach the reduce.  At
+    scale the scrubbed text column streams straight into a partitioned
+    writer — it never leaves the map stage here either."""
+    from ..functions.scrub import pii_partials
+
+    ds = rd.read_parquet(ensure_messy_parquet(sf_dir), columns=["source", "text"],
+                         override_num_blocks=8)
+    partials = ds.map_batches(pii_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(
+        partials,
+        ["source"],
+        {c: c for c in ("n_email", "n_ip", "n_phone", "docs_with_pii", "scrubbed_chars", "n_docs")},
+        reduce="driver",
+    ).to_pandas()
+    return _i64(out, ["n_email", "n_ip", "n_phone", "docs_with_pii", "scrubbed_chars", "n_docs"])
+
+
+SQL_PII_SCRUB = f"""
+WITH scanned AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS e,
+         len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS i,
+         len(regexp_extract_all(text, '\\b555-\\d{{4}}\\b')) AS p,
+         length(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\b555-\\d{{4}}\\b', '<PHONE>', 'g')) AS sc
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/messy.parquet'))
+SELECT source, CAST(SUM(e) AS BIGINT) AS n_email, CAST(SUM(i) AS BIGINT) AS n_ip,
+       CAST(SUM(p) AS BIGINT) AS n_phone,
+       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(sc) AS BIGINT) AS scrubbed_chars, COUNT(*) AS n_docs
+FROM scanned GROUP BY source
+"""
+
+
+def q_text_normalize(sf_dir: str) -> pd.DataFrame:
+    """Text canonicalization effect summary (lowercase + whitespace collapse
+    + trim) — same single-pass partials shape as the scrub."""
+    from ..functions.scrub import normalize_partials
+
+    ds = rd.read_parquet(ensure_messy_parquet(sf_dir), columns=["source", "text"],
+                         override_num_blocks=8)
+    partials = ds.map_batches(normalize_partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(
+        partials,
+        ["source"],
+        {c: c for c in ("n_changed", "raw_chars", "norm_chars", "n_docs")},
+        reduce="driver",
+    ).to_pandas()
+    return _i64(out, ["n_changed", "raw_chars", "norm_chars", "n_docs"])
+
+
+SQL_TEXT_NORMALIZE = f"""
+WITH n AS (
+  SELECT source, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/messy.parquet'))
+SELECT source,
+       CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+       CAST(SUM(length(norm)) AS BIGINT) AS norm_chars,
+       COUNT(*) AS n_docs
+FROM n GROUP BY source
+"""
+
+
+def q_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score outlier counts, two streaming passes: (1) moment
+    partials (n, Σv, Σv²) per batch → tiny bounded-key reduce → mean/std on
+    the driver; (2) broadcast the |types|-row stats and count |z| > 2.5 per
+    batch.  No raw-row shuffle in either pass.  The oracle mirrors the SAME
+    naive-moment formula (not Welford ``stddev_pop``) so both sides make
+    identical float rounding."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        flat = pa.table(
+            {
+                "event_type": t["event_type"],
+                "v": t["value"],
+                "v2": pc.multiply(t["value"], t["value"]),
+            }
+        )
+        return flat.group_by(["event_type"]).aggregate(
+            [("v", "sum"), ("v2", "sum"), ("event_type", "count")]
+        ).rename_columns(["event_type", "s", "ss", "n"])
+
+    stats = (
+        grouped_sums(
+            ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type"], {"s": "s", "ss": "ss", "n": "n"}, reduce="driver",
+        ).to_pandas()
+    )
+    stats["mean"] = stats["s"] / stats["n"]
+    stats["std"] = np.sqrt(stats["ss"] / stats["n"] - stats["mean"] ** 2)
+    lookup = {r.event_type: (r.mean, r.std) for r in stats.itertuples()}
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "v": t["value"].to_pandas()})
+        m = df["event_type"].map({k: v[0] for k, v in lookup.items()})
+        s = df["event_type"].map({k: v[1] for k, v in lookup.items()})
+        df["out"] = (np.abs(df["v"] - m) > 2.5 * s).astype("int64")
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False)["out"].sum().rename(
+                columns={"out": "n_outliers"}
+            ),
+            preserve_index=False,
+        )
+
+    out = grouped_sums(
+        ds.map_batches(count_outliers, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], {"n_outliers": "n_outliers"}, reduce="driver",
+    ).to_pandas()
+    out = out.merge(stats[["event_type", "mean", "std"]], on="event_type")
+    out["mean"] = out["mean"].round(6)
+    out["std"] = out["std"].round(6)
+    return _i64(out, ["n_outliers"])
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(value) AS s, SUM(value * value) AS ss
+  FROM events GROUP BY event_type),
+m AS (SELECT event_type, s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std FROM st)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN ABS(e.value - m.mean) > 2.5 * m.std THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(ANY_VALUE(m.mean), 6) AS mean, ROUND(ANY_VALUE(m.std), 6) AS std
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def q_stratified_sample_k(sf_dir: str) -> pd.DataFrame:
+    """Exact-k-per-group reservoir-equivalent sample: 10 docs per source in
+    md5(doc_id) hash order — deterministic across reruns and partitionings,
+    and distributed as a per-group top-k (per-block prune to k, candidates
+    ≤ k·|groups|·blocks — never the corpus)."""
+    from ..functions.relational import grouped_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return t.append_column("h", md5_hex(pc.cast(t["doc_id"], pa.string())))
+
+    keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(keyed, ["source"], ["h", "doc_id"], [False, False], 10).to_pandas()
+    return _i64(out, ["doc_id"]).sort_values(["source", "h"]).reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE_K = """
+SELECT doc_id, source, h FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+         row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
+TOKEN_BUDGET = 20_000
+
+
+def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sampling: per source, take sequences in md5(sid) hash
+    order until the cumulative token count reaches the budget — the standard
+    way to cut a fixed-token-mixture from an oversized corpus.  Runs as a
+    bucketed exchange on ``source`` moving only (sid, n_tok, hash) triples
+    (never text/tokens), with the per-group sort+cumsum vectorized inside
+    ``map_groups``."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "n_tok", "source"],
+        override_num_blocks=8,
+    )
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "h": md5_hex(t["doc_id"]),
+            }
+        )
+
+    keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+
+    def budget_cut(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="stable")
+        cum = df.groupby("source", sort=False)["n_tok"].cumsum()
+        kept = df[cum <= TOKEN_BUDGET]
+        return kept.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "count"), tokens=("n_tok", "sum")
+        )
+
+    out = bucketed_group_reduce(keyed, ["source"], budget_cut, num_buckets=16).to_pandas()
+    return _i64(out, ["n_docs", "tokens"]).sort_values("source").reset_index(drop=True)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_tok, md5(doc_id) AS h
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')),
+c AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ranked)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM c WHERE cum <= {TOKEN_BUDGET} GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2427,6 +2665,21 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "curriculum_order": QuerySpec(
         q_curriculum_order, SQL_CURRICULUM_ORDER, "global distributed sort by difficulty proxy"
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub, SQL_PII_SCRUB, "vectorized PII scan+redact (RE2 chain, per-source partials)"
+    ),
+    "text_normalize": QuerySpec(
+        q_text_normalize, SQL_TEXT_NORMALIZE, "canonicalize text (case/whitespace), effect summary"
+    ),
+    "zscore_outliers": QuerySpec(
+        q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "two-pass moments + broadcast z-score outliers"
+    ),
+    "stratified_sample_k": QuerySpec(
+        q_stratified_sample_k, SQL_STRATIFIED_SAMPLE_K, "exact-k-per-group hash-order sample"
+    ),
+    "token_budget_sample": QuerySpec(
+        q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE, "per-source token-budget prefix cut"
     ),
 }
 

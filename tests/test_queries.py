@@ -33,6 +33,11 @@ SUBSET = [
     "source_kl",
     "tfidf_topk",
     "embedding_centroids",
+    "pii_scrub",
+    "text_normalize",
+    "zscore_outliers",
+    "stratified_sample_k",
+    "token_budget_sample",
 ]
 
 
