@@ -1891,15 +1891,56 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
-def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing end-to-end (rows-only: the decode is the
-    documented deterministic stub — no codecs in this container): synthetic
-    binary payloads → actor-pool decode (state in __init__, once per actor)
-    → per-type feature aggregates.  Exercises the real Ray side: binary
-    columns, small batch sizing, actor concurrency, list<float> output."""
+def _media_n(sf_dir: str) -> int:
+    return max(300, int(_sf_of(sf_dir) * 30_000))
+
+
+def ensure_media_features_parquet(sf_dir: str) -> str:
+    """Independent scalar-reference features for the media corpus (same
+    two-implementations pattern as ``simhash.parquet``): per-payload feature
+    sums computed by a SCALAR re-derivation of the documented stub-decode
+    rule (per-stripe ``fnv1a64_single``), never by :class:`ImageDecoder`.
+    The SQL oracle aggregates this file; the Ray query must match it through
+    the actor-pool path — batch slicing / actor state / ordering bugs show
+    up as hash mismatches."""
+    import os as _os
+
+    from ..functions.hashing import fnv1a64_single
     from ..stages.multimodal import ImageDecoder, synth_media_table
 
-    n = max(300, int(_sf_of(sf_dir) * 30_000))
+    def build() -> pa.Table:
+        media = synth_media_table(_media_n(sf_dir), seed=42)
+        dim = ImageDecoder.FEATURE_DIM
+        fsums = []
+        for p in media["payload"].to_pylist():
+            vals = np.array(
+                [fnv1a64_single(p[j::dim][:32].hex()) % (1 << 24) for j in range(dim)],
+                dtype=np.float32,
+            ) / float(1 << 24)
+            fsums.append(vals.astype(np.float64).sum())
+        return pa.table(
+            {
+                "media_id": media["media_id"],
+                "media_type": media["media_type"],
+                "fsum": pa.array(fsums, type=pa.float64()),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "media_features.parquet"), build)
+
+
+def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode end-to-end (the decode is the documented
+    deterministic stub — no codecs in this container): synthetic binary
+    payloads → actor-pool decode (state in __init__, once per actor) →
+    per-type feature aggregates.  Exercises the real Ray side: binary
+    columns, small batch sizing, actor concurrency, list<float> output.
+    Oracle: SQL aggregate over the independent scalar-reference features
+    (``ensure_media_features_parquet``)."""
+    from ..stages.multimodal import ImageDecoder, synth_media_table
+
+    ensure_media_features_parquet(sf_dir)
+    n = _media_n(sf_dir)
     ds = rd.from_arrow(synth_media_table(n, seed=42)).repartition(8)
     feats = ds.map_batches(
         ImageDecoder,
@@ -1927,6 +1968,13 @@ def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["mean_feature_sum"] = (out["mean_feature_sum"] / out["n"]).round(6)
     return _i64(out, ["n"])
+
+
+SQL_MEDIA_DECODE_STATS = f"""
+SELECT media_type, COUNT(*) AS n, ROUND(SUM(fsum) / COUNT(*), 6) AS mean_feature_sum
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media_features.parquet')
+GROUP BY media_type
+"""
 
 
 def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -2565,7 +2613,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_trace_summary, SQL_TRACE_SUMMARY, "trace rollup over assembled spans"
     ),
     "media_decode_stats": QuerySpec(
-        q_media_decode_stats, None, "multimodal actor-pool decode plumbing (rows-only)"
+        q_media_decode_stats, SQL_MEDIA_DECODE_STATS,
+        "multimodal actor-pool decode vs independent scalar-reference features",
     ),
     "hourly_moving_avg": QuerySpec(
         q_hourly_moving_avg, SQL_HOURLY_MOVING_AVG, "sliding window over tumbling agg"
