@@ -86,6 +86,13 @@ class PipelineConfig:
     # (tests/test_flagship.py).
     agg_mode: str = "driver"                  # "driver" | "tree" | "shuffle"
     num_shards: int = 1                       # checkpoint granularity
+    # >1 overlaps that many shard executions (one streaming execution per
+    # thread; Ray schedules their tasks on one shared pool).  Sequential
+    # shards pay per-execution spin-up with zero overlap — at hundreds of
+    # shards that serial tax dominates.  Each shard stays an independent
+    # checkpoint unit: manifest records are per-shard atomic writes and sink
+    # dirs are per-shard, so crash-resume semantics are unchanged (tested).
+    shard_parallelism: int = 1
     write_routed: bool = True                 # False → aggregate-only (bench tail)
     # Hive-style layout under each sink: routed/{sink}/shard=N/col=val/…
     # (e.g. ["date"] or ["tenant"]) — the reference's daily-index sink layout
@@ -329,13 +336,16 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
 
     rows_in_total, shards_run, shards_skipped = 0, 0, 0
 
-    for shard_id, shard_files in enumerate(shards):
-        lineage = mstate.lineage_id(shard_files, cfg.lineage_repr())
+    pending: list[tuple[int, list[str], str]] = []
+    for shard_id, sfiles in enumerate(shards):
+        lineage = mstate.lineage_id(sfiles, cfg.lineage_repr())
         if mstate.is_complete(manifest, shard_id, lineage):
             shards_skipped += 1
             rows_in_total += int(manifest[shard_id]["rows_in"])
             continue
+        pending.append((shard_id, sfiles, lineage))
 
+    def _process_shard(shard_id: int, shard_files: list[str], lineage: str) -> dict:
         # wipe any partial outputs of a previously failed attempt → idempotent
         # (glob over ALL sink dirs present on disk, not just schema.SINKS —
         # user-extended registries route to extra sinks)
@@ -444,8 +454,22 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
             "status": mstate.STATUS_COMPLETE,
         }
         mstate.write_shard_record(manifest_dir, record)
-        manifest[shard_id] = record
-        rows_in_total += rows_in
+        return record
+
+    # run the pending shards — sequentially, or overlapped via a bounded
+    # thread pool (each thread drives its own streaming execution; per-shard
+    # checkpoint/idempotence semantics are identical — manifest writes are
+    # per-shard atomic files, sink dirs are per-shard)
+    if cfg.shard_parallelism > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.shard_parallelism) as pool:
+            records = list(pool.map(lambda args: _process_shard(*args), pending))
+    else:
+        records = [_process_shard(*args) for args in pending]
+    for record in records:
+        manifest[record["partition_id"]] = record
+        rows_in_total += int(record["rows_in"])
         shards_run += 1
 
     # final combine across shard partials (tiny, driver-side) — exactly the

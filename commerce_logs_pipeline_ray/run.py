@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--input", required=True)
     f.add_argument("--output", required=True)
     f.add_argument("--shards", type=int, default=1, help="checkpoint granularity")
+    f.add_argument("--shard-parallelism", type=int, default=1,
+                   help=">1 overlaps that many shard executions")
     f.add_argument("--salt", type=int, default=8, help="aggregation salt modulus (0=off)")
     f.add_argument("--batch-size", type=int, default=32768)
     f.add_argument("--enrich-mode", choices=["tasks", "actors"], default="tasks")
@@ -109,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
                 input_dir=args.input,
                 output_dir=args.output,
                 num_shards=args.shards,
+                shard_parallelism=args.shard_parallelism,
                 salt_mod=args.salt,
                 batch_size=args.batch_size,
                 enrich_mode=args.enrich_mode,

@@ -423,3 +423,53 @@ def test_agg_modes_bit_equal(small_sequences, tmp_path_factory, ray_session):
         )
     assert results["driver"].equals(results["shuffle"])
     assert results["tree"].equals(results["shuffle"])
+
+
+def test_shard_parallelism_matches_sequential(small_sequences, tmp_path_factory, ray_session):
+    """Overlapped shard executions (thread pool) produce byte-identical
+    aggregates and the same routed row-set as the sequential path, and the
+    manifest still has one complete record per shard."""
+    import pandas as pd
+
+    paths, _ = small_sequences
+    base = dict(input_dir=os.path.dirname(paths[0]), num_shards=4, salt_mod=8)
+    outs = {}
+    for par in (1, 3):
+        out = tmp_path_factory.mktemp(f"par_{par}") / "out"
+        res = run_flagship(
+            PipelineConfig(output_dir=str(out), shard_parallelism=par, **base)
+        )
+        agg = (
+            res.aggregates.to_pandas()
+            .sort_values(["sink", "source", "tenant", "n_tok_bucket"])
+            .reset_index(drop=True)
+        )
+        routed = []
+        for sink in SINKS:
+            for f in _routed_files(str(out), sink):
+                routed.append(pq.read_table(f, columns=["doc_id"]).to_pandas())
+        ids = pd.concat(routed)["doc_id"].sort_values().reset_index(drop=True) if routed else pd.Series([])
+        outs[par] = (agg, ids, res)
+        assert res.shards_run == 4
+        assert len(res.manifest) == 4
+    assert outs[1][0].equals(outs[3][0])
+    assert outs[1][1].equals(outs[3][1])
+
+
+def test_shard_parallelism_resume(small_sequences, tmp_path_factory, ray_session):
+    """A parallel run over a half-completed manifest only reruns the
+    incomplete shards and the final aggregate equals a from-scratch run."""
+    paths, _ = small_sequences
+    base = dict(input_dir=os.path.dirname(paths[0]), num_shards=4, salt_mod=8)
+    out = tmp_path_factory.mktemp("par_resume") / "out"
+    first = run_flagship(PipelineConfig(output_dir=str(out), **base))
+    # drop two manifest records → those shards look incomplete
+    for sid in (1, 3):
+        os.remove(os.path.join(str(out), "manifest", f"shard-{sid:05d}.json"))
+    second = run_flagship(
+        PipelineConfig(output_dir=str(out), shard_parallelism=2, **base)
+    )
+    assert second.shards_skipped == 2 and second.shards_run == 2
+    a = first.aggregates.to_pandas().sort_values(["sink", "source", "tenant", "n_tok_bucket"]).reset_index(drop=True)
+    b = second.aggregates.to_pandas().sort_values(["sink", "source", "tenant", "n_tok_bucket"]).reset_index(drop=True)
+    assert a.equals(b)
