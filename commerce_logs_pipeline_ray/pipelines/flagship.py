@@ -463,6 +463,32 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
     if cfg.shard_parallelism > 1 and len(pending) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        # Ray Data's path resolution imports fsspec.implementations.http per
+        # read to probe for HTTP filesystems.  Without aiohttp installed that
+        # import FAILS every time (failed imports are not cached), so
+        # concurrent shard threads race on the module's teardown in
+        # sys.modules and one can see "cannot import name 'HTTPFileSystem'"
+        # instead of ModuleNotFoundError — which Ray does not catch.  Make
+        # the import succeed deterministically by registering a stub whose
+        # HTTPFileSystem is never instantiated (isinstance checks are False).
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ModuleNotFoundError:
+            import sys as _sys
+            import types as _types
+
+            _stub = _types.ModuleType("fsspec.implementations.http")
+            _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+            _sys.modules["fsspec.implementations.http"] = _stub
+            try:
+                import fsspec.implementations as _impl
+
+                _impl.http = _stub
+            except Exception:
+                pass
+        except Exception:  # optional dep shape varies; absence is fine
+            pass
+
         with ThreadPoolExecutor(max_workers=cfg.shard_parallelism) as pool:
             records = list(pool.map(lambda args: _process_shard(*args), pending))
     else:
