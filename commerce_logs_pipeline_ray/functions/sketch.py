@@ -179,3 +179,61 @@ def grouped_quantile_fixedpoint(
         out_keys.append(k)
         out_vals.append(lo_v + (hi_v - lo_v) * frac)
     return pd.DataFrame({key: out_keys, out_name: out_vals})
+
+
+class CountMinSketch:
+    """Mergeable ``depth × width`` counter matrix (Cormode & Muthukrishnan
+    2005): point-query estimates NEVER underestimate, overestimate by
+    ≤ εn with probability 1-δ where ε = e/width, δ = e^-depth.  Merging is
+    elementwise addition, so per-batch partials combine in any tree shape.
+
+    Hash family: one fixed salt per row, mixed through the murmur fmix64
+    finalizer — pairwise-independent enough in practice, fully vectorized,
+    and deterministic across processes (no seeding at runtime)."""
+
+    def __init__(self, width: int = 8192, depth: int = 4):
+        assert width > 0 and 1 <= depth <= 8
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    _SALTS = np.uint64(0x9E3779B97F4A7C15) * np.arange(1, 9, dtype=np.uint64)
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for uint64 key hashes."""
+        h = np.asarray(h, dtype=np.uint64)
+        idx = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            idx[d] = (mix64(h ^ self._SALTS[d]) % np.uint64(self.width)).astype(np.int64)
+        return idx
+
+    def add_hashes(self, h: np.ndarray, n: np.ndarray | None = None) -> None:
+        idx = self._rows(h)
+        weights = np.ones(len(np.asarray(h)), dtype=np.int64) if n is None else np.asarray(n, np.int64)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], idx[d], weights)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Upper-bound count per key (min over rows)."""
+        if len(np.asarray(h)) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._rows(h)
+        est = self.counts[0][idx[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.counts[d][idx[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        out = CountMinSketch(self.width, self.depth)
+        out.counts = self.counts + other.counts
+        return out
+
+    def serialize(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, width: int = 8192, depth: int = 4) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.counts = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
+        return s

@@ -468,6 +468,23 @@ def heavy_hitters_topk(ds: Dataset, k: int = 20, capacity: int = 256) -> pd.Data
         )
     cand_ref = _ray.put(cand_tokens)
 
+    out = _exact_recount(ds, cand_ref).head(k).reset_index(drop=True)
+    # soundness check: the k-th hitter must clear the pigeonhole bar, else
+    # capacity was too small for this distribution — fail loudly, never
+    # return a silently-unsound top-k
+    assert len(out) < k or out["count"].iloc[-1] > n_total / capacity, (
+        f"heavy_hitters_topk: k-th count {out['count'].iloc[-1]} ≤ n/capacity "
+        f"{n_total / capacity:.1f} — raise capacity for exactness"
+    )
+    return out[["token", "count"]]
+
+def _exact_recount(ds: Dataset, cand_ref) -> pd.DataFrame:
+    """Broadcast a SORTED candidate int32 array (ray.put ref), count ONLY
+    those tokens exactly in one streaming scan, return (token, count)
+    sorted by count desc, token asc.  Shared verify pass for the exact and
+    CMS heavy-hitter variants."""
+    import ray as _ray
+
     def exact(t: pa.Table) -> pa.Table:
         cs = _ray.get(cand_ref) if isinstance(cand_ref, _ray.ObjectRef) else cand_ref
         values, offsets = _flat_tokens(t)
@@ -483,13 +500,115 @@ def heavy_hitters_topk(ds: Dataset, k: int = 20, capacity: int = 256) -> pd.Data
 
     parts = ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     agg = parts.groupby("token", as_index=False)["count"].sum()
-    agg = agg.sort_values(["count", "token"], ascending=[False, True], ignore_index=True)
-    out = agg.head(k).reset_index(drop=True)
-    # soundness check: the k-th hitter must clear the pigeonhole bar, else
-    # capacity was too small for this distribution — fail loudly, never
-    # return a silently-unsound top-k
+    return agg.sort_values(["count", "token"], ascending=[False, True], ignore_index=True)
+
+
+def cms_heavy_hitters(
+    ds: Dataset,
+    k: int = 20,
+    capacity: int = 256,
+    width: int = 8192,
+    depth: int = 4,
+    merge_batch: int = 64,
+) -> pd.DataFrame:
+    """EXACT top-k tokens with FIXED-memory candidate pruning via a
+    mergeable Count-Min sketch.
+
+    :func:`heavy_hitters_topk`'s candidate union grows with the number of
+    blocks (≤ capacity × blocks rows on the driver) — at 10^12 rows that is
+    millions of candidates to broadcast and recount.  This variant runs the
+    same pigeonhole candidate pass (provably complete) but ALSO folds every
+    batch into a ``depth × width`` CMS partial:
+
+    1. **One scan** emits per batch: certified candidate list + a 256 KB
+       CMS blob (the combiner).
+    2. **Tree merge**: a second ``map_batches`` stage sums ``merge_batch``
+       sketches per task — the driver only ever merges ``blocks/merge_batch``
+       blobs (sketch merging is associative, any tree shape works).
+    3. **Prune on the driver over candidate IDS only** (no data pass): CMS
+       estimates never underestimate, so any candidate whose upper bound
+       ``est`` falls below ``E_k - εn`` (E_k = k-th largest estimate,
+       ε = e/width) cannot be a true top-k token — for the k top-estimate
+       tokens, ``true ≥ est - εn ≥ E_k - εn`` bounds the k-th true count
+       from below.  The surviving set is O(k + near-ties), INDEPENDENT of
+       block count.
+    4. **Broadcast exact recount** of the survivors (same verify pass as
+       the exact variant) → exact, SQL-comparable top-k.
+
+    The ε-margin step-3 bound relies on the standard CMS overestimate
+    bound holding for the top-k estimates (prob ≥ 1-k·e^-depth; raise
+    ``depth``/``width`` if the loud final assertion ever trips)."""
+    import ray as _ray
+
+    from .sketch import CountMinSketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        window = values[offsets[0] : offsets[-1]]
+        vc = pc.value_counts(pa.array(window))
+        counts = np.asarray(pc.struct_field(vc, "counts"), dtype=np.int64)
+        toks = np.asarray(pc.struct_field(vc, "values"), dtype=np.int32)
+        sk = CountMinSketch(width, depth)
+        sk.add_hashes(toks.astype(np.int64).astype(np.uint64), counts)
+        bar = len(window) // capacity
+        cand = toks[counts > bar]
+        return pa.table(
+            {
+                "cands": pa.array([cand.tolist()], type=pa.list_(pa.int32())),
+                "n_batch": pa.array([len(window)], pa.int64()),
+                "sketch": pa.array([sk.serialize()], type=pa.binary()),
+            }
+        )
+
+    def merge_stage(t: pa.Table) -> pa.Table:
+        merged = CountMinSketch(width, depth)
+        for blob in t["sketch"].to_pylist():
+            merged = merged.merge(CountMinSketch.deserialize(blob, width, depth))
+        cand = np.unique(
+            np.concatenate(
+                [np.asarray(x, np.int32) for x in t["cands"].to_pylist()]
+                or [np.zeros(0, np.int32)]
+            )
+        )
+        n = int(pc.sum(t["n_batch"]).as_py() or 0)
+        return pa.table(
+            {
+                "cands": pa.array([cand.tolist()], type=pa.list_(pa.int32())),
+                "n_batch": pa.array([n], pa.int64()),
+                "sketch": pa.array([merged.serialize()], type=pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    folded = partials.map_batches(
+        merge_stage, batch_format="pyarrow", batch_size=merge_batch
+    ).to_pandas()
+
+    cms = CountMinSketch(width, depth)
+    for blob in folded["sketch"]:
+        cms = cms.merge(CountMinSketch.deserialize(blob, width, depth))
+    n_total = int(folded["n_batch"].sum())
+    cand_tokens = (
+        np.unique(np.concatenate([np.asarray(x, np.int32) for x in folded["cands"]]))
+        if len(folded)
+        else np.zeros(0, np.int32)
+    )
+    if len(cand_tokens) < k:
+        raise AssertionError(
+            f"cms_heavy_hitters: only {len(cand_tokens)} candidates cleared "
+            f"n/capacity — raise capacity for exactness"
+        )
+
+    est = cms.estimate_hashes(cand_tokens.astype(np.int64).astype(np.uint64))
+    eps_n = int(np.ceil(np.e / width * n_total))
+    e_k = np.partition(est, -k)[-k]
+    keep = est >= e_k - eps_n
+    survivors = np.sort(cand_tokens[keep])
+
+    cand_ref = _ray.put(survivors)
+    out = _exact_recount(ds, cand_ref).head(k).reset_index(drop=True)
     assert len(out) < k or out["count"].iloc[-1] > n_total / capacity, (
-        f"heavy_hitters_topk: k-th count {out['count'].iloc[-1]} ≤ n/capacity "
+        f"cms_heavy_hitters: k-th count {out['count'].iloc[-1]} ≤ n/capacity "
         f"{n_total / capacity:.1f} — raise capacity for exactness"
     )
     return out[["token", "count"]]

@@ -1736,6 +1736,30 @@ FROM tok GROUP BY token ORDER BY count DESC, token LIMIT 20
 """
 
 
+def q_cms_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """EXACT top-25 tokens via Count-Min-sketch candidate pruning: pigeonhole
+    candidate pass + mergeable 256 KB CMS partials in ONE scan → tree merge
+    → ε-margin prune over candidate ids (survivor set is O(k), independent
+    of block count — the 10^12-row-safe variant of ``heavy_hitters``) →
+    broadcast exact recount.  Exact result, same oracle shape."""
+    from ..functions.tokens import cms_heavy_hitters
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8
+    )
+    return cms_heavy_hitters(ds, k=25, capacity=256)
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT UNNEST(tokens) AS token
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+)
+SELECT CAST(token AS BIGINT) AS token, COUNT(*) AS count
+FROM tok GROUP BY token ORDER BY count DESC, token LIMIT 25
+"""
+
+
 def q_curriculum_order(sf_dir: str) -> pd.DataFrame:
     """Curriculum ordering: GLOBAL distributed sort (``Dataset.sort`` — the
     real range-partitioned exchange, not the top-k prune) of the corpus by
@@ -2711,6 +2735,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "heavy_hitters": QuerySpec(
         q_heavy_hitters, SQL_HEAVY_HITTERS, "two-pass exact heavy hitters (zero-shuffle top-k)"
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters,
+        SQL_CMS_HEAVY_HITTERS,
+        "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
     ),
     "curriculum_order": QuerySpec(
         q_curriculum_order, SQL_CURRICULUM_ORDER, "global distributed sort by difficulty proxy"

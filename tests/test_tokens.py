@@ -282,3 +282,68 @@ def test_heavy_hitters_capacity_guard(ray_session):
     t = pa.table({"tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))})
     with pytest.raises(AssertionError, match="raise capacity"):
         heavy_hitters_topk(rd.from_arrow(t).repartition(4), k=10, capacity=8)
+
+
+def test_cms_never_underestimates_and_merges():
+    from commerce_logs_pipeline_ray.functions.sketch import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 40, size=3000).astype(np.uint64)
+    counts = rng.integers(1, 50, size=3000).astype(np.int64)
+    s = CountMinSketch(width=2048, depth=4)
+    s.add_hashes(keys, counts)
+    # exact truth per distinct key
+    import pandas as pd
+
+    truth = pd.DataFrame({"k": keys, "n": counts}).groupby("k")["n"].sum()
+    uk = truth.index.to_numpy(dtype=np.uint64)
+    est = s.estimate_hashes(uk)
+    assert (est >= truth.to_numpy()).all()  # CMS NEVER underestimates
+    # average overestimate stays within the εn bound
+    eps_n = np.e / 2048 * counts.sum()
+    assert (est - truth.to_numpy()).mean() <= eps_n
+    # merge == single-pass build, any split
+    a, b = CountMinSketch(2048, 4), CountMinSketch(2048, 4)
+    a.add_hashes(keys[:1000], counts[:1000])
+    b.add_hashes(keys[1000:], counts[1000:])
+    assert (a.merge(b).counts == s.counts).all()
+    # serialization round-trip
+    r = CountMinSketch.deserialize(s.serialize(), 2048, 4)
+    assert (r.counts == s.counts).all()
+
+
+def test_cms_heavy_hitters_matches_exact(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import (
+        cms_heavy_hitters,
+        heavy_hitters_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    head = rng.integers(0, 30, size=8000)
+    tail = rng.integers(30, 100000, size=4000)
+    toks = np.concatenate([head, tail])
+    rng.shuffle(toks)
+    rows = np.array_split(toks, 300)
+    t = pa.table({"tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))})
+    want = Counter(int(x) for x in toks)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    for blocks in (3, 11):
+        got = cms_heavy_hitters(rd.from_arrow(t).repartition(blocks), k=15, capacity=256)
+        assert list(zip(got["token"], got["count"])) == ranked, blocks
+        exact = heavy_hitters_topk(rd.from_arrow(t).repartition(blocks), k=15, capacity=256)
+        assert got.equals(exact)
+
+
+def test_cms_heavy_hitters_capacity_guard(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import cms_heavy_hitters
+
+    rng = np.random.default_rng(2)
+    toks = rng.permutation(np.repeat(np.arange(5000, dtype=np.int32), 2))
+    rows = np.array_split(toks, 50)
+    t = pa.table({"tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))})
+    with pytest.raises(AssertionError, match="raise capacity"):
+        cms_heavy_hitters(rd.from_arrow(t).repartition(4), k=10, capacity=8)
