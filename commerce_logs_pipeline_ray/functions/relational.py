@@ -360,3 +360,91 @@ def to_table(result: Any) -> pa.Table:
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     return result
+
+
+def _key_hashes(col: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """uint64 hash per key value (strings → FNV-1a 64, integers → identity
+    bits; both finalized downstream by the sketch's mixer)."""
+    import numpy as np
+
+    from .hashing import fnv1a64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return fnv1a64(col)
+    return np.asarray(pc.cast(col, pa.int64())).astype(np.int64).astype(np.uint64)
+
+
+def bloom_semi_join(
+    big: Dataset,
+    small: Dataset,
+    on: str,
+    right_on: str | None = None,
+    bits_per_key: int = 10,
+    num_partitions: int = 16,
+) -> Dataset:
+    """EXACT semi join of ``big`` against ``small``'s key set, for a small
+    side too large to broadcast exactly: the classic bloom-join.
+
+    1. **Build** (combiner): each small-side batch emits one Bloom blob
+       (fixed ``n·bits_per_key`` bits, sized from the dataset count);
+       blobs OR-merge on the driver — order-free, any tree shape.
+    2. **Prefilter** (broadcast): the merged filter ships once via
+       ``ray.put``; every big-side batch drops non-members vectorized.
+       No false negatives, ~1% false positives at 10 bits/key — at
+       10^10 keys the filter is ~12 GB vs 80+ GB for the exact set.
+    3. **Exact verify**: the ~1% survivors flow into the hash-partitioned
+       semi join against the deduped key column, scrubbing false
+       positives — the shuffle moves only survivors, which is the point.
+
+    Partitioning note for the extreme tail (key set so large even the
+    filter strains one task's heap): hash-partition the keys into P
+    blooms of m/P bits and join partition-aligned, so each big-side
+    partition ships only its 1/P slice of the filter.
+    """
+    from .sketch import BloomFilter
+
+    rkey = right_on or on
+    keys = small.select_columns([rkey])
+    n_keys = max(64, keys.count())
+    proto = BloomFilter.for_capacity(n_keys, bits_per_key)
+    n_bits, n_hashes = proto.n_bits, proto.k
+
+    def build(t: pa.Table) -> pa.Table:
+        b = BloomFilter(n_bits, n_hashes)
+        col = t[rkey]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
+        if len(col):
+            b.add_hashes(_key_hashes(col))
+        return pa.table({"blob": pa.array([b.serialize()], type=pa.binary())})
+
+    merged = BloomFilter(n_bits, n_hashes)
+    for batch in keys.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["blob"].to_pylist():
+            merged = merged.merge(BloomFilter.deserialize(blob, n_bits, n_hashes))
+    words_ref = ray.put(merged.words)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        from .sketch import BloomFilter as BF
+
+        words = ray.get(words_ref) if isinstance(words_ref, ray.ObjectRef) else words_ref
+        b = BF(n_bits, n_hashes)
+        b.words = words
+        col = t[on]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        valid = pc.is_valid(col)
+        mask = b.contains_hashes(_key_hashes(pc.fill_null(col, col[0] if len(col) else None)))
+        keep = pc.and_(pa.array(mask), valid) if len(col) else pa.array([], pa.bool_())
+        return t.filter(pc.fill_null(keep, False))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = keys.map_batches(
+        lambda t: pa.table({rkey: pc.unique(t[rkey].combine_chunks() if isinstance(t[rkey], pa.ChunkedArray) else t[rkey]).drop_null()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby(rkey).count().drop_columns(["count()"])
+    return hash_join(survivors, uniq, on, rkey, "inner", num_partitions)

@@ -653,6 +653,43 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["o_orderkey", "o_custkey"])
 
 
+def q_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom semi join (large×large membership filter): lineitems belonging
+    to high-value orders.  The qualifying-order key set is built into a
+    mergeable Bloom filter (per-batch blobs, OR-merge), broadcast once, and
+    prefilters the fact side vectorized; the ~1% false-positive survivors
+    are scrubbed by a hash semi join that only ever shuffles survivors.
+    Exact result (bloom has no false negatives) — plain IN-subquery SQL."""
+    from ..functions.relational import bloom_semi_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 200000.0"
+    )
+    hits = bloom_semi_join(li, orders.select_columns(["o_orderkey"]), on="l_orderkey", right_on="o_orderkey")
+
+    def agg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array([t.num_rows], pa.int64()),
+                "total_qty": pa.array([pc.sum(t["l_quantity"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = hits.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame(
+        {"n_items": [int(parts["n_items"].sum())], "total_qty": [int(parts["total_qty"].sum())]}
+    )
+    return _i64(out, ["n_items", "total_qty"])
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT COUNT(*) AS n_items, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+"""
+
+
 SQL_ORDER_REVENUE_TOPK = """
 SELECT o_orderkey, o_custkey,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2616,6 +2653,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "route_documents": QuerySpec(q_route_documents, SQL_ROUTE_DOCUMENTS, "predicate fan-out counts"),
     "order_revenue_topk": QuerySpec(
         q_order_revenue_topk, SQL_ORDER_REVENUE_TOPK, "large-large hash join + pre-agg"
+    ),
+    "bloom_semi_join": QuerySpec(
+        q_bloom_semi_join,
+        SQL_BLOOM_SEMI_JOIN,
+        "bloom-join: mergeable filter broadcast + survivor-only exact semi join",
     ),
     "customers_without_orders": QuerySpec(
         q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS, "broadcast anti join"

@@ -100,3 +100,73 @@ def test_quantile_all_null_group_emitted(ray_session):
                                       out_name="med").set_index("g")["med"]
     assert out["a"] == 1.25
     assert "b" in out.index and np.isnan(out["b"])
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from commerce_logs_pipeline_ray.functions.sketch import BloomFilter
+
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 1 << 62, size=20000).astype(np.uint64)
+    b = BloomFilter.for_capacity(20000, bits_per_key=10)
+    b.add_hashes(keys)
+    assert b.contains_hashes(keys).all()  # NEVER a false negative
+    probe = rng.integers(0, 1 << 62, size=100000).astype(np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    assert b.contains_hashes(fresh).mean() < 0.03  # ~1% nominal at 10 b/key
+    # OR-merge == single-pass build, and serialization round-trips
+    x, y = BloomFilter(b.n_bits, b.k), BloomFilter(b.n_bits, b.k)
+    x.add_hashes(keys[:10000])
+    y.add_hashes(keys[10000:])
+    assert (x.merge(y).words == b.words).all()
+    r = BloomFilter.deserialize(b.serialize(), b.n_bits, b.k)
+    assert (r.words == b.words).all()
+
+
+def test_bloom_semi_join_exact_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 5000, size=20000), "v": rng.random(20000)}
+    )
+    small = pd.DataFrame({"k2": rng.choice(5000, size=700, replace=False)})
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(big).repartition(6),
+            rd.from_pandas(small).repartition(3),
+            on="k",
+            right_on="k2",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        big[big["k"].isin(small["k2"])].sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want)
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import bloom_semi_join
+
+    rng = np.random.default_rng(3)
+    ids = [f"doc-{i:05d}" for i in range(3000)]
+    big = pd.DataFrame({"doc_id": rng.choice(ids, size=9000), "n": np.arange(9000)})
+    keep = pd.DataFrame({"doc_id": rng.choice(ids, size=200, replace=False)})
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(big).repartition(5),
+            rd.from_pandas(keep).repartition(2),
+            on="doc_id",
+        )
+        .to_pandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    want = big[big["doc_id"].isin(keep["doc_id"])].sort_values("n").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "n"]], want[["doc_id", "n"]])
