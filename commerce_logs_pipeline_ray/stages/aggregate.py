@@ -125,6 +125,11 @@ def final_agg(
     ``keys (+salt)`` then un-salted re-reduce — the explicit-exchange path;
     REQUIRED when the key space is too large for any single reducer
     (unbounded group-by keys), and the path the salting exists for.
+    (Replacing the second groupby with ``repartition(1)`` + hash-combine
+    was A/B-measured SLOWER — 27-31 s vs 20.5-22.7 s at 8 CPUs, alternating
+    cycles 2026-08-17: repartition is itself an all-to-all plus a
+    single-task bottleneck, and a hash exchange is what the unbounded-key
+    contract needs anyway.  Don't retry.)
 
     ``mode="tree"``: coalesce the partial stream into ``tree_width`` blocks
     and hash-aggregate each, then once more — a middle ground when partials
