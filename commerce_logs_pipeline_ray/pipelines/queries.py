@@ -2243,6 +2243,47 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
 """
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample WITHOUT replacement, k=100, P(doc) ∝ n_tok —
+    Efraimidis-Spirakis exponential keys made deterministic: the uniform is
+    an md5-derived fraction of doc_id (no RNG state — reproducible across
+    reruns and partitionings, like every sampler here), key = ln(u)/w, take
+    the k largest.  Fully distributed: the key is computed per batch and the
+    selection is the per-block-prune ``topk`` — no shuffle of non-candidates.
+    Token-weighted subset selection is the standard way to cut a corpus to a
+    token budget while keeping long-doc representation proportional."""
+    from ..functions.relational import topk
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "n_tok", "source"]
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = md5_hex(pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":wsample", ""))
+        frac = np.array(
+            [(int(s[:8], 16) + 1) / 4294967296.0 for s in h.to_pylist()], dtype=np.float64
+        )
+        w = np.asarray(pc.cast(t["n_tok"], pa.float64()))
+        key = np.log(frac) / w
+        return t.append_column("es_key", pa.array(key))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk(keyed, ["es_key", "doc_id"], [True, False], 100).to_pandas()
+    out["es_key"] = out["es_key"].round(9)
+    return _i64(out, ["n_tok"])[["doc_id", "n_tok", "source", "es_key"]]
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_tok, source,
+       ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8) AS BIGINT) + 1)
+                / 4294967296.0) / n_tok, 9) AS es_key
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8) AS BIGINT) + 1)
+            / 4294967296.0) / n_tok DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_value_p95_per_type(sf_dir: str) -> pd.DataFrame:
     """p95 per group via the same mergeable histogram sketch as the median —
     any quantile from one partial-pass."""
@@ -2708,6 +2749,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sample_docs_md5": QuerySpec(
         q_sample_docs_md5, SQL_SAMPLE_DOCS_MD5, "F5 deterministic hash sampling"
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample,
+        SQL_WEIGHTED_SAMPLE,
+        "Efraimidis-Spirakis token-weighted sample without replacement (deterministic)",
     ),
     "embedding_neardup_lsh": QuerySpec(
         q_embedding_neardup_lsh, None, "hyperplane-LSH near-dup (approx, rows-only)"

@@ -86,3 +86,49 @@ def test_derive_sequences_deterministic_and_typed():
     assert a.equals(b)
     assert a.schema.equals(SEQUENCES_SCHEMA)
     assert a.num_rows == docs.num_rows
+
+
+def test_weighted_sample_matches_reference_and_partitioning(ray_session, tmp_path):
+    """E-S weighted sample: equals the driver-side numpy computation of the
+    same deterministic formula, at any partitioning."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import topk
+    from commerce_logs_pipeline_ray.functions.text import md5_hex
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    doc_ids = [f"d{i:05d}" for i in range(n)]
+    n_tok = rng.integers(1, 400, size=n).astype(np.int32)
+    t = pa.table({"doc_id": doc_ids, "n_tok": n_tok, "source": ["s"] * n})
+
+    # driver-side reference
+    frac = np.array(
+        [(int(hashlib.md5(f"{d}:wsample".encode()).hexdigest()[:8], 16) + 1) / 2**32 for d in doc_ids]
+    )
+    key = np.log(frac) / n_tok.astype(np.float64)
+    ref = (
+        pd.DataFrame({"doc_id": doc_ids, "key": key})
+        .sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(100)["doc_id"]
+        .tolist()
+    )
+
+    def add_key(tb: pa.Table) -> pa.Table:
+        h = md5_hex(pc.binary_join_element_wise(pc.cast(tb["doc_id"], pa.string()), ":wsample", ""))
+        fr = np.array([(int(s[:8], 16) + 1) / 2**32 for s in h.to_pylist()])
+        w = np.asarray(pc.cast(tb["n_tok"], pa.float64()))
+        return tb.append_column("es_key", pa.array(np.log(fr) / w))
+
+    for blocks in (2, 9):
+        keyed = rd.from_arrow(t).repartition(blocks).map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+        got = topk(keyed, ["es_key", "doc_id"], [True, False], 100).to_pandas()["doc_id"].tolist()
+        assert got == ref, blocks
