@@ -1818,6 +1818,39 @@ ORDER BY n_tok, doc_id LIMIT 50
 """
 
 
+def q_order_price_deciles(sf_dir: str) -> pd.DataFrame:
+    """SQL ``NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)`` — exact
+    distributed global row-number (``functions/rank.py``: sampled range
+    buckets + prefix-offset broadcast, the MPP window construction Ray Data
+    lacks natively), then the NTILE formula per batch and a tiny grouped
+    reduce.  The only all-to-all moves the two projected columns once."""
+    from ..functions.rank import global_row_number, ntile_of
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked, total = global_row_number(ds, "o_totalprice", ["o_orderkey"])
+
+    def add_decile(t: pa.Table) -> pa.Table:
+        dec = ntile_of(t["rn"].to_numpy(zero_copy_only=False), total, 10)
+        return pa.table({"decile": pa.array(dec), "o_totalprice": t["o_totalprice"]})
+
+    dec = ranked.map_batches(add_decile, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(dec, ["decile"], {"sum_price": "o_totalprice"}, "n", reduce="driver").to_pandas()
+    out["avg_price"] = (out["sum_price"] / out["n"]).round(2)
+    out = out.drop(columns=["sum_price"])
+    return _i64(out, ["decile", "n"])
+
+
+SQL_ORDER_PRICE_DECILES = """
+WITH r AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM r GROUP BY decile
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -2828,6 +2861,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cms_heavy_hitters,
         SQL_CMS_HEAVY_HITTERS,
         "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
+    ),
+    "order_price_deciles": QuerySpec(
+        q_order_price_deciles,
+        SQL_ORDER_PRICE_DECILES,
+        "NTILE(10) via exact distributed global row-number (range-bucket + offset broadcast)",
     ),
     "curriculum_order": QuerySpec(
         q_curriculum_order, SQL_CURRICULUM_ORDER, "global distributed sort by difficulty proxy"
