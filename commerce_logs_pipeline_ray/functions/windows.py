@@ -64,3 +64,88 @@ def sessionize(
         return out.drop(columns=["__gs"])[[key, "session_id", "n_events", "first_event_id", "last_event_id"]]
 
     return bucketed_group_reduce(events, [key], per_bucket)
+
+
+def funnel_counts(
+    events: Dataset,
+    stages: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Ordered funnel: how many users reach stage i — a ``stages[i]`` event
+    STRICTLY AFTER their earliest qualifying ``stages[i-1]`` event (min-ts
+    semantics, so the result is order-scan-free and deterministic under ts
+    ties).  One hash exchange on ``key`` co-locates each user's events; the
+    per-bucket pass is vectorized pandas over ALL users in the bucket
+    (filter → merge-on-key → min), never a per-user Python loop.  Returns
+    the final ``len(stages)``-row frame (per-bucket partials are summed
+    driver-side — |stages| × num_buckets tiny rows)."""
+    from .relational import bucketed_group_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            df[df[type_col] == stages[0]]
+            .groupby(key, as_index=False)[ts_col]
+            .min()
+            .rename(columns={ts_col: "__prev"})
+        )
+        counts = [len(cur)]
+        for s in stages[1:]:
+            nxt = df.loc[df[type_col] == s, [key, ts_col]].merge(cur, on=key)
+            cur = (
+                nxt.loc[nxt[ts_col] > nxt["__prev"]]
+                .groupby(key, as_index=False)[ts_col]
+                .min()
+                .rename(columns={ts_col: "__prev"})
+            )
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {"stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+             "event_type": stages, "users": np.asarray(counts, dtype=np.int64)}
+        )
+
+    partials = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
+    out = partials.groupby(["stage", "event_type"], as_index=False)["users"].sum()
+    return out.astype({"stage": "int64", "users": "int64"})
+
+
+def cohort_retention(
+    events: Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604_800,
+) -> pd.DataFrame:
+    """Cohort retention matrix: cohort = each user's first activity period,
+    cell (cohort, offset) = distinct users of that cohort active
+    ``offset`` periods later.  Pipeline: per-batch DISTINCT (user, period)
+    combiner (Arrow hash group_by — the exchange moves unique pairs, not
+    events), one hash exchange on ``key``, vectorized transform('min') per
+    bucket, tiny driver sum (≤ periods² rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_group_reduce
+
+    period_us = period_seconds * 1_000_000
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        micros = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        w = pc.divide(micros, pa.scalar(period_us, pa.int64()))
+        return (
+            pa.table({key: t[key], "__w": w}).group_by([key, "__w"]).aggregate([])
+        )
+
+    pairs = events.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([key, "__w"])
+        first = df.groupby(key)["__w"].transform("min")
+        out = pd.DataFrame({"cohort_week": first, "week_offset": df["__w"] - first})
+        return out.groupby(["cohort_week", "week_offset"], as_index=False).size().rename(
+            columns={"size": "users"}
+        )
+
+    partials = bucketed_group_reduce(pairs, [key], per_bucket).to_pandas()
+    out = partials.groupby(["cohort_week", "week_offset"], as_index=False)["users"].sum()
+    return out.astype({"cohort_week": "int64", "week_offset": "int64", "users": "int64"})

@@ -1851,6 +1851,69 @@ FROM r GROUP BY decile
 """
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view→click→purchase (min-ts semantics,
+    strict ordering) — ``functions/windows.py::funnel_counts``: one hash
+    exchange on user_id over the 3 pre-filtered event types, vectorized
+    per-bucket stage walk."""
+    from ..functions.windows import funnel_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    wanted = pa.array(FUNNEL_STAGES)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=wanted)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return funnel_counts(ds, FUNNEL_STAGES)
+
+
+SQL_FUNNEL_STAGES = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT 1 AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM v) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention matrix —
+    ``functions/windows.py::cohort_retention``: per-batch DISTINCT
+    (user, week) combiner so the exchange moves unique pairs, not events."""
+    from ..functions.windows import cohort_retention
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), f AS (
+  SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1
+)
+SELECT f.cw AS cohort_week, uw.w - f.cw AS week_offset, COUNT(*) AS users
+FROM uw JOIN f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def _loglines_corpus_n(sf_dir: str) -> int:
     return max(2000, int(_sf_of(sf_dir) * 100_000))
 
@@ -2861,6 +2924,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cms_heavy_hitters,
         SQL_CMS_HEAVY_HITTERS,
         "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
+    ),
+    "funnel_stages": QuerySpec(
+        q_funnel_stages,
+        SQL_FUNNEL_STAGES,
+        "ordered conversion funnel (min-ts strict-after semantics), one user_id exchange",
+    ),
+    "cohort_retention": QuerySpec(
+        q_cohort_retention,
+        SQL_COHORT_RETENTION,
+        "weekly cohort retention matrix via distinct-pair combiner",
     ),
     "order_price_deciles": QuerySpec(
         q_order_price_deciles,

@@ -1,0 +1,60 @@
+"""Funnel + cohort retention (functions/windows.py) against planted truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from commerce_logs_pipeline_ray.functions.windows import cohort_retention, funnel_counts
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+def test_funnel_strict_ordering_planted(ray_session):
+    """u1 completes the funnel; u2 clicked BEFORE viewing (click must not
+    count); u3 stops at click; u4 never views; u5's purchase ties the click
+    timestamp exactly (strict > ⇒ not converted)."""
+    df = _events(
+        [
+            ("u1", "2024-01-01 00:00", "view"),
+            ("u1", "2024-01-01 00:05", "click"),
+            ("u1", "2024-01-01 00:09", "purchase"),
+            ("u2", "2024-01-01 00:00", "click"),
+            ("u2", "2024-01-01 00:10", "view"),
+            ("u3", "2024-01-02 00:00", "view"),
+            ("u3", "2024-01-02 00:01", "click"),
+            ("u4", "2024-01-03 00:00", "click"),
+            ("u4", "2024-01-03 00:01", "purchase"),
+            ("u5", "2024-01-04 00:00", "view"),
+            ("u5", "2024-01-04 00:02", "click"),
+            ("u5", "2024-01-04 00:02", "purchase"),
+        ]
+    )
+    for blocks in (1, 4):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+        out = funnel_counts(ds, ["view", "click", "purchase"]).sort_values("stage")
+        assert out["users"].tolist() == [4, 3, 1], out  # views: u1,u2,u3,u5
+
+
+def test_cohort_retention_planted(ray_session):
+    wk = 604_800
+    base = pd.Timestamp("1970-01-01")
+    rows = []
+    # u1: weeks 0,1,3 ; u2: weeks 1,1,2 (dup active week) ; u3: week 3 only
+    for u, weeks in [("u1", [0, 1, 3]), ("u2", [1, 1, 2]), ("u3", [3])]:
+        for w in weeks:
+            rows.append((u, base + pd.Timedelta(seconds=w * wk + 60), "x"))
+    df = _events(rows)[["user_id", "ts"]]
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = cohort_retention(ds)
+    got = {(r.cohort_week, r.week_offset): r.users for r in out.itertuples()}
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,   # u1 cohort week 0
+        (1, 0): 1, (1, 1): 1,              # u2 cohort week 1 (dup week collapsed)
+        (3, 0): 1,                         # u3
+    }
