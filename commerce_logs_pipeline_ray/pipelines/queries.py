@@ -1851,6 +1851,212 @@ FROM r GROUP BY decile
 """
 
 
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(r_name, n_name): ONE distributed groupby at the
+    finest level (region, nation) — the coarser levels are derived by
+    re-summing that already-tiny aggregate on the driver (the partials are
+    reused upward, never a second scan).  NULL rollup slots materialized as
+    'ALL' for oracle parity."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nr = nat.to_pandas().merge(reg.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.Table.from_pandas(
+        nr[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"}),
+        preserve_index=False,
+    )
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), dim, "c_nationkey"
+    ).select_columns(["c_custkey", "n_name", "r_name"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    from ..functions.relational import auto_join
+
+    joined = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    finest = grouped_sums(
+        joined, ["r_name", "n_name"], {"revenue": "o_totalprice"}, "n_orders", reduce="driver"
+    ).to_pandas()
+    lvl1 = finest.groupby("r_name", as_index=False)[["revenue", "n_orders"]].sum()
+    lvl1["n_name"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {"r_name": ["ALL"], "n_name": ["ALL"],
+         "revenue": [finest["revenue"].sum()], "n_orders": [finest["n_orders"].sum()]}
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
+        ["r_name", "n_name", "revenue", "n_orders"]
+    ]
+    out["revenue"] = out["revenue"].round(2)
+    return _i64(out, ["n_orders"])
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_hourly(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: hour-of-day × event_type count matrix, wide format.
+    The distributed part is the (hod, type) grouped count with per-batch
+    combiner; the wide reshape runs on the ≤ 24×|types| aggregate."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def add_hod(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"hod": pc.cast(pc.hour(t["ts"]), pa.int64()), "event_type": t["event_type"]}
+        )
+
+    ds = ds.map_batches(add_hod, batch_format="pyarrow", zero_copy_batch=True)
+    long = grouped_sums(ds, ["hod", "event_type"], {}, "n", reduce="driver").to_pandas()
+    wide = long.pivot_table(index="hod", columns="event_type", values="n", fill_value=0)
+    wide = wide.reindex(columns=EVENT_TYPES, fill_value=0).reset_index()
+    wide.columns = ["hod"] + [f"n_{t}" for t in EVENT_TYPES]
+    return _i64(wide, list(wide.columns))
+
+
+SQL_EVENTS_PIVOT_HOURLY = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def q_lang_entropy_per_source(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the language mix per source (corpus-diversity
+    signal): distributed (source, lang) count with combiner, entropy folded
+    on the ≤ |sources|×|langs| aggregate."""
+    ds = _t(sf_dir, "documents", ["source", "lang"])
+    counts = grouped_sums(ds, ["source", "lang"], {}, "n", reduce="driver").to_pandas()
+    tot = counts.groupby("source")["n"].transform("sum")
+    p = counts["n"] / tot
+    counts["h"] = -p * np.log(p)
+    out = counts.groupby("source", as_index=False).agg(n_docs=("n", "sum"), entropy=("h", "sum"))
+    out["entropy"] = out["entropy"].round(6)
+    return _i64(out, ["n_docs"])
+
+
+SQL_LANG_ENTROPY_PER_SOURCE = """
+WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+     t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.source AS source, CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+       ROUND(-SUM((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6) AS entropy
+FROM c JOIN t ON c.source = t.source GROUP BY 1
+"""
+
+
+def q_value_trend_per_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS slope + Pearson correlation of value vs time (drift
+    detector) from MERGEABLE sufficient statistics, two streaming passes:
+    (1) per-type means; (2) broadcast means → centered product partials per
+    batch (numerically stable — no Σxy−ΣxΣy/n cancellation) → tiny reduce.
+    The oracle mirrors the same centered formula in SQL (not DuckDB's
+    ``regr_slope``) so both sides round identically."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86_400_000_000.0
+
+    def base(t: pa.Table) -> pa.Table:
+        micros = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        x = pc.divide(pc.cast(micros, pa.float64()), day_us)
+        return pa.table({"event_type": t["event_type"], "x": x, "y": t["value"]})
+
+    xy = ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([("x", "sum"), ("y", "sum"), ("x", "count")])
+        return g.rename_columns(["event_type", "sx", "sy", "n"])
+
+    means = grouped_sums(
+        xy.map_batches(mean_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], {"sx": "sx", "sy": "sy", "n": "n"}, reduce="driver",
+    ).to_pandas()
+    means["ax"] = means["sx"] / means["n"]
+    means["ay"] = means["sy"] / means["n"]
+    ax = dict(zip(means["event_type"], means["ax"]))
+    ay = dict(zip(means["event_type"], means["ay"]))
+
+    def centered_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "x": t["x"].to_pandas(), "y": t["y"].to_pandas()}
+        )
+        dx = df["x"] - df["event_type"].map(ax)
+        dy = df["y"] - df["event_type"].map(ay)
+        part = pd.DataFrame(
+            {"event_type": df["event_type"], "sxy": dx * dy, "sxx": dx * dx, "syy": dy * dy}
+        )
+        return pa.Table.from_pandas(
+            part.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    mom = grouped_sums(
+        xy.map_batches(centered_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], {"sxy": "sxy", "sxx": "sxx", "syy": "syy"}, reduce="driver",
+    ).to_pandas()
+    out = mom.merge(means[["event_type", "n"]], on="event_type")
+    out["slope"] = (out["sxy"] / out["sxx"]).round(6)
+    out["corr_xy"] = (out["sxy"] / np.sqrt(out["sxx"] * out["syy"])).round(6)
+    out = out[["event_type", "n", "slope", "corr_xy"]]
+    return _i64(out, ["n"])
+
+
+SQL_VALUE_TREND_PER_TYPE = """
+WITH b AS (
+  SELECT event_type, epoch(ts) / 86400.0 AS x, value AS y FROM events
+), m AS (
+  SELECT event_type, AVG(x) AS ax, AVG(y) AS ay, COUNT(*) AS n FROM b GROUP BY 1
+)
+SELECT b.event_type AS event_type, MAX(m.n) AS n,
+       ROUND(SUM((x - ax) * (y - ay)) / SUM((x - ax) * (x - ax)), 6) AS slope,
+       ROUND(SUM((x - ax) * (y - ay))
+             / sqrt(SUM((x - ax) * (x - ax)) * SUM((y - ay) * (y - ay))), 6) AS corr_xy
+FROM b JOIN m ON b.event_type = m.event_type
+GROUP BY 1
+"""
+
+
+def q_copurchase_pairs(sf_dir: str) -> pd.DataFrame:
+    """Item co-occurrence mining (parts bought together in one order):
+    hash exchange on l_orderkey, vectorized within-bucket self-merge (group
+    sizes are bounded — ≤ order width — so the pair blow-up is ≤ w² per
+    order, never corpus-quadratic), per-bucket pair counts as combiner
+    partials, distributed pair reduce, top-50 with full deterministic
+    tie-break."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return out.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "n"})
+
+    pairs = bucketed_group_reduce(ds, ["l_orderkey"], per_bucket)
+    agg = grouped_sums(pairs, ["part_a", "part_b"], {"n": "n"})
+    out = topk(agg, ["n", "part_a", "part_b"], [True, False, False], 50).to_pandas()
+    return _i64(out, ["part_a", "part_b", "n"])
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT 50
+"""
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -2924,6 +3130,31 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cms_heavy_hitters,
         SQL_CMS_HEAVY_HITTERS,
         "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
+    ),
+    "value_trend_per_type": QuerySpec(
+        q_value_trend_per_type,
+        SQL_VALUE_TREND_PER_TYPE,
+        "per-group OLS slope + Pearson corr from mergeable centered moments",
+    ),
+    "copurchase_pairs": QuerySpec(
+        q_copurchase_pairs,
+        SQL_COPURCHASE_PAIRS,
+        "item co-occurrence pairs within orders, bounded within-group self-merge",
+    ),
+    "revenue_rollup": QuerySpec(
+        q_revenue_rollup,
+        SQL_REVENUE_ROLLUP,
+        "GROUP BY ROLLUP grouping sets from one finest-level distributed aggregate",
+    ),
+    "events_pivot_hourly": QuerySpec(
+        q_events_pivot_hourly,
+        SQL_EVENTS_PIVOT_HOURLY,
+        "pivot/crosstab hour-of-day × event_type",
+    ),
+    "lang_entropy_per_source": QuerySpec(
+        q_lang_entropy_per_source,
+        SQL_LANG_ENTROPY_PER_SOURCE,
+        "Shannon entropy of language mix per source",
     ),
     "funnel_stages": QuerySpec(
         q_funnel_stages,
