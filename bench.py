@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "chunk_stats",
     "contamination_check",
     "source_kl",
+    "order_price_deciles",
+    "funnel_stages",
+    "cohort_retention",
+    "copurchase_pairs",
 ]
 
 
