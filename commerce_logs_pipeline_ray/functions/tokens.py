@@ -62,33 +62,34 @@ def token_frequency(ds: Dataset, topk: int | None = None) -> pd.DataFrame:
     return out.head(topk) if topk else out
 
 
+def _bigram_partial(t: pa.Table) -> pa.Table:
+    """Per-batch packed-int64 bigram counts (within-sequence only)."""
+    values, offsets = _flat_tokens(t)
+    base = offsets[0]
+    window = values[offsets[0] : offsets[-1]].astype(np.int64)
+    if len(window) < 2:
+        return pa.table({"bigram": pa.array([], pa.int64()), "count": pa.array([], pa.int64())})
+    a = window[:-1]
+    b = window[1:]
+    # drop pairs spanning a sequence boundary: positions where the FIRST
+    # element is the last token of its sequence
+    ends = (offsets[1:] - base - 1)  # last index of each sequence in window coords
+    ends = ends[(ends >= 0) & (ends < len(a))]
+    keep = np.ones(len(a), dtype=bool)
+    keep[ends] = False
+    key = (a[keep] << np.int64(32)) | b[keep]
+    vc = pc.value_counts(pa.array(key))
+    return pa.table(
+        {
+            "bigram": pc.struct_field(vc, "values"),
+            "count": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+        }
+    )
+
+
 def bigram_topk(ds: Dataset, k: int = 20) -> pd.DataFrame:
     """Top-k adjacent token pairs (within-sequence, not across boundaries)."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        values, offsets = _flat_tokens(t)
-        base = offsets[0]
-        window = values[offsets[0] : offsets[-1]].astype(np.int64)
-        if len(window) < 2:
-            return pa.table({"bigram": pa.array([], pa.int64()), "count": pa.array([], pa.int64())})
-        a = window[:-1]
-        b = window[1:]
-        # drop pairs spanning a sequence boundary: positions where the FIRST
-        # element is the last token of its sequence
-        ends = (offsets[1:] - base - 1)  # last index of each sequence in window coords
-        ends = ends[(ends >= 0) & (ends < len(a))]
-        keep = np.ones(len(a), dtype=bool)
-        keep[ends] = False
-        key = (a[keep] << np.int64(32)) | b[keep]
-        vc = pc.value_counts(pa.array(key))
-        return pa.table(
-            {
-                "bigram": pc.struct_field(vc, "values"),
-                "count": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
-            }
-        )
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(_bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
     from .relational import bucketed_group_reduce
 
     agg = bucketed_group_reduce(
@@ -102,6 +103,51 @@ def bigram_topk(ds: Dataset, k: int = 20) -> pd.DataFrame:
             "count": agg["count"].astype("int64").to_numpy(),
         }
     )
+    return out.reset_index(drop=True)
+
+
+def pmi_topk(ds: Dataset, k: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information
+    ``ln( (c_ab/T_bi) / ((c_a/T_uni)·(c_b/T_uni)) )``.
+
+    Scale shape: the ``min_count`` support filter is applied INSIDE the
+    bigram reduce — ``bucketed_group_reduce`` co-locates every partial of a
+    bigram in one bucket, so the filter is exact there and only survivors
+    (plus one sentinel row per bucket carrying the bucket's total bigram
+    mass, key −1 — packed keys are always ≥ 0) ever reach the driver.  The
+    unigram table is vocabulary-bounded.  The PMI expression mirrors the
+    DuckDB oracle's division order exactly so both sides round identically.
+    """
+    from .relational import bucketed_group_reduce
+
+    partials = ds.map_batches(_bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("bigram", as_index=False)["count"].sum()
+        total = int(s["count"].sum())
+        keep = s[s["count"] >= min_count]
+        sentinel = pd.DataFrame({"bigram": [np.int64(-1)], "count": [total]})
+        return pd.concat([keep, sentinel], ignore_index=True)
+
+    red = bucketed_group_reduce(partials, ["bigram"], combine).to_pandas()
+    t_bi = float(red.loc[red["bigram"] == -1, "count"].sum())
+    cand = red[red["bigram"] != -1].copy()
+
+    uni = token_frequency(ds)  # full vocab histogram (bounded)
+    t_uni = float(uni["count"].sum())
+    cnt = dict(zip(uni["token"], uni["count"]))
+
+    a = (cand["bigram"].to_numpy() >> 32).astype("int64")
+    b = (cand["bigram"].to_numpy() & 0xFFFFFFFF).astype("int64")
+    c_ab = cand["count"].to_numpy().astype("float64")
+    c_a = np.array([cnt[x] for x in a], dtype="float64")
+    c_b = np.array([cnt[x] for x in b], dtype="float64")
+    pmi = np.log((c_ab / t_bi) / ((c_a / t_uni) * (c_b / t_uni)))
+    out = pd.DataFrame(
+        {"token_a": a, "token_b": b, "count": cand["count"].astype("int64").to_numpy(), "pmi": pmi}
+    )
+    out = out.sort_values(["pmi", "token_a", "token_b"], ascending=[False, True, True]).head(k)
+    out["pmi"] = out["pmi"].round(6)
     return out.reset_index(drop=True)
 
 

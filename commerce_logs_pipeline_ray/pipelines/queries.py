@@ -1954,6 +1954,88 @@ FROM c JOIN t ON c.source = t.source GROUP BY 1
 """
 
 
+def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-20 token collocations by PMI (support ≥ 5) —
+    ``tokens.py::pmi_topk``: the support filter runs INSIDE the bigram
+    reduce (all partials of a key share a bucket), so only survivors and
+    per-bucket mass sentinels reach the driver."""
+    from ..functions.tokens import pmi_topk
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8)
+    return pmi_topk(ds, k=20, min_count=5)
+
+
+SQL_PMI_TOPK = f"""
+WITH seq AS (SELECT tokens FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')),
+z AS (
+  SELECT UNNEST(list_zip(tokens[1:len(tokens) - 1], tokens[2:len(tokens)])) AS p
+  FROM seq WHERE len(tokens) >= 2
+),
+bi AS (SELECT CAST(p[1] AS BIGINT) AS a, CAST(p[2] AS BIGINT) AS b, COUNT(*) AS c
+       FROM z GROUP BY 1, 2),
+uni AS (SELECT CAST(token AS BIGINT) AS tok, COUNT(*) AS c
+        FROM (SELECT UNNEST(tokens) AS token FROM seq) GROUP BY 1),
+tb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM bi),
+tu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni)
+SELECT bi.a AS token_a, bi.b AS token_b, bi.c AS "count",
+       ROUND(ln((bi.c / tb.t) / ((ua.c / tu.t) * (ub.c / tu.t))), 6) AS pmi
+FROM bi CROSS JOIN tb CROSS JOIN tu
+JOIN uni ua ON ua.tok = bi.a
+JOIN uni ub ON ub.tok = bi.b
+WHERE bi.c >= 5
+ORDER BY ln((bi.c / tb.t) / ((ua.c / tu.t) * (ub.c / tu.t))) DESC, token_a, token_b
+LIMIT 20
+"""
+
+
+SEARCH_TERMS = ["join", "hash", "batch"]
+
+
+def q_index_term_stats(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build observed as per-term stats (document frequency +
+    total tf, top-20 by df) — ``functions/search.py``: vectorized RE2
+    tokenize per batch, one grouped exchange on the term."""
+    from ..functions.search import index_term_stats, postings
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return index_term_stats(postings(ds), k=20)
+
+
+SQL_INDEX_TERM_STATS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def q_keyword_search(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive keyword search (docs containing ALL of join/hash/batch,
+    scored by summed tf): broadcast term filter at the scan, per-doc
+    grouped reduce with a HAVING-count conjunctive gate, deterministic
+    top-20."""
+    from ..functions.search import conjunctive_search, postings
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return conjunctive_search(postings(ds), SEARCH_TERMS, k=20)
+
+
+SQL_KEYWORD_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ('join', 'hash', 'batch') GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+FROM tf GROUP BY doc_id HAVING COUNT(*) = 3
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_value_trend_per_type(sf_dir: str) -> pd.DataFrame:
     """Per-group OLS slope + Pearson correlation of value vs time (drift
     detector) from MERGEABLE sufficient statistics, two streaming passes:
@@ -3130,6 +3212,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cms_heavy_hitters,
         SQL_CMS_HEAVY_HITTERS,
         "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
+    ),
+    "pmi_topk": QuerySpec(
+        q_pmi_topk,
+        SQL_PMI_TOPK,
+        "PMI collocations, support-filtered inside the bigram reduce",
+    ),
+    "index_term_stats": QuerySpec(
+        q_index_term_stats,
+        SQL_INDEX_TERM_STATS,
+        "inverted-index build: per-term df/tf stats",
+    ),
+    "keyword_search": QuerySpec(
+        q_keyword_search,
+        SQL_KEYWORD_SEARCH,
+        "conjunctive keyword search over posting lists",
     ),
     "value_trend_per_type": QuerySpec(
         q_value_trend_per_type,

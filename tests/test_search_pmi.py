@@ -1,0 +1,59 @@
+"""Inverted-index search + PMI collocations vs driver-side references."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from commerce_logs_pipeline_ray.functions.search import conjunctive_search, postings
+from commerce_logs_pipeline_ray.functions.tokens import pmi_topk
+
+
+def test_conjunctive_search_planted(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma alpha",   # both terms, tf(alpha)=2
+                "alpha alpha alpha",        # missing beta → excluded
+                "Beta ALPHA!",              # case/punct robustness, score 2
+                "gamma delta",              # neither
+            ],
+        }
+    )
+    for blocks in (1, 3):
+        ds = rd.from_arrow(docs).repartition(blocks)
+        out = conjunctive_search(postings(ds), ["alpha", "beta"], k=10)
+        assert out["doc_id"].tolist() == [1, 3]
+        assert out["score"].tolist() == [3, 2]
+
+
+def test_pmi_matches_counter_reference(ray_session):
+    rng = np.random.default_rng(19)
+    seqs = [rng.integers(0, 12, size=rng.integers(2, 30)).astype(np.int32) for _ in range(300)]
+    t = pa.table({"tokens": pa.array([s.tolist() for s in seqs], pa.list_(pa.int32()))})
+
+    uni = Counter(int(x) for s in seqs for x in s)
+    bi = Counter((int(s[i]), int(s[i + 1])) for s in seqs for i in range(len(s) - 1))
+    t_uni, t_bi = sum(uni.values()), sum(bi.values())
+    ref = []
+    for (a, b), c in bi.items():
+        if c >= 5:
+            pmi = math.log((c / t_bi) / ((uni[a] / t_uni) * (uni[b] / t_uni)))
+            ref.append((pmi, a, b, c))
+    ref.sort(key=lambda r: (-r[0], r[1], r[2]))
+    ref = ref[:15]
+
+    for blocks in (1, 4):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = pmi_topk(ds, k=15, min_count=5)
+        assert list(zip(out["token_a"], out["token_b"], out["count"])) == [
+            (a, b, c) for _, a, b, c in ref
+        ]
+        np.testing.assert_allclose(
+            out["pmi"].to_numpy(), np.round([p for p, *_ in ref], 6), atol=1e-9
+        )
