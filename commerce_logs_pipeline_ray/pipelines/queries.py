@@ -1954,6 +1954,91 @@ FROM c JOIN t ON c.source = t.source GROUP BY 1
 """
 
 
+def ensure_token_edges_parquet(sf_dir: str) -> str:
+    """Materialize the token-transition graph (bigram counts as weighted
+    edges src→dst) once per sf — Ray reads it distributed, the DuckDB
+    PageRank oracle reads the same file."""
+    import os as _os
+
+    def build() -> pa.Table:
+        from ..functions.tokens import _bigram_partial
+
+        part = _bigram_partial(_derived_sequences(sf_dir)).to_pandas()
+        agg = part.groupby("bigram", as_index=False)["count"].sum()
+        key = agg["bigram"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array((key >> 32).astype("int64")),
+                "dst": pa.array((key & 0xFFFFFFFF).astype("int64")),
+                "w": pa.array(agg["count"].to_numpy().astype("float64")),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "token_edges.parquet"), build)
+
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def q_token_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the token-transition graph (10 fixed power iterations,
+    d=0.85, uniform dangling redistribution) — ``graph.py::pagerank``: the
+    edge Dataset stays distributed and is re-scanned per iteration; only the
+    |V|-bounded rank vector crosses the driver.  The oracle is the SAME
+    iteration unrolled as a generated 10-step SQL CTE chain."""
+    from ..functions.graph import pagerank
+
+    ds = rd.read_parquet(ensure_token_edges_parquet(sf_dir), override_num_blocks=4)
+    pr = pagerank(ds, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    pr["rank"] = pr["rank"].round(9)
+    out = pr.sort_values(["rank", "node"], ascending=[False, True]).head(20)
+    out = out.rename(columns={"node": "token"}).reset_index(drop=True)
+    return _i64(out, ["token"])
+
+
+def _pagerank_sql(path: str, iters: int, d: float, k: int) -> str:
+    """Unroll the power iteration as a CTE chain mirroring pagerank()'s
+    float expression term for term (same literal, same op order).
+
+    Every r{{i}} is referenced twice by iteration i+1 (dangling mass + the
+    contrib join), so each CTE MUST be ``AS MATERIALIZED`` — inlined CTEs
+    make the plan double per iteration (2^iters blowup)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM read_parquet('{path}'))",
+        "ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM e GROUP BY 1)",
+        "nodes AS MATERIALIZED (SELECT node FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r{i}.rank), 0.0) AS m FROM r{i} "
+            f"LEFT JOIN ow ON r{i}.node = ow.src WHERE ow.src IS NULL)"
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1.0 - {d}) / (SELECT cnt FROM nn)
+         + {d} * (COALESCE(c.contrib, 0.0) + (SELECT m FROM d{i}) / (SELECT cnt FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(e.w * (r{i}.rank / ow.ow)) AS contrib
+    FROM e JOIN ow ON e.src = ow.src JOIN r{i} ON r{i}.node = e.src GROUP BY 1
+  ) c ON nodes.node = c.node)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node AS token, ROUND(rank, 9) AS rank FROM r{iters} "
+        f"ORDER BY ROUND(rank, 9) DESC, token LIMIT {k}"
+    )
+
+
+SQL_TOKEN_PAGERANK = _pagerank_sql(
+    f"{ORACLE_ARTIFACT_DIR}/token_edges.parquet", PAGERANK_ITERS, PAGERANK_DAMPING, 20
+)
+
+
 def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
     """Top-20 token collocations by PMI (support ≥ 5) —
     ``tokens.py::pmi_topk``: the support filter runs INSIDE the bigram
@@ -3212,6 +3297,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cms_heavy_hitters,
         SQL_CMS_HEAVY_HITTERS,
         "Count-Min-sketch-pruned exact heavy hitters (fixed-memory candidates)",
+    ),
+    "token_pagerank": QuerySpec(
+        q_token_pagerank,
+        SQL_TOKEN_PAGERANK,
+        "iterative PageRank over the token-transition graph vs unrolled CTE oracle",
     ),
     "pmi_topk": QuerySpec(
         q_pmi_topk,

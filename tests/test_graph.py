@@ -79,3 +79,53 @@ def test_components_match_union_find_for_any_graph(ray_session, pairs):
     want = _reference_components(edges[edges["u"] != edges["v"]])
     got = dict(zip(out["node"], out["component"]))
     assert got == want
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _reference_pagerank(edges: pd.DataFrame, iters=10, d=0.85) -> pd.DataFrame:
+    """Dense-matrix power iteration ground truth (same dangling convention)."""
+    nodes = np.union1d(edges["src"].unique(), edges["dst"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, t, wt in zip(edges["src"], edges["dst"], edges["w"]):
+        w[idx[s], idx[t]] += wt
+    outw = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        nz = outw > 0
+        contrib = (w[nz] * (r[nz] / outw[nz])[:, None]).sum(axis=0)
+        dangling = r[~nz].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    m = 300
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, m),
+            "dst": rng.integers(0, 50, m),  # nodes 40-49 are dangling (no out-edges)
+            "w": rng.integers(1, 5, m).astype("float64"),
+        }
+    )
+    got = pagerank(rd.from_pandas(edges), iters=8).set_index("node")["rank"]
+    want = _reference_pagerank(edges, iters=8).set_index("node")["rank"]
+    assert np.allclose(got.sort_index(), want.sort_index(), atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_empty(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import pagerank
+
+    out = pagerank(rd.from_pandas(pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"), "w": pd.Series(dtype="float64")})))
+    assert out.empty and list(out.columns) == ["node", "rank"]
