@@ -149,3 +149,88 @@ def cohort_retention(
     partials = bucketed_group_reduce(pairs, [key], per_bucket).to_pandas()
     out = partials.groupby(["cohort_week", "week_offset"], as_index=False)["users"].sum()
     return out.astype({"cohort_week": "int64", "week_offset": "int64", "users": "int64"})
+
+
+def lag_gap_stats(
+    events: Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Distributed LAG(): per event type, stats over the gap between each
+    event and the SAME user's previous event (order: ts, tiebreak) — the
+    window-function shape ``x - LAG(x) OVER (PARTITION BY key ORDER BY ts)``
+    without a global sort: one hash exchange co-locates each key's rows,
+    the per-bucket pass sorts ONCE for all keys in the bucket and diffs
+    vectorized; only |types| partial rows (n, sum_us, max_us) leave each
+    bucket, folded exactly in int64 microseconds (no float drift between
+    partials).
+    """
+    from .relational import bucketed_group_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tiebreak_col], kind="stable")
+        ts_us = df[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        keys_arr = df[key].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = keys_arr[1:] == keys_arr[:-1]
+        gap = np.zeros(len(df), dtype="int64")
+        if len(df) > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        sub = pd.DataFrame({type_col: df[type_col].to_numpy()[same], "gap_us": gap[same]})
+        g = sub.groupby(type_col)["gap_us"]
+        return pd.DataFrame(
+            {
+                type_col: g.count().index,
+                "n": g.count().to_numpy(),
+                "sum_us": g.sum().to_numpy(),
+                "max_us": g.max().to_numpy(),
+            }
+        )
+
+    partials = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
+    agg = partials.groupby(type_col, as_index=False).agg(
+        n_gaps=("n", "sum"), sum_us=("sum_us", "sum"), max_us=("max_us", "max")
+    )
+    agg["avg_gap_s"] = (agg["sum_us"] / 1_000_000.0 / agg["n_gaps"]).round(6)
+    agg["max_gap_s"] = (agg["max_us"] / 1_000_000.0).round(6)
+    out = agg[[type_col, "n_gaps", "avg_gap_s", "max_gap_s"]].sort_values(type_col)
+    return out.astype({"n_gaps": "int64"}).reset_index(drop=True)
+
+
+def transition_matrix(
+    events: Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Per-key Markov transitions: counts and row-normalized probability of
+    consecutive (prev_type → next_type) event pairs within each key's
+    ts-ordered stream.  Same single-exchange shape as :func:`lag_gap_stats`;
+    each bucket emits ≤ |types|² pair-count partials, the driver folds them
+    and normalizes the tiny matrix.
+    """
+    from .relational import bucketed_group_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tiebreak_col], kind="stable")
+        keys_arr = df[key].to_numpy()
+        types = df[type_col].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = keys_arr[1:] == keys_arr[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": np.roll(types, 1)[same], "next_type": types[same]}
+        )
+        return pairs.groupby(["prev_type", "next_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
+    out = partials.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    out["p"] = (out["n"] / out.groupby("prev_type")["n"].transform("sum")).round(9)
+    out = out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    return out.astype({"n": "int64"})

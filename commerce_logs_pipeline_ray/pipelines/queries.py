@@ -2224,6 +2224,52 @@ LIMIT 50
 """
 
 
+def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase item graph — ``graph.py::triangle_stats``: degree-oriented
+    wedge generation (max out-degree O(√m) even on hub items) + pair-keyed
+    membership co-group; no edge-set broadcast anywhere."""
+    from ..functions.graph import triangle_stats
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "u", "l_partkey_y": "v"}
+        )
+
+    pairs = bucketed_group_reduce(ds, ["l_orderkey"], per_bucket)
+    edges = grouped_sums(pairs, ["u", "v"], {})  # global DISTINCT canonical edges
+    return triangle_stats(edges)
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, COUNT(*) AS dg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1
+),
+w AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+t AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_wedges FROM w) AS n_wedges,
+       (SELECT n_triangles FROM t) AS n_triangles,
+       ROUND(3.0 * (SELECT n_triangles FROM t) / (SELECT n_wedges FROM w), 9) AS global_cc
+"""
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -2284,6 +2330,56 @@ WITH uw AS (
 SELECT f.cw AS cohort_week, uw.w - f.cw AS week_offset, COUNT(*) AS users
 FROM uw JOIN f ON uw.user_id = f.user_id
 GROUP BY 1, 2
+"""
+
+
+def q_event_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type inter-event gap stats (LAG over each user's ts-ordered
+    stream) — ``windows.py::lag_gap_stats``: one hash exchange on user_id,
+    per-bucket sorted diff, exact int64-µs partials."""
+    from ..functions.windows import lag_gap_stats
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return lag_gap_stats(ds)
+
+
+SQL_EVENT_GAP_STATS = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       ROUND(SUM(gap_us) / 1000000.0 / COUNT(*), 6) AS avg_gap_s,
+       ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov event-type transition matrix (consecutive pairs per user) —
+    ``windows.py::transition_matrix``: bucketed LAG pairs, ≤|types|²
+    partials per bucket, driver-normalized probabilities."""
+    from ..functions.windows import transition_matrix
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return transition_matrix(ds)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 9) AS p
+FROM p WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -3352,6 +3448,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cohort_retention,
         SQL_COHORT_RETENTION,
         "weekly cohort retention matrix via distinct-pair combiner",
+    ),
+    "event_gap_stats": QuerySpec(
+        q_event_gap_stats,
+        SQL_EVENT_GAP_STATS,
+        "distributed LAG(): per-type inter-event gap stats, exact int64-µs partials",
+    ),
+    "event_transitions": QuerySpec(
+        q_event_transitions,
+        SQL_EVENT_TRANSITIONS,
+        "Markov event-type transition matrix from per-user consecutive pairs",
+    ),
+    "copurchase_triangles": QuerySpec(
+        q_copurchase_triangles,
+        SQL_COPURCHASE_TRIANGLES,
+        "degree-oriented exact triangle count + clustering coefficient, no edge broadcast",
     ),
     "order_price_deciles": QuerySpec(
         q_order_price_deciles,

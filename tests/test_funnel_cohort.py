@@ -58,3 +58,53 @@ def test_cohort_retention_planted(ray_session):
         (1, 0): 1, (1, 1): 1,              # u2 cohort week 1 (dup week collapsed)
         (3, 0): 1,                         # u3
     }
+
+
+# -------------------------------------------------- LAG gaps / transitions
+
+def test_lag_gap_stats_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.windows import lag_gap_stats
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 50, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "event_id": np.arange(n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    got = lag_gap_stats(rd.from_pandas(df))
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["gap"] = ref.groupby("user_id")["ts"].diff().dt.total_seconds()
+    ref = ref.dropna(subset=["gap"])
+    want = ref.groupby("event_type")["gap"].agg(["count", "mean", "max"]).reset_index()
+    got_i = got.set_index("event_type")
+    for _, r in want.iterrows():
+        assert got_i.loc[r["event_type"], "n_gaps"] == r["count"]
+        assert abs(got_i.loc[r["event_type"], "avg_gap_s"] - round(r["mean"], 6)) < 1e-9
+        assert got_i.loc[r["event_type"], "max_gap_s"] == round(r["max"], 6)
+
+
+def test_transition_matrix_probabilities_sum_to_one(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.windows import transition_matrix
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime([10, 20, 30, 10, 20, 10], unit="s"),
+            "event_id": range(6),
+            "event_type": ["v", "c", "p", "v", "v", "p"],
+        }
+    )
+    out = transition_matrix(rd.from_pandas(df))
+    # user1: v→c, c→p ; user2: v→v ; user3: no pair
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("v", "c"): 1, ("c", "p"): 1, ("v", "v"): 1}
+    assert np.allclose(out.groupby("prev_type")["p"].sum(), 1.0)

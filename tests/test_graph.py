@@ -129,3 +129,55 @@ def test_pagerank_empty(ray_session):
 
     out = pagerank(rd.from_pandas(pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"), "w": pd.Series(dtype="float64")})))
     assert out.empty and list(out.columns) == ["node", "rank"]
+
+
+# ---------------------------------------------------------------- triangles
+
+def _brute_triangles(edges: pd.DataFrame) -> int:
+    es = set(map(tuple, edges[["u", "v"]].to_numpy()))
+    nodes = sorted({n for e in es for n in e})
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    cnt += 1
+    return cnt
+
+
+def test_triangle_k4(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import triangle_stats
+
+    k4 = pd.DataFrame({"u": [1, 1, 1, 2, 2, 3], "v": [2, 3, 4, 3, 4, 4]})
+    out = triangle_stats(rd.from_pandas(k4))
+    assert out["n_triangles"].iloc[0] == 4
+    assert out["n_edges"].iloc[0] == 6
+    assert out["n_wedges"].iloc[0] == 12  # 4 nodes × C(3,2)
+    assert out["global_cc"].iloc[0] == 1.0
+
+
+def test_triangle_path_has_none(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import triangle_stats
+
+    path = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]})
+    out = triangle_stats(rd.from_pandas(path))
+    assert out["n_triangles"].iloc[0] == 0
+
+
+def test_triangle_matches_bruteforce_random(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import triangle_stats
+
+    rng = np.random.default_rng(11)
+    pairs = {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, 25, (150, 2)) if a != b}
+    edges = pd.DataFrame(sorted(pairs), columns=["u", "v"])
+    out = triangle_stats(rd.from_pandas(edges), num_buckets=8)
+    assert out["n_triangles"].iloc[0] == _brute_triangles(edges)
+    assert out["n_edges"].iloc[0] == len(edges)
