@@ -1,0 +1,158 @@
+"""Blocked record linkage (entity resolution) over a dirty-string column.
+
+The all-pairs edit-distance join is O(N²); the standard scale shape is
+**multi-pass blocking**: emit each record under K cheap block keys (here:
+first-3-chars and last-3-chars of the name), generate candidate pairs only
+WITHIN a block, verify candidates with exact Levenshtein, and de-duplicate
+pairs that matched under several keys.  Recall is exactly "the union of the
+blocking passes" — a pair that differs in both its prefix and its suffix is
+out of scope by construction (documented operator semantics, mirrored 1:1
+by the SQL oracle's identical block keys).
+
+Ray shape: one map_batches fans each record out to its K block-key rows; a
+single hash exchange on the block key co-locates candidates; the per-block
+verify is a vectorized batch Levenshtein — numpy DP column sweeps applied
+across ALL pairs of the block at once, never a per-pair Python loop; pair
+dedup is a distributed grouped min over the (id_a, id_b) key, so the pair
+set never materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .relational import bucketed_group_reduce
+
+
+def levenshtein_batch(a, b) -> np.ndarray:
+    """Exact unit-cost Levenshtein (insert/delete/substitute) for N string
+    pairs at once.
+
+    The vectorization axis is the PAIR: the DP table is swept column by
+    column over b; substitution/insertion terms are one vector min, and the
+    within-column deletion chain — the usually-sequential part — resolves in
+    one ``np.minimum.accumulate`` over ``D - row_index`` (delete steps cost
+    exactly 1, so the prefix-min transform is exact).  Each pair's answer is
+    snapshotted when the sweep passes its own length ``len(b_i)``.  Same
+    O(N·La·Lb) cells as the scalar DP, at numpy throughput.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype="int64")
+    la = np.fromiter((len(s) for s in a), dtype="int64", count=n)
+    lb = np.fromiter((len(s) for s in b), dtype="int64", count=n)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    out = np.where(lb == 0, la, np.int64(0))
+    if ma == 0:
+        return np.where(la == 0, lb, la)
+    # char-code matrices padded with two DISTINCT sentinels: a padding cell
+    # can never equal a real char or the other side's padding
+    ca = np.full((n, ma), -1, dtype="int64")
+    for i, s in enumerate(a):
+        if s:
+            ca[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype="uint32")
+    cb = np.full((n, max(mb, 1)), -2, dtype="int64")
+    for i, s in enumerate(b):
+        if s:
+            cb[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype="uint32")
+
+    rows = np.arange(ma + 1, dtype="int64")
+    prev = np.broadcast_to(rows, (n, ma + 1)).copy()  # column j=0: D[i][0]=i
+    for j in range(1, mb + 1):
+        t = np.empty_like(prev)
+        t[:, 0] = j
+        sub_cost = (ca != cb[:, j - 1 : j]).astype("int64")
+        np.minimum(prev[:, :-1] + sub_cost, prev[:, 1:] + 1, out=t[:, 1:])
+        t -= rows
+        np.minimum.accumulate(t, axis=1, out=t)
+        t += rows
+        hit = lb == j
+        if hit.any():
+            out[hit] = t[hit, la[hit]]
+        prev = t
+    return out
+
+
+def link_records(
+    records: Dataset,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    max_dist: int = 2,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Multi-pass blocked linkage: candidate pairs share a first-3-chars OR
+    a last-3-chars block key; survivors have Levenshtein ≤ ``max_dist``.
+    Returns the distributed pair Dataset (id_a < id_b, dist).
+    """
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = t[name_col].combine_chunks()
+        # suffix key = first 3 chars of the REVERSED name (slice takes only
+        # scalar offsets; reversal is a bijection so key equality is the
+        # same as comparing true suffixes) — the SQL oracle mirrors it as
+        # substr(reverse(name), 1, 3)
+        def _arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        pre = _arr(pc.binary_join_element_wise("p", pc.utf8_slice_codeunits(names, 0, 3), ""))
+        suf = _arr(
+            pc.binary_join_element_wise(
+                "s", pc.utf8_slice_codeunits(pc.utf8_reverse(names), 0, 3), ""
+            )
+        )
+        return pa.table(
+            {
+                "bk": pa.concat_arrays([pre, suf]),
+                id_col: pa.concat_arrays([t[id_col].combine_chunks()] * 2),
+                name_col: pa.concat_arrays([names] * 2),
+            }
+        )
+
+    blocked = records.map_batches(block_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("bk", sort=False):
+            if len(g) < 2:
+                continue
+            m = g.merge(g, on="bk")
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            if m.empty:
+                continue
+            # cheap length prefilter before the DP
+            ln_x = m[f"{name_col}_x"].str.len()
+            ln_y = m[f"{name_col}_y"].str.len()
+            m = m[(ln_x - ln_y).abs() <= max_dist]
+            if m.empty:
+                continue
+            d = levenshtein_batch(m[f"{name_col}_x"].tolist(), m[f"{name_col}_y"].tolist())
+            keep = d <= max_dist
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": m[f"{id_col}_x"].to_numpy()[keep],
+                        "id_b": m[f"{id_col}_y"].to_numpy()[keep],
+                        "dist": d[keep],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs = bucketed_group_reduce(blocked, ["bk"], verify_block, num_buckets=num_buckets)
+
+    # a pair seen in both the prefix and the suffix block dedups here (dist
+    # is a function of the pair, so this grouped pass is a pure DISTINCT)
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+
+    return bucketed_group_reduce(pairs, ["id_a", "id_b"], dedup_bucket)

@@ -2224,6 +2224,110 @@ LIMIT 50
 """
 
 
+def ensure_dirty_names_parquet(sf_dir: str) -> str:
+    """Deterministic dirty-record corpus for entity resolution: every part
+    name plus hash-chosen typo variants (substitution for every part, an
+    extra deletion for every third part) — rec_id = p_partkey·10 + variant.
+    ASCII-only by construction (DuckDB ``levenshtein`` counts bytes; the
+    Ray kernel counts codepoints — identical on ASCII)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        ids, names = [], []
+        for k, nm in zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()):
+            ids.append(k * 10)
+            names.append(nm)
+            h = _hashlib.md5(str(k).encode()).digest()
+            pos = h[0] % len(nm)
+            repl = chr(ord("a") + h[1] % 26)
+            if repl == nm[pos]:
+                repl = chr(ord("a") + (h[1] + 1) % 26)
+            ids.append(k * 10 + 1)
+            names.append(nm[:pos] + repl + nm[pos + 1 :])
+            if k % 3 == 0:
+                pos2 = h[2] % (len(nm) - 1) + 1  # keep char 0: prefix block survives
+                ids.append(k * 10 + 2)
+                names.append(nm[:pos2] + nm[pos2 + 1 :])
+        return pa.table({"rec_id": pa.array(ids, pa.int64()), "name": pa.array(names)})
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "dirty_names.parquet"), build)
+
+
+def q_record_linkage(sf_dir: str) -> pd.DataFrame:
+    """Blocked entity resolution over the dirty-name corpus —
+    ``functions/linkage.py::link_records``: prefix/suffix multi-pass
+    blocking, one block-key exchange, vectorized batch-Levenshtein verify
+    (numpy DP swept across all pairs at once), distributed pair dedup."""
+    from ..functions.linkage import link_records
+
+    ds = rd.read_parquet(ensure_dirty_names_parquet(sf_dir), override_num_blocks=4)
+    out = link_records(ds, max_dist=2).to_pandas()
+    out = out.sort_values(["id_a", "id_b"], ignore_index=True)
+    return _i64(out, ["id_a", "id_b", "dist"])
+
+
+SQL_RECORD_LINKAGE = """
+WITH r AS (SELECT rec_id, name FROM read_parquet('{AD}/dirty_names.parquet')),
+k AS (
+  SELECT rec_id, name, 'p' || substr(name, 1, 3) AS bk FROM r
+  UNION ALL
+  SELECT rec_id, name, 's' || substr(reverse(name), 1, 3) AS bk FROM r
+),
+c AS (
+  SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b, a.name AS na, b.name AS nb
+  FROM k a JOIN k b ON a.bk = b.bk AND a.rec_id < b.rec_id
+)
+SELECT id_a, id_b, levenshtein(na, nb) AS dist
+FROM c WHERE levenshtein(na, nb) <= 2
+ORDER BY 1, 2
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+def q_peak_rolling_value(sf_dir: str) -> pd.DataFrame:
+    """Frame-window aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW):
+    each user's PEAK 5-event trailing mean of ``value`` — the moving-average
+    window shape, distributed like every window here (one user_id exchange,
+    vectorized pandas rolling per bucket; a user never spans buckets so the
+    per-bucket row is final).  Bit-exact float parity with the SQL oracle:
+    the mean runs over int64 CENTS (exact in float64 add/remove), and both
+    sides do the identical sum/count then /100 divisions."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["__c"] = np.rint(df["value"].to_numpy() * 100.0)
+        g = df.groupby("user_id", sort=False)["__c"]
+        ma = g.rolling(5, min_periods=1).sum().to_numpy() / g.rolling(5, min_periods=1).count().to_numpy()
+        peak = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "__ma": ma}).groupby(
+            "user_id", as_index=False
+        )["__ma"].max()
+        peak["peak_ma5_value"] = (peak["__ma"] / 100.0).round(6)
+        return peak[["user_id", "peak_ma5_value"]]
+
+    out = bucketed_group_reduce(ds, ["user_id"], per_bucket).to_pandas()
+    return _i64(out.sort_values("user_id", ignore_index=True), ["user_id"])
+
+
+SQL_PEAK_ROLLING_VALUE = """
+WITH c AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+), w AS (
+  SELECT user_id,
+         AVG(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+         ) AS ma
+  FROM c
+)
+SELECT user_id, ROUND(MAX(ma) / 100.0, 6) AS peak_ma5_value
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count + global clustering coefficient of the
     co-purchase item graph — ``graph.py::triangle_stats``: degree-oriented
@@ -3463,6 +3567,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_copurchase_triangles,
         SQL_COPURCHASE_TRIANGLES,
         "degree-oriented exact triangle count + clustering coefficient, no edge broadcast",
+    ),
+    "record_linkage": QuerySpec(
+        q_record_linkage,
+        SQL_RECORD_LINKAGE,
+        "blocked entity resolution: prefix/suffix blocking + batch-Levenshtein verify",
+    ),
+    "peak_rolling_value": QuerySpec(
+        q_peak_rolling_value,
+        SQL_PEAK_ROLLING_VALUE,
+        "ROWS-frame moving average per user (peak 5-event trailing mean), cents-exact",
     ),
     "order_price_deciles": QuerySpec(
         q_order_price_deciles,
