@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -448,3 +449,124 @@ def bloom_semi_join(
         zero_copy_batch=True,
     ).groupby(rkey).count().drop_columns(["count()"])
     return hash_join(survivors, uniq, on, rkey, "inner", num_partitions)
+
+
+def detect_hot_keys(
+    ds: Dataset,
+    on: str,
+    hot_threshold: int,
+    sample_mod: int = 64,
+) -> pd.DataFrame:
+    """Estimate per-key row counts from a deterministic 1/``sample_mod``
+    hash sample and return keys whose ESTIMATED count exceeds
+    ``hot_threshold`` (frame: key column + ``est_count``).
+
+    Hot-key detection must not cost a full groupby over the fact table —
+    the sample pass ships only ~|distinct sampled keys| partial rows per
+    block through one grouped reduce.  Detection is approximate by design;
+    callers use it to choose a PLAN (broadcast vs exchange), so a miss
+    costs performance, never correctness.
+
+    The sample is a positional stride WITHIN each block (every
+    ``sample_mod``-th row), not a key-hash modulus: hashing the KEY puts a
+    hot key entirely in or entirely out of the sample (one hash decides
+    all its rows) — a 1-1/mod chance of missing the very key the detector
+    exists for.  The stride samples ROWS, so a key's sampled count
+    concentrates at count/mod regardless of identity.  Deterministic for a
+    given block layout (no RNG); plan choice may shift with partitioning,
+    results never do.
+    """
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        sampled = t.take(np.arange(0, len(t), sample_mod))
+        return pa.table({on: sampled[on]}).group_by([on]).aggregate([([], "count_all")])
+
+    partials = ds.map_batches(sample_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_sums(partials, [on], {"n": "count_all"}, reduce="distributed").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({on: pd.Series(dtype="object"), "est_count": pd.Series(dtype="int64")})
+    agg["est_count"] = agg["n"] * sample_mod
+    hot = agg.loc[agg["est_count"] > hot_threshold, [on, "est_count"]]
+    return hot.reset_index(drop=True)
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    hot_threshold: int = 2_000_000,
+    sample_mod: int = 64,
+    num_partitions: int = 16,
+    hot_keys: list | None = None,
+) -> Dataset:
+    """Skew-aware inner join: the cure for the one-hot-key aggregator that
+    ``hash_join`` documents as its failure mode.
+
+    Plan: (1) estimate left-side key counts from a deterministic hash
+    sample (:func:`detect_hot_keys` — no full groupby); (2) rows with hot
+    keys join against the broadcast of the right side's MATCHING rows only
+    (a per-batch pandas m:n merge — true inner semantics under duplicate
+    right keys, unlike the lookup-join broadcast path); (3) the cold
+    remainder takes the normal hash-partitioned exchange with the hot keys
+    REMOVED from both sides, so no partition ever receives a hot key's row
+    flood.  Result is the union; row multiset equals ``hash_join``'s for
+    any split, so hot-key detection misses degrade throughput, never
+    results.
+
+    Broadcast-side contract: Σ right rows of hot keys must fit in a worker
+    heap (dimension-ish right sides — the common skew-join case).  A hot
+    key that is ALSO heavy on the right needs pair-explosion control
+    (salting both sides) — out of scope here and asserted against via the
+    documented threshold.
+    """
+    rkey = right_on or on
+    if hot_keys is None:
+        hot_df = detect_hot_keys(left, on, hot_threshold, sample_mod)
+        hot_keys = hot_df[on].tolist()
+    if not hot_keys:
+        return hash_join(left, right, on, right_on, "inner", num_partitions)
+
+    import ray
+
+    hot_arr = pa.array(hot_keys)
+    right = right.materialize()
+    right_hot_df = right.map_batches(
+        lambda t: t.filter(pc.is_in(t[rkey], value_set=hot_arr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    right_hot_ref = ray.put(right_hot_df)
+
+    # canonical output column order shared by both paths:
+    # left columns, then right columns minus the (renamed-away) join key
+    left_cols = left.schema().names
+    right_payload = [c for c in right.schema().names if c != rkey]
+    out_cols = list(left_cols) + right_payload
+
+    def bcast_merge(df: pd.DataFrame, *, ref=right_hot_ref) -> pd.DataFrame:
+        dim = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
+        m = df.merge(dim, left_on=on, right_on=rkey, how="inner", suffixes=("", "__r"))
+        return m[out_cols]
+
+    def split(t: pa.Table, want_hot: bool) -> pa.Table:
+        mask = pc.is_in(t[on], value_set=hot_arr)
+        return t.filter(mask if want_hot else pc.invert(mask))
+
+    left_hot = left.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    left_cold = left.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right_cold = right.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[rkey], value_set=hot_arr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hot_joined = left_hot.map_batches(bcast_merge, batch_format="pandas")
+    cold_joined = hash_join(left_cold, right_cold, on, right_on, "inner", num_partitions)
+    cold_joined = cold_joined.map_batches(
+        lambda df: df[out_cols], batch_format="pandas"
+    )
+    return hot_joined.union(cold_joined)

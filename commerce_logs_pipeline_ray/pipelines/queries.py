@@ -2285,6 +2285,34 @@ ORDER BY 1, 2
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def q_skew_join_nation_value(sf_dir: str) -> pd.DataFrame:
+    """Events × customer inner join via ``relational.py::skew_join``: hot
+    user_ids (detected from a deterministic hash sample, no full groupby)
+    take a broadcast m:n merge of their matching dim rows; the cold
+    remainder takes the exchange join with hot keys removed from BOTH
+    sides — no partition ever receives a hot key's row flood.  The split is
+    correctness-neutral (row multiset == plain join for ANY split), which
+    is exactly what the plain-SQL-join oracle checks."""
+    from ..functions.relational import skew_join
+
+    ev = _t(sf_dir, "events", ["user_id", "value"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # threshold sized so the synthetic stream's heaviest users DO take the
+    # hot path at every sf (events-per-user ~ uniform); detection stays on
+    joined = skew_join(ev, cust, on="user_id", right_on="c_custkey", hot_threshold=100)
+    agg = grouped_sums(joined, ["c_nationkey"], {"total_value": "value"}, "n").to_pandas()
+    agg["total_value"] = agg["total_value"].round(2)
+    out = agg.sort_values("c_nationkey", ignore_index=True)
+    return _i64(out, ["c_nationkey", "n"])
+
+
+SQL_SKEW_JOIN_NATION_VALUE = """
+SELECT c_nationkey, ROUND(SUM(value), 2) AS total_value, COUNT(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_peak_rolling_value(sf_dir: str) -> pd.DataFrame:
     """Frame-window aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW):
     each user's PEAK 5-event trailing mean of ``value`` — the moving-average
@@ -3577,6 +3605,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_peak_rolling_value,
         SQL_PEAK_ROLLING_VALUE,
         "ROWS-frame moving average per user (peak 5-event trailing mean), cents-exact",
+    ),
+    "skew_join_nation_value": QuerySpec(
+        q_skew_join_nation_value,
+        SQL_SKEW_JOIN_NATION_VALUE,
+        "skew-aware join: sampled hot-key detection, broadcast hot path + cold exchange",
     ),
     "order_price_deciles": QuerySpec(
         q_order_price_deciles,

@@ -33,3 +33,64 @@ def test_grouped_topk_matches_window_rank(ray_session):
             .reset_index(drop=True)[ref.columns]
         )
         pd.testing.assert_frame_equal(got, ref)
+
+
+# ------------------------------------------------------------- skew join
+
+def test_skew_join_equals_plain_join_on_planted_skew(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import skew_join
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    # ~half the fact rows hit key 7 (the hot key), rest uniform
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n))
+    left = pd.DataFrame({"k": keys, "x": rng.integers(0, 100, n)})
+    right = pd.DataFrame({"rk": np.arange(0, 150), "payload": np.arange(0, 150) * 10})
+
+    got = (
+        skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+                  hot_threshold=1000, sample_mod=8)
+        .to_pandas()
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "x", "payload"]]
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_skew_join_duplicate_right_keys_mn_semantics(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import skew_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3], "x": [10, 11, 20, 30]})
+    right = pd.DataFrame({"k": [1, 1, 2, 4], "payload": [100, 101, 200, 400]})
+    # force key 1 down the broadcast hot path: duplicates on BOTH sides
+    got = (
+        skew_join(rd.from_pandas(left), rd.from_pandas(right), on="k", hot_keys=[1])
+        .to_pandas()
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    want = (
+        left.merge(right, on="k")
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_detect_hot_keys_finds_planted_hot_key(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import detect_hot_keys
+
+    rng = np.random.default_rng(4)
+    keys = np.concatenate([np.full(50_000, 42), rng.integers(1000, 9000, 20_000)])
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    hot = detect_hot_keys(ds, "k", hot_threshold=10_000, sample_mod=16)
+    assert 42 in set(hot["k"])
+    # uniform tail keys (~3 rows each) must not be flagged
+    assert (hot["est_count"] > 10_000).all() and len(hot) <= 3
