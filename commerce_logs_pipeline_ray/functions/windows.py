@@ -234,3 +234,48 @@ def transition_matrix(
     out["p"] = (out["n"] / out.groupby("prev_type")["n"].transform("sum")).round(9)
     out = out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
     return out.astype({"n": "int64"})
+
+
+def range_window_peak(
+    events: Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    out_name: str = "max_burst",
+) -> pd.DataFrame:
+    """Time-RANGE frame window (``COUNT(*) OVER (PARTITION BY key ORDER BY
+    ts RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``), reduced to
+    each key's PEAK value — "most events any sliding w-window ever held".
+
+    Unlike the ROWS frame this is value-based: the frame holds every row
+    with ``ts ∈ [ts_i − w, ts_i]`` INCLUDING peers of the current row
+    (rows sharing ts_i) — SQL RANGE semantics, matched exactly.
+
+    One hash exchange on ``key``; per bucket the counts for ALL keys
+    resolve in two vectorized ``np.searchsorted`` calls: timestamps are
+    remapped to per-key disjoint bands (``ts + key_index · span``) so one
+    GLOBAL binary search respects key boundaries — no per-key loop.
+    """
+    from .relational import bucketed_group_reduce
+
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="stable")
+        ts_us = df[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        keys_arr = df[key].to_numpy()
+        # dense key index in sorted order
+        new_key = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+        kidx = np.cumsum(new_key) - 1
+        span = np.int64(ts_us.max() - ts_us.min() + win_us + 2) if len(df) else np.int64(1)
+        mapped = (ts_us - ts_us.min()) + kidx * span
+        right = np.searchsorted(mapped, mapped, side="right")
+        left = np.searchsorted(mapped, mapped - win_us, side="left")
+        c = right - left
+        out = pd.DataFrame({key: keys_arr, out_name: c})
+        return out.groupby(key, as_index=False)[out_name].max()
+
+    out = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
+    return out.sort_values(key, ignore_index=True).astype({out_name: "int64"})

@@ -2356,6 +2356,31 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_burst_detection(sf_dir: str) -> pd.DataFrame:
+    """Peak 1-hour event burst per user (time-RANGE frame window) —
+    ``windows.py::range_window_peak``: per-key disjoint-band remap turns
+    the whole bucket's sliding-window counts into two global searchsorted
+    calls; SQL RANGE peer-row semantics matched exactly."""
+    from ..functions.windows import range_window_peak
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    out = range_window_peak(ds, window_seconds=3600, out_name="max_burst_1h")
+    return _i64(out, ["user_id", "max_burst_1h"])
+
+
+SQL_BURST_DETECTION = """
+WITH w AS (
+  SELECT user_id,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM events
+)
+SELECT user_id, MAX(c) AS max_burst_1h FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count + global clustering coefficient of the
     co-purchase item graph — ``graph.py::triangle_stats``: degree-oriented
@@ -3082,6 +3107,19 @@ def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def q_approx_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL: approximate distinct users PER event type (rows-only:
+    deterministic partition-independent register merge, accuracy
+    pytest-checked) — ``sketch.py::grouped_approx_distinct``, the
+    matrix-register ``np.maximum.at`` path, blobs-only exchange."""
+    from ..functions.sketch import grouped_approx_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_approx_distinct(ds, ["event_type"], "user_id", p=12)
+    out["approx_distinct"] = out["approx_distinct"].round(0).astype("int64")
+    return out
+
+
 def q_docs_matching_regex(sf_dir: str) -> pd.DataFrame:
     """F4 selector-regex filter: any-of regex match over a string column."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -3435,6 +3473,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_distinct_users": QuerySpec(
         q_approx_distinct_users, None, "HLL sketch distinct-count (rows-only)"
     ),
+    "approx_users_per_type": QuerySpec(
+        q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"
+    ),
     "value_median_per_type": QuerySpec(
         q_value_median_per_type, SQL_VALUE_MEDIAN, "per-group exact median"
     ),
@@ -3610,6 +3651,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_skew_join_nation_value,
         SQL_SKEW_JOIN_NATION_VALUE,
         "skew-aware join: sampled hot-key detection, broadcast hot path + cold exchange",
+    ),
+    "burst_detection": QuerySpec(
+        q_burst_detection,
+        SQL_BURST_DETECTION,
+        "time-RANGE frame window: peak 1-hour burst per user via banded searchsorted",
     ),
     "order_price_deciles": QuerySpec(
         q_order_price_deciles,

@@ -108,3 +108,23 @@ def test_transition_matrix_probabilities_sum_to_one(ray_session):
     got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
     assert got == {("v", "c"): 1, ("c", "p"): 1, ("v", "v"): 1}
     assert np.allclose(out.groupby("prev_type")["p"].sum(), 1.0)
+
+
+def test_range_window_peak_planted_bursts_and_ties(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.windows import range_window_peak
+
+    # user 1: 4 events within one hour (incl. a duplicate ts — RANGE peers),
+    # then an isolated one; user 2: evenly spread, never 2 in any window
+    ts1 = pd.to_datetime([0, 600, 600, 3600, 90000], unit="s")
+    ts2 = pd.to_datetime([0, 7200, 14400], unit="s")
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 5 + [2] * 3,
+            "ts": list(ts1) + list(ts2),
+        }
+    )
+    out = range_window_peak(rd.from_pandas(df), window_seconds=3600, out_name="mb")
+    got = dict(zip(out["user_id"], out["mb"]))
+    assert got == {1: 4, 2: 1}  # [0,3600] inclusive holds all four

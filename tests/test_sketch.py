@@ -170,3 +170,56 @@ def test_bloom_semi_join_string_keys(ray_session):
     )
     want = big[big["doc_id"].isin(keep["doc_id"])].sort_values("n").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["doc_id", "n"]], want[["doc_id", "n"]])
+
+
+# ------------------------------------------------------- grouped HLL
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(21)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+            "v": rng.integers(0, 5000, n).astype(str),
+        }
+    )
+    got = grouped_approx_distinct(rd.from_pandas(df), ["g"], "v", p=12)
+    exact = df.groupby("g")["v"].nunique()
+    for _, r in got.iterrows():
+        rel = abs(r["approx_distinct"] - exact[r["g"]]) / exact[r["g"]]
+        assert rel < 0.05, (r["g"], r["approx_distinct"], exact[r["g"]])
+
+
+def test_grouped_approx_distinct_matches_global_for_single_group(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import (
+        approx_distinct,
+        grouped_approx_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": "only", "v": rng.integers(0, 3000, 20_000).astype(str)})
+    ds = rd.from_pandas(df)
+    grouped = grouped_approx_distinct(ds, ["g"], "v", p=12)
+    glob = approx_distinct(ds, "v", p=12)
+    # identical hash stream + identical register fold ⇒ identical estimate
+    assert abs(grouped["approx_distinct"].iloc[0] - glob) < 1e-9
+
+
+def test_grouped_approx_distinct_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_approx_distinct
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2, "v": ["x", None, "y", None, None, None]})
+    got = grouped_approx_distinct(rd.from_pandas(df), ["g"], "v", p=12)
+    est = dict(zip(got["g"], got["approx_distinct"]))
+    assert round(est["a"]) == 2
+    # group b has ONLY nulls → no sketch rows at all → absent (SQL would
+    # emit 0; documented rows-only divergence)
+    assert "b" not in est
