@@ -1636,6 +1636,151 @@ FROM ex GROUP BY label, dim
 """
 
 
+def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """SECOND-order vector aggregate: the d×d sample covariance of the
+    embedding column from mergeable moment partials — each batch emits one
+    (n, Σx, ΣxxT) row (one BLAS gemm per batch, d² floats, rows never
+    shuffle); the driver folds the handful of partials and closes the form
+    ``(G − s·sT/n)/(n−1)``, the same algebra as SQL ``covar_samp``.  This is
+    the PCA/whitening front half at corpus scale — only O(d²) state moves."""
+    ds = _t(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "g": pa.array([], pa.list_(pa.float64()))})
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        return pa.table(
+            {"n": pa.array([len(t)]),
+             "s": pa.array([mat.sum(axis=0)], type=pa.list_(pa.float64())),
+             "g": pa.array([(mat.T @ mat).ravel()], type=pa.list_(pa.float64()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack([np.asarray(x) for x in parts["s"]]), axis=0)
+    g = np.sum(np.stack([np.asarray(x) for x in parts["g"]]), axis=0)
+    d = len(s)
+    cov = (g.reshape(d, d) - np.outer(s, s) / n) / (n - 1)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+    out = pd.DataFrame(
+        {"i": ii.ravel(), "j": jj.ravel(), "cov": np.round(cov.ravel(), 8)}
+    )
+    return _i64(out, ["i", "j"])
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, ROUND(covar_samp(a.v, b.v), 8) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join through Ray's native hash-partitioned ``Dataset.join``
+    (``relational.py::hash_join`` how=left_outer): every customer row
+    survives, unmatched order side is NULL, and ``COUNT(o_orderkey)``
+    semantics (non-null only) come from a validity-indicator combiner."""
+    from ..functions.relational import hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="left_outer")
+    with_flag = j.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["c_custkey"],
+             "__has": pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_sums(with_flag, ["c_custkey"], {"n_orders": "__has"}).to_pandas()
+    return _i64(out.sort_values("c_custkey", ignore_index=True), ["c_custkey", "n_orders"])
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dominant_user_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE (argmax-count row per group, deterministic tie-break):
+    distributed pair counts → ``grouped_topk`` k=1 — the candidate prune
+    means only per-batch leaders ever reach the exchange."""
+    from ..functions.relational import grouped_topk
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = grouped_sums(ds, ["event_type", "user_id"], {}, "n")
+    top = grouped_topk(pairs, ["event_type"], ["n", "user_id"], [True, False], 1).to_pandas()
+    out = top.sort_values("event_type", ignore_index=True)[["event_type", "user_id", "n"]]
+    return _i64(out, ["user_id", "n"])
+
+
+SQL_DOMINANT_USER_PER_TYPE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c
+)
+SELECT event_type, user_id, n FROM r WHERE rn = 1 ORDER BY 1
+"""
+
+
+def q_nation_hhi(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration per nation (Herfindahl-Hirschman index over
+    customer shares): broadcast dim hop → distributed (nation, customer)
+    revenue reduce → tiny per-nation moment fold (Σr², Σr) — shares are
+    never materialized row-wise."""
+    from ..functions.relational import auto_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    cr = grouped_sums(j, ["c_nationkey", "o_custkey"], {"r": "o_totalprice"})
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t["c_nationkey"].to_pandas(), "r": t["r"].to_pandas()})
+        g = df.groupby("k")["r"]
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"k": g.sum().index, "sr": g.sum().to_numpy(),
+                 "sr2": g.apply(lambda x: float((x.to_numpy() ** 2).sum())).to_numpy(),
+                 "nc": g.size().to_numpy()}
+            ),
+            preserve_index=False,
+        )
+
+    m = grouped_sums(
+        cr.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], {"sr": "sr", "sr2": "sr2", "nc": "nc"}, reduce="driver"
+    ).to_pandas()
+    m["hhi"] = (m["sr2"] / (m["sr"] * m["sr"])).round(9)
+    out = m.rename(columns={"k": "c_nationkey", "nc": "n_customers"})
+    out = out[["c_nationkey", "hhi", "n_customers"]].sort_values("c_nationkey", ignore_index=True)
+    return _i64(out, ["c_nationkey", "n_customers"])
+
+
+SQL_NATION_HHI = """
+WITH cr AS (
+  SELECT c_nationkey, o_custkey, SUM(o_totalprice) AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, ROUND(SUM(r * r) / (SUM(r) * SUM(r)), 9) AS hhi,
+       COUNT(*) AS n_customers
+FROM cr GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_source_kl(sf_dir: str) -> pd.DataFrame:
     """Domain-drift detector: KL(P(token|source) ‖ P(token)) per source over
     the tokens payload.  Per-batch (source, token) count partials →
@@ -3552,6 +3697,26 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_centroids": QuerySpec(
         q_embedding_centroids, SQL_EMBEDDING_CENTROIDS, "per-label embedding centroid (vector agg)"
+    ),
+    "embedding_covariance": QuerySpec(
+        q_embedding_covariance,
+        SQL_EMBEDDING_COVARIANCE,
+        "d×d covariance from mergeable (n, Σx, ΣxxT) moment partials (PCA front half)",
+    ),
+    "customer_order_counts": QuerySpec(
+        q_customer_order_counts,
+        SQL_CUSTOMER_ORDER_COUNTS,
+        "native LEFT OUTER hash join + COUNT(non-null) indicator combiner",
+    ),
+    "dominant_user_per_type": QuerySpec(
+        q_dominant_user_per_type,
+        SQL_DOMINANT_USER_PER_TYPE,
+        "grouped MODE via pair counts + top-1 candidate prune",
+    ),
+    "nation_hhi": QuerySpec(
+        q_nation_hhi,
+        SQL_NATION_HHI,
+        "revenue concentration (HHI) per nation from per-customer share moments",
     ),
     "source_kl": QuerySpec(
         q_source_kl, SQL_SOURCE_KL, "KL(P(token|source) || P(token)) domain drift"
