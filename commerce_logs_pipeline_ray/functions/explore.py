@@ -98,3 +98,65 @@ def human_bytes(n: float) -> str:
             return f"{n:.1f} {unit}" if unit != "B" else f"{int(n)} B"
         n /= 1024.0
     return f"{n:.1f} GB"
+
+
+def analyze_columns(ds: Dataset, columns: list[str]) -> pd.DataFrame:
+    """ANALYZE-style per-column statistics — the catalog-stats pass a
+    planner needs (row count, null count, exact NDV, min/max):
+
+    * one streaming pass computes n/nulls/min/max for ALL columns at once
+      (per-batch Arrow aggregates → a handful of partial rows to fold);
+    * exact NDV runs per column as per-batch ``unique`` partials → bucketed
+      distinct reduce — the partial stream is each block's distinct set, so
+      a unique-id column ships ~its own size (exact NDV's inherent cost;
+      the mergeable-HLL path in ``sketch.py`` is the approximate scale
+      alternative when ±2% is acceptable).
+
+    Returns (col_name, n_rows, n_nulls, n_distinct, min_v, max_v) with
+    min/max as float64 — callers pick numeric/castable columns.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_group_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = t[c]
+            nn = len(t) - col.null_count
+            mn = pc.min(col).as_py() if nn else None
+            mx = pc.max(col).as_py() if nn else None
+            rows.append(
+                {"col_name": c, "n": len(t), "nulls": col.null_count,
+                 "mn": float(mn) if mn is not None else np.nan,
+                 "mx": float(mx) if mx is not None else np.nan}
+            )
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    base = parts.groupby("col_name").agg(
+        n_rows=("n", "sum"), n_nulls=("nulls", "sum"), min_v=("mn", "min"), max_v=("mx", "max")
+    )
+
+    ndv = {}
+    for c in columns:
+        uniques = ds.map_batches(
+            lambda t, _c=c: pa.table({"v": pc.unique(t[_c].combine_chunks().drop_null())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"nd": [df["v"].nunique()]})
+
+        nd = bucketed_group_reduce(uniques, ["v"], per_bucket).to_pandas()
+        ndv[c] = int(nd["nd"].sum())
+
+    out = base.reset_index()
+    out["n_distinct"] = out["col_name"].map(ndv)
+    out = out[["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]]
+    out[["min_v", "max_v"]] = out[["min_v", "max_v"]].round(6)
+    return out.sort_values("col_name", ignore_index=True).astype(
+        {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"}
+    )

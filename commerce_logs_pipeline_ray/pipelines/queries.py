@@ -1781,6 +1781,113 @@ FROM cr GROUP BY 1 ORDER BY 1
 """
 
 
+def q_user_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered LISTAGG: each user's first-8 event-type path joined with
+    '>' — the collect-ordered-per-group shape.  One hash exchange on
+    user_id; within the bucket a single sort + per-user head(8) bounds
+    every group before strings are assembled, so no unbounded row
+    gathering."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        head = df.groupby("user_id", sort=False).head(8)
+        out = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return out.reset_index().rename(columns={"event_type": "path"})
+
+    out = bucketed_group_reduce(ds, ["user_id"], per_bucket).to_pandas()
+    return _i64(out.sort_values("user_id", ignore_index=True), ["user_id"])
+
+
+SQL_USER_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+FROM r WHERE rn <= 8 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_type_hour_chi2(sf_dir: str) -> pd.DataFrame:
+    """χ² independence test of event_type × hour-of-day: distributed
+    contingency counts (the only corpus-sized pass), then the full-grid
+    statistic — INCLUDING zero-observed cells — folds on the driver from
+    the |types|×24 matrix."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        hr = pc.cast(
+            pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 3_600_000_000),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t["event_type"], "hr": pc.subtract(hr, pc.multiply(pc.divide(hr, 24), 24))})
+
+    counts = grouped_sums(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hr"], {}, "o",
+    ).to_pandas()
+    # grid spans observed rows × observed columns (empty rows/cols carry no
+    # χ² mass and would 0/0 the expected counts — both sides drop them)
+    grid = counts.pivot_table(index="event_type", columns="hr", values="o", fill_value=0)
+    o = grid.to_numpy(dtype="float64")
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    return pd.DataFrame(
+        {"chi2": [round(chi2, 6)],
+         "n_cells": np.array([o.size], dtype="int64"),
+         "dof": np.array([(o.shape[0] - 1) * (o.shape[1] - 1)], dtype="int64")}
+    )
+
+
+SQL_TYPE_HOUR_CHI2 = """
+WITH o AS (
+  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+ct AS (SELECT hr, SUM(o) AS c FROM o GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM o),
+cells AS (
+  SELECT rt.r * ct.c / (SELECT n FROM tot) AS e, COALESCE(o.o, 0) AS obs
+  FROM rt CROSS JOIN ct
+  LEFT JOIN o ON o.event_type = rt.event_type AND o.hr = ct.hr
+)
+SELECT ROUND(SUM((obs - e) * (obs - e) / e), 6) AS chi2,
+       COUNT(*) AS n_cells,
+       ((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS dof
+FROM cells
+"""
+
+
+ANALYZE_COLS = ["event_id", "user_id", "value"]
+
+
+def q_analyze_events(sf_dir: str) -> pd.DataFrame:
+    """Catalog statistics (ANALYZE) over the events table —
+    ``explore.py::analyze_columns``: one streaming pass for
+    n/nulls/min/max of all columns, exact NDV per column via unique
+    partials + bucketed distinct reduce."""
+    from ..functions.explore import analyze_columns
+
+    ds = _t(sf_dir, "events", ANALYZE_COLS)
+    return analyze_columns(ds, ANALYZE_COLS)
+
+
+SQL_ANALYZE_EVENTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_v,
+       ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_v
+FROM events"""
+    for c in ["event_id", "user_id", "value"]
+)
+
+
 def q_source_kl(sf_dir: str) -> pd.DataFrame:
     """Domain-drift detector: KL(P(token|source) ‖ P(token)) per source over
     the tokens payload.  Per-batch (source, token) count partials →
@@ -3717,6 +3824,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_nation_hhi,
         SQL_NATION_HHI,
         "revenue concentration (HHI) per nation from per-customer share moments",
+    ),
+    "analyze_events": QuerySpec(
+        q_analyze_events,
+        SQL_ANALYZE_EVENTS,
+        "ANALYZE catalog stats: n/nulls/exact-NDV/min/max per column, one streaming pass",
+    ),
+    "user_paths": QuerySpec(
+        q_user_paths,
+        SQL_USER_PATHS,
+        "ordered LISTAGG per group (first-8 event path), head-bounded gather",
+    ),
+    "type_hour_chi2": QuerySpec(
+        q_type_hour_chi2,
+        SQL_TYPE_HOUR_CHI2,
+        "χ² independence of event_type × hour from distributed contingency counts",
     ),
     "source_kl": QuerySpec(
         q_source_kl, SQL_SOURCE_KL, "KL(P(token|source) || P(token)) domain drift"
