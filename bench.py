@@ -57,7 +57,24 @@ BENCH_QUERIES = [
     "funnel_stages",
     "cohort_retention",
     "copurchase_pairs",
+    "event_gap_stats",
+    "event_transitions",
+    "burst_detection",
+    "peak_rolling_value",
+    "user_paths",
+    "nation_hhi",
+    "token_pagerank",
+    "embedding_covariance",
+    "analyze_events",
+    "dominant_user_per_type",
+    "approx_users_per_type",
+    "type_hour_chi2",
+    "customer_order_counts",
 ]
+# deliberately NOT benched (correctness-checked, cost documented):
+# record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
+# copurchase_triangles (wedge mass ~Σ C(outdeg,2) on the dense item graph),
+# skew_join_nation_value (3 passes over the fact by design: detect/hot/cold)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -2551,7 +2551,11 @@ def q_skew_join_nation_value(sf_dir: str) -> pd.DataFrame:
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     # threshold sized so the synthetic stream's heaviest users DO take the
     # hot path at every sf (events-per-user ~ uniform); detection stays on
-    joined = skew_join(ev, cust, on="user_id", right_on="c_custkey", hot_threshold=100)
+    # hot keys cover ~the whole stream here, so the residual cold exchange
+    # needs few aggregators (spin-up is per-partition, ~100ms each)
+    joined = skew_join(
+        ev, cust, on="user_id", right_on="c_custkey", hot_threshold=100, num_partitions=2
+    )
     agg = grouped_sums(joined, ["c_nationkey"], {"total_value": "value"}, "n").to_pandas()
     agg["total_value"] = agg["total_value"].round(2)
     out = agg.sort_values("c_nationkey", ignore_index=True)
