@@ -294,3 +294,43 @@ def triangle_stats(
             "global_cc": [round(3.0 * n_tri / n_wedges, 9)],
         }
     ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
+
+
+def bfs_levels(
+    edges: Dataset,
+    source: int,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Directed BFS hop levels from ``source`` (min #edges ≤ max_hops) —
+    the frontier-expansion loop on Ray Data: the EDGE set stays distributed
+    (materialized once, one filtered scan per hop); the frontier and the
+    visited map are |V|-bounded driver state broadcast into each scan
+    (same contract as :func:`pagerank` — for corpus-scale |V| swap the
+    broadcast for a hash join per hop)."""
+    edges = edges.materialize()
+    dist: dict[int, int] = {int(source): 0}
+    frontier = [int(source)]
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        f_arr = pa.array(frontier, pa.int64())
+
+        def expand(t: pa.Table, *, f=f_arr) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = t.filter(pc.is_in(t[src], value_set=f))
+            u = pc.unique(hit[dst].combine_chunks())
+            return pa.table({"n": u})
+
+        reached = (
+            edges.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()["n"]
+            .unique()
+        )
+        frontier = [int(n) for n in reached if n not in dist]
+        for n in frontier:
+            dist[n] = hop
+    out = pd.DataFrame({"node": list(dist.keys()), "hops": list(dist.values())})
+    return out.sort_values("node", ignore_index=True).astype("int64")

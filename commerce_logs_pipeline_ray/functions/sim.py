@@ -285,3 +285,64 @@ def lsh_topk(
         return pd.DataFrame({id_col: [], "cos": []})
     mat = np.asarray([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
     return _brute_topk(sub[id_col].to_numpy(), mat, q, k, id_col)
+
+
+def lloyd_kmeans(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> tuple[np.ndarray, "pd.DataFrame"]:
+    """Deterministic Lloyd's k-means (Euclidean, fixed iterations) — the
+    second iterative-algorithm shape next to ``graph.pagerank``: the vector
+    Dataset stays distributed (materialized once, re-scanned per iteration);
+    each iteration broadcasts the k×d centroid matrix into one map_batches
+    that emits per-cluster (n, Σx) partials — only k·d floats ever reduce.
+
+    Determinism contract (mirrored term-for-term by the SQL oracle):
+    init = the embeddings of the k smallest ids; assignment = argmin
+    squared-Euclidean with ties to the LOWEST cluster id; an empty cluster
+    keeps its previous centroid.  Returns (centroids, per-cluster counts
+    frame from the final assignment pass).
+    """
+    ds = ds.materialize()
+
+    # init: k smallest ids' vectors (tiny driver pull via distributed top-k)
+    from .relational import topk
+
+    seed = topk(ds, [id_col], [False], k).to_pandas().sort_values(id_col)
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in seed[col]])
+
+    def assign_partials(t: pa.Table, *, C) -> pa.Table:
+        mat = _to_matrix(t, col).astype(np.float64)
+        # argmin_j ||x - c_j||² = argmin_j (||c_j||² - 2 x·c_j); np.argmin
+        # takes the first (lowest cluster id) on exact ties
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (mat @ C.T)
+        a = np.argmin(d2, axis=1)
+        sums = np.zeros((C.shape[0], mat.shape[1]))
+        np.add.at(sums, a, mat)
+        n = np.bincount(a, minlength=C.shape[0]).astype(np.int64)
+        return pa.table(
+            {"cluster": pa.array(np.arange(C.shape[0], dtype=np.int64)),
+             "n": pa.array(n),
+             "s": pa.array(list(sums), type=pa.list_(pa.float64()))}
+        )
+
+    for _ in range(iters):
+        parts = ds.map_batches(
+            assign_partials, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"C": C}
+        ).to_pandas()
+        agg_n = parts.groupby("cluster")["n"].sum()
+        sums = np.zeros_like(C)
+        for cl, g in parts.groupby("cluster"):
+            sums[cl] = np.sum(np.stack([np.asarray(x) for x in g["s"]]), axis=0)
+        for j in range(C.shape[0]):
+            if agg_n.get(j, 0) > 0:
+                C[j] = sums[j] / agg_n[j]  # empty cluster keeps old centroid
+
+    final = ds.map_batches(
+        assign_partials, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"C": C}
+    ).to_pandas()
+    counts = final.groupby("cluster", as_index=False)["n"].sum()
+    return C, counts

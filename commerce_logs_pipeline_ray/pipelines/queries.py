@@ -2291,6 +2291,111 @@ SQL_TOKEN_PAGERANK = _pagerank_sql(
 )
 
 
+BFS_MAX_HOPS = 6
+
+
+def q_token_bfs(sf_dir: str) -> pd.DataFrame:
+    """Directed BFS hop levels over the token-transition graph from its
+    minimum token id — ``graph.py::bfs_levels``: one filtered scan of the
+    distributed edge set per hop, |V|-bounded frontier broadcast.  Oracle:
+    recursive CTE with UNION dedup (path-free state, Σ work = |E|·hops)."""
+    from ..functions.graph import bfs_levels
+
+    path = ensure_token_edges_parquet(sf_dir)
+    src_min = int(pq.read_table(path, columns=["src"])["src"].to_pandas().min())
+    ds = rd.read_parquet(path, override_num_blocks=4)
+    out = bfs_levels(ds, src_min, max_hops=BFS_MAX_HOPS)
+    return out.rename(columns={"node": "token"})
+
+
+SQL_TOKEN_BFS = f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM read_parquet('{{AD}}/token_edges.parquet')
+),
+b(token, hops) AS (
+  SELECT (SELECT MIN(src) FROM e), 0
+  UNION
+  SELECT e.dst, b.hops + 1 FROM b JOIN e ON e.src = b.token
+  WHERE b.hops < {BFS_MAX_HOPS}
+)
+SELECT token, MIN(hops) AS hops FROM b GROUP BY 1 ORDER BY 1
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus —
+    ``sim.py::lloyd_kmeans``: centroids broadcast per iteration, per-batch
+    (n, Σx) partials, only k·d floats reduce.  Oracle = the SAME fixed
+    iteration unrolled as a MATERIALIZED CTE chain using ``list_distance``
+    argmin with identical tie-break (lowest cluster)."""
+    from ..functions.sim import lloyd_kmeans
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, counts = lloyd_kmeans(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+    norms = np.sqrt((C * C).sum(axis=1))
+    out = pd.DataFrame({"cluster": np.arange(KMEANS_K, dtype="int64")})
+    out = out.merge(counts, on="cluster", how="left").fillna({"n": 0})
+    out["cent_norm"] = np.round(norms, 5)
+    return _i64(out, ["cluster", "n"])
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    parts = [
+        "WITH x AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
+  FROM (SELECT vec_id, emb FROM x ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT x.vec_id, x.emb, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id ORDER BY list_distance(x.emb, c.cent), c.cluster
+           ) AS rn
+    FROM x CROSS JOIN c{i} c
+  ) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(n.cent, c.cent) AS cent
+  FROM c{i} c LEFT JOIN (
+    SELECT cluster, list(m ORDER BY i) AS cent FROM (
+      SELECT cluster, i, AVG(v) AS m FROM (
+        SELECT cluster, UNNEST(emb) AS v, generate_subscripts(emb, 1) AS i FROM a{i}
+      ) GROUP BY 1, 2
+    ) GROUP BY 1
+  ) n ON n.cluster = c.cluster)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT cluster, COUNT(*) AS n FROM (
+    SELECT vec_id, cluster FROM (
+      SELECT x.vec_id, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id ORDER BY list_distance(x.emb, c.cent), c.cluster
+             ) AS rn
+      FROM x CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+  ) GROUP BY 1)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT c.cluster, COALESCE(f.n, 0) AS n,\n"
+        f"       ROUND(sqrt(list_inner_product(c.cent, c.cent)), 5) AS cent_norm\n"
+        f"FROM c{iters} c LEFT JOIN fin f ON f.cluster = c.cluster ORDER BY 1"
+    )
+
+
+SQL_EMBEDDING_KMEANS = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+
 def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
     """Top-20 token collocations by PMI (support ≥ 5) —
     ``tokens.py::pmi_topk``: the support filter runs INSIDE the bigram
@@ -3862,6 +3967,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_token_pagerank,
         SQL_TOKEN_PAGERANK,
         "iterative PageRank over the token-transition graph vs unrolled CTE oracle",
+    ),
+    "token_bfs": QuerySpec(
+        q_token_bfs,
+        SQL_TOKEN_BFS,
+        "distributed BFS hop levels (frontier broadcast, one edge scan per hop)",
+    ),
+    "embedding_kmeans": QuerySpec(
+        q_embedding_kmeans,
+        SQL_EMBEDDING_KMEANS,
+        "iterative Lloyd k-means (broadcast centroids, k·d-float partials) vs unrolled CTE",
     ),
     "pmi_topk": QuerySpec(
         q_pmi_topk,

@@ -181,3 +181,27 @@ def test_triangle_matches_bruteforce_random(ray_session):
     out = triangle_stats(rd.from_pandas(edges), num_buckets=8)
     assert out["n_triangles"].iloc[0] == _brute_triangles(edges)
     assert out["n_edges"].iloc[0] == len(edges)
+
+
+# ---------------------------------------------------------------- BFS
+
+def test_bfs_levels_planted_graph(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import bfs_levels
+
+    # 0→1→2→3 chain, 0→4, 3→0 back-edge (cycle), 9 unreachable island
+    edges = pd.DataFrame({"src": [0, 1, 2, 0, 3, 9], "dst": [1, 2, 3, 4, 0, 9]})
+    out = bfs_levels(rd.from_pandas(edges), source=0, max_hops=6)
+    got = dict(zip(out["node"], out["hops"]))
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 3}
+
+
+def test_bfs_respects_max_hops(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import bfs_levels
+
+    chain = pd.DataFrame({"src": range(10), "dst": range(1, 11)})
+    out = bfs_levels(rd.from_pandas(chain), source=0, max_hops=3)
+    assert out["hops"].max() == 3 and len(out) == 4

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from commerce_logs_pipeline_ray.functions.sim import (
@@ -148,3 +149,47 @@ def test_ivf_centroids_deterministic(ray_session):
     c1 = train_ivf_centroids(ds, nlist=8, dim=64, seed=3)
     c2 = train_ivf_centroids(ds.repartition(7), nlist=8, dim=64, seed=3)
     assert np.array_equal(c1, c2), "centroids must not depend on partitioning"
+
+
+# ------------------------------------------------------------ Lloyd k-means
+
+def test_lloyd_kmeans_recovers_planted_clusters(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import lloyd_kmeans
+
+    rng = np.random.default_rng(13)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    pts = np.concatenate([c + rng.normal(0, 0.5, (40, 2)) for c in centers])
+    # interleave so the deterministic init (k smallest ids) spans all three
+    # planted clusters — Lloyd from co-located seeds correctly converges to
+    # a split-cluster local optimum, which is not what this test probes
+    pts = pts.reshape(3, 40, 2).transpose(1, 0, 2).reshape(-1, 2)
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(len(pts))),
+         "embedding": pa.array([p.tolist() for p in pts], type=pa.list_(pa.float32()))}
+    )
+    C, counts = lloyd_kmeans(rd.from_arrow(t), k=3, iters=8)
+    # each recovered centroid sits within 0.5 of one planted center
+    d = np.linalg.norm(C[:, None, :] - centers[None, :, :], axis=2)
+    assert (d.min(axis=1) < 0.5).all()
+    assert sorted(counts["n"]) == [40, 40, 40]
+
+
+def test_lloyd_kmeans_deterministic_across_partitionings(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import lloyd_kmeans
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 1, (200, 4))
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(200)),
+         "embedding": pa.array([p.tolist() for p in pts], type=pa.list_(pa.float32()))}
+    )
+    C1, n1 = lloyd_kmeans(rd.from_arrow(t).repartition(1), k=4, iters=4)
+    C2, n2 = lloyd_kmeans(rd.from_arrow(t).repartition(7), k=4, iters=4)
+    assert np.allclose(C1, C2, atol=1e-9)
+    pd.testing.assert_frame_equal(
+        n1.sort_values("cluster", ignore_index=True), n2.sort_values("cluster", ignore_index=True)
+    )
