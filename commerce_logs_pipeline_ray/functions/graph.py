@@ -210,6 +210,8 @@ def triangle_stats(
     u: str = "u",
     v: str = "v",
     num_buckets: int = 64,
+    membership: str = "auto",
+    broadcast_edge_limit: int = 50_000_000,
 ) -> pd.DataFrame:
     """Exact triangle count + global clustering coefficient over a DISTINCT
     canonical (u < v) edge list — the degree-orientation algorithm that keeps
@@ -220,10 +222,16 @@ def triangle_stats(
        O(√m) regardless of hub skew, so step 3 never explodes on a hot node;
     3. wedges = per-source out-neighbor pairs (one hash exchange on src,
        vectorized self-merge per bucket);
-    4. membership = wedge rows ∪ edge rows co-grouped on the (a, b) pair key
-       — a bucketed exchange, not a broadcast, so the edge set never has to
-       fit on one worker.  Each triangle is counted exactly once (at its
-       minimum-(degree, node) apex).
+    4. membership: with ``membership="broadcast"`` (auto default while the
+       packed edge set fits ``broadcast_edge_limit`` int64s — 8 bytes/edge,
+       so 50M edges ≈ 400 MB) wedges NEVER leave their bucket: each bucket
+       binary-searches its wedge pairs against the shared sorted packed
+       edge array and emits one count — the Σ C(outdeg, 2) wedge mass is
+       generated and destroyed in place.  ``membership="shuffle"`` is the
+       no-broadcast fallback: wedge rows ∪ edge rows co-grouped on the
+       (a, b) pair key, nothing has to fit on one worker.  Each triangle
+       is counted exactly once (at its minimum-(degree, node) apex) on
+       either path.
 
     The degree vector is |V|-bounded and broadcast into the orientation map
     (same driver-state contract as :func:`pagerank`); wedge totals for the
@@ -262,30 +270,70 @@ def triangle_stats(
 
     oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
 
-    def wedge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="src")
-        m = m[m["dst_x"] < m["dst_y"]]
-        return pd.DataFrame(
-            {"a": m["dst_x"].to_numpy(), "b": m["dst_y"].to_numpy(), "kind": 0}
+    max_node = int(deg["node"].max())
+    if membership == "auto":
+        membership = (
+            "broadcast"
+            if n_edges <= broadcast_edge_limit and 0 <= int(deg["node"].min()) and max_node < (1 << 31)
+            else "shuffle"
         )
 
-    wedges = bucketed_group_reduce(oriented, ["src"], wedge_bucket, num_buckets=num_buckets)
-    edge_rows = edges.map_batches(
-        lambda t: pa.table({"a": t[u], "b": t[v], "kind": pa.array(np.ones(len(t), dtype="int64"))}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if membership == "broadcast":
+        import ray
 
-    def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"])["kind"]
-        closed = (g.max() == 1) & (g.size() > g.sum())
-        tri = int((g.size() - g.sum())[closed].sum())
-        return pd.DataFrame({"tri": [tri]})
+        packed_df = edges.map_batches(
+            lambda t: pa.table(
+                {"p": pa.array(
+                    (t[u].to_numpy().astype("int64") << 32) | t[v].to_numpy().astype("int64")
+                )}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        packed_ref = ray.put(np.sort(packed_df["p"].to_numpy()))
 
-    parts = bucketed_group_reduce(
-        wedges.union(edge_rows), ["a", "b"], close_bucket, num_buckets=num_buckets
-    ).to_pandas()
-    n_tri = int(parts["tri"].sum())
+        def wedge_count_bucket(df: pd.DataFrame, *, ref=packed_ref) -> pd.DataFrame:
+            import ray as _ray
+
+            pe = _ray.get(ref)  # worker-local zero-copy after first pull
+            m = df.merge(df, on="src")
+            m = m[m["dst_x"] < m["dst_y"]]
+            if m.empty:
+                return pd.DataFrame({"tri": [0]})
+            w = (m["dst_x"].to_numpy().astype("int64") << 32) | m["dst_y"].to_numpy().astype("int64")
+            idx = np.searchsorted(pe, w)
+            idx[idx >= len(pe)] = len(pe) - 1
+            return pd.DataFrame({"tri": [int((pe[idx] == w).sum())]})
+
+        parts = bucketed_group_reduce(
+            oriented, ["src"], wedge_count_bucket, num_buckets=num_buckets
+        ).to_pandas()
+        n_tri = int(parts["tri"].sum())
+    else:
+        def wedge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(df, on="src")
+            m = m[m["dst_x"] < m["dst_y"]]
+            return pd.DataFrame(
+                {"a": m["dst_x"].to_numpy(), "b": m["dst_y"].to_numpy(), "kind": 0}
+            )
+
+        wedges = bucketed_group_reduce(oriented, ["src"], wedge_bucket, num_buckets=num_buckets)
+        edge_rows = edges.map_batches(
+            lambda t: pa.table({"a": t[u], "b": t[v], "kind": pa.array(np.ones(len(t), dtype="int64"))}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["a", "b"])["kind"]
+            closed = (g.max() == 1) & (g.size() > g.sum())
+            tri = int((g.size() - g.sum())[closed].sum())
+            return pd.DataFrame({"tri": [tri]})
+
+        parts = bucketed_group_reduce(
+            wedges.union(edge_rows), ["a", "b"], close_bucket, num_buckets=num_buckets
+        ).to_pandas()
+        n_tri = int(parts["tri"].sum())
     return pd.DataFrame(
         {
             "n_edges": [n_edges],

@@ -205,3 +205,16 @@ def test_bfs_respects_max_hops(ray_session):
     chain = pd.DataFrame({"src": range(10), "dst": range(1, 11)})
     out = bfs_levels(rd.from_pandas(chain), source=0, max_hops=3)
     assert out["hops"].max() == 3 and len(out) == 4
+
+
+def test_triangle_membership_paths_agree(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import triangle_stats
+
+    rng = np.random.default_rng(17)
+    pairs = {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, 60, (400, 2)) if a != b}
+    edges = pd.DataFrame(sorted(pairs), columns=["u", "v"])
+    b = triangle_stats(rd.from_pandas(edges), num_buckets=8, membership="broadcast")
+    s = triangle_stats(rd.from_pandas(edges), num_buckets=8, membership="shuffle")
+    pd.testing.assert_frame_equal(b, s)
