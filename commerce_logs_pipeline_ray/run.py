@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
 
     lst = sub.add_parser("list-queries", help="list registered queries")
 
+    c = sub.add_parser("compact", help="compact a sink dir's small parquet files")
+    c.add_argument("path")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -161,6 +166,12 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+
+        if args.cmd == "compact":
+            from .sources.compact import compact_dir
+
+            print(json.dumps(compact_dir(args.path, target_mb=args.target_mb)))
             return 0
 
         if args.cmd == "query":
