@@ -81,3 +81,87 @@ def conjunctive_search(
     full = per_doc.filter(expr=f"n_terms == {len(terms)}")
     out = topk(full, ["score", id_col], [True, False], k).to_pandas()
     return out[[id_col, "score"]].astype({"score": "int64"})
+
+
+def bm25_postings(
+    ds: Dataset, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """One tokenize pass emitting query-term candidate postings
+    ``(doc_id, term, tf, doclen)`` plus ONE per-batch corpus-stats sentinel
+    row (``doc_id = -1, tf = n_docs_in_batch, doclen = sum_len_in_batch``) —
+    the global N / avgdl fold rides the same scan instead of re-tokenizing
+    the corpus.  Docs whose text yields zero tokens carry no length mass
+    (mirrors the SQL oracle's per-doc-length CTE)."""
+
+    want = pa.array(terms)
+
+    def emit(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), TOKEN_SPLIT)
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(words)
+        flat_terms = words.flatten() if isinstance(words, pa.ListArray) else words.combine_chunks().flatten()
+        keep = pc.not_equal(flat_terms, "")
+        parents_np = parents.to_numpy(zero_copy_only=False)[keep.to_numpy(zero_copy_only=False)]
+        # per-doc token counts (doclen) over ALL kept tokens
+        doclen = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(doclen, parents_np, 1)
+        flat = pa.table({id_col: pc.take(t[id_col], pa.array(parents_np)), "term": flat_terms.filter(keep)})
+        cand = flat.filter(pc.is_in(flat["term"], value_set=want))
+        df = cand.to_pandas().groupby([id_col, "term"], as_index=False).size()
+        ids = df[id_col].to_numpy()
+        id_np = t[id_col].to_numpy(zero_copy_only=False)
+        lens = doclen[np.searchsorted(id_np, ids)] if len(ids) and np.all(np.diff(id_np) > 0) else (
+            pd.Series(doclen, index=id_np).loc[ids].to_numpy() if len(ids) else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids, [-1]]), type=pa.int64()),
+                "term": pa.array(list(df["term"]) + [""]),
+                "tf": pa.array(np.concatenate([df["size"].to_numpy(), [int((doclen > 0).sum())]]), type=pa.int64()),
+                "doclen": pa.array(np.concatenate([lens, [int(doclen.sum())]]), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_search(
+    ds: Dataset,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Disjunctive BM25 top-k (Robertson/Sparck-Jones idf in the Lucene
+    ``ln(1 + (N-df+.5)/(df+.5))`` form): candidate postings + corpus stats
+    from ONE scan (:func:`bm25_postings`, materialized — bounded by the
+    query terms' posting lists, the standard search-engine working set),
+    df/N/avgdl folded driver-side from tiny frames, then a vectorized
+    score pass → distributed per-doc sum → deterministic top-k."""
+    from .relational import grouped_sums, topk
+
+    post = bm25_postings(ds, terms, text_col, id_col).materialize()
+    sent = post.filter(expr=f"{id_col} == -1").to_pandas()
+    n_docs = int(sent["tf"].sum())
+    avgdl = float(sent["doclen"].sum()) / n_docs  # exact: int sums, one divide
+    cands = post.filter(expr=f"{id_col} >= 0")
+    dfreq = grouped_sums(cands, ["term"], {}, "df").to_pandas()
+    idf = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in zip(dfreq["term"], dfreq["df"])
+    }
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.array([idf[x] for x in t["term"].to_pylist()])
+        score = w * (tf / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+        return pa.table({id_col: t[id_col], "c": pa.array(score)})
+
+    scored = cands.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = grouped_sums(scored, [id_col], {"score": "c"})
+    out = topk(per_doc, ["score", id_col], [True, False], k).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out[[id_col, "score"]]

@@ -212,14 +212,31 @@ def grouped_quantile_fixedpoint(
     """
     import numpy as np
     import pandas as pd
+
+    hist = grouped_histogram_fixedpoint(ds, key, value_col, scale)
+    out_keys, out_vals = [], []
+    for k, g in hist.groupby(key, sort=True, dropna=False):
+        v = quantile_from_counts(g["bin"].to_numpy(), g["n"].to_numpy(), q)
+        out_keys.append(k)
+        out_vals.append(np.nan if v is None else v / scale)
+    return pd.DataFrame({key: out_keys, out_name: out_vals})
+
+
+def grouped_histogram_fixedpoint(
+    ds: Dataset, key: str, value_col: str, scale: int = 100
+) -> "pd.DataFrame":
+    """The mergeable fixed-bin histogram underlying
+    :func:`grouped_quantile_fixedpoint`, returned as a tiny driver frame of
+    ``(key, bin, n)`` sorted by bin within key — ``bin = round(value*scale)``.
+    One streaming pass; the exchange moves only ``(key, bin)`` partials.
+    Callers derive medians, MADs, tail counts etc. from the counts without
+    re-scanning.  NULL values land in a NULL bin (kept, so all-NULL groups
+    still appear); callers drop it for quantile mass."""
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t[value_col]
         bins = pc.cast(pc.round(pc.multiply(vals, float(scale)), 0), pa.int64())
-        # NULL values aggregate to a NULL bin group: they contribute nothing
-        # to the quantile, but a group whose values are ALL NULL must still
-        # appear in the output (SQL GROUP BY emits it with a NULL median)
         flat = pa.table({key: t[key], "bin": bins})
         g = flat.group_by([key, "bin"]).aggregate([([], "count_all")])
         return pa.table(
@@ -234,27 +251,29 @@ def grouped_quantile_fixedpoint(
         [key, "bin"],
         lambda df: df.groupby([key, "bin"], as_index=False, dropna=False)["n"].sum(),
     ).to_pandas()
+    return hist.sort_values(["bin"], kind="stable").reset_index(drop=True)
 
-    out_keys, out_vals = [], []
-    for k, g in hist.sort_values("bin", kind="stable").groupby(key, sort=True, dropna=False):
-        g = g[g["bin"].notna()]  # NULL-value rows carry no quantile mass
-        counts = g["n"].to_numpy()
-        bins = g["bin"].to_numpy()
-        total = int(counts.sum())
-        if total == 0:  # all values NULL → SQL emits the group, median NULL
-            out_keys.append(k)
-            out_vals.append(np.nan)
-            continue
-        cum = np.cumsum(counts)
-        # 1-indexed rank positions; SQL median/quantile_cont interpolation
-        pos = q * (total - 1) + 1
-        lo_rank, hi_rank = int(np.floor(pos)), int(np.ceil(pos))
-        lo_v = bins[np.searchsorted(cum, lo_rank)] / scale
-        hi_v = bins[np.searchsorted(cum, hi_rank)] / scale
-        frac = pos - lo_rank
-        out_keys.append(k)
-        out_vals.append(lo_v + (hi_v - lo_v) * frac)
-    return pd.DataFrame({key: out_keys, out_name: out_vals})
+
+def quantile_from_counts(bins, counts, q: float):
+    """SQL ``quantile_cont`` (median's mid-pair average at q=0.5) from a
+    sorted-by-bin histogram, in BIN units (caller divides by scale).
+    Returns None when the histogram carries no non-null mass."""
+    import numpy as np
+    import pandas as pd
+
+    mask = pd.notna(bins)
+    bins = np.asarray(bins)[mask]
+    counts = np.asarray(counts)[mask]
+    total = int(counts.sum()) if len(counts) else 0
+    if total == 0:
+        return None
+    cum = np.cumsum(counts)
+    # 1-indexed rank positions; SQL median/quantile_cont interpolation
+    pos = q * (total - 1) + 1
+    lo_rank, hi_rank = int(np.floor(pos)), int(np.ceil(pos))
+    lo_v = float(bins[np.searchsorted(cum, lo_rank)])
+    hi_v = float(bins[np.searchsorted(cum, hi_rank)])
+    return lo_v + (hi_v - lo_v) * (pos - lo_rank)
 
 
 class CountMinSketch:

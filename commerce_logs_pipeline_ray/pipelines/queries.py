@@ -1686,22 +1686,25 @@ GROUP BY 1, 2 ORDER BY 1, 2
 def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER join through Ray's native hash-partitioned ``Dataset.join``
     (``relational.py::hash_join`` how=left_outer): every customer row
-    survives, unmatched order side is NULL, and ``COUNT(o_orderkey)``
-    semantics (non-null only) come from a validity-indicator combiner."""
+    survives, unmatched order side is NULL → 0. The fact side is
+    pre-aggregated to per-custkey counts BEFORE the join (house rule:
+    combiner before shuffle), so the join's right input is |custkeys|
+    rows, not |orders| — ``COUNT(o_orderkey)`` over a left join equals
+    ``COALESCE(pre_count, 0)`` because o_orderkey is never null."""
     from ..functions.relational import hash_join
 
     cust = _t(sf_dir, "customer", ["c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
-    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="left_outer")
-    with_flag = j.map_batches(
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    per_cust = grouped_sums(orders, ["o_custkey"], {}, "__n")
+    j = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey", how="left_outer")
+    out = j.map_batches(
         lambda t: pa.table(
             {"c_custkey": t["c_custkey"],
-             "__has": pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())}
+             "n_orders": pc.fill_null(pc.cast(t["__n"], pa.int64()), 0)}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    out = grouped_sums(with_flag, ["c_custkey"], {"n_orders": "__has"}).to_pandas()
+    ).to_pandas()
     return _i64(out.sort_values("c_custkey", ignore_index=True), ["c_custkey", "n_orders"])
 
 
@@ -3761,11 +3764,257 @@ FROM c WHERE cum <= {TOKEN_BUDGET} GROUP BY source ORDER BY source
 """
 
 
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) over
+    the corpus for the standing query terms: candidate postings + corpus
+    N/avgdl stats from ONE tokenize scan, tiny driver idf fold, vectorized
+    score pass → distributed per-doc sum → deterministic top-20
+    (``functions/search.py::bm25_search``)."""
+    from ..functions.search import bm25_search
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_search(ds, SEARCH_TERMS, k=20)
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents
+), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM toks2 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+       WHERE term IN ('join', 'hash', 'batch') GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+  ROUND(SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+          (dl.len / (CAST(stats.sumlen AS DOUBLE) / stats.n)))))), 6) AS score
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-group outlier counts via MEDIAN + MAD (median absolute
+    deviation) — the heavy-tail-safe cousin of ``zscore_outliers`` — from a
+    SINGLE streaming pass: the mergeable fixed-bin histogram per event_type
+    (``sketch.py::grouped_histogram_fixedpoint``) yields the median; the
+    deviation histogram is DERIVED from the value histogram by folding bins
+    around it (|bin - med| re-bin, no second scan); MAD is its median; the
+    tail count sums folded bins beyond 3·MAD.  All threshold compares happen
+    in integer half/quarter-cent units — no float-boundary flakes."""
+    from ..functions.sketch import grouped_histogram_fixedpoint, quantile_from_counts
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    hist = grouped_histogram_fixedpoint(ds, "event_type", "value", scale=100)
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        med_c = quantile_from_counts(bins, ns, 0.5)  # cents, may be x.5
+        med_hc = int(round(med_c * 2))  # half-cents, exact
+        dev_hc = np.abs(2 * bins - med_hc)  # half-cents, exact ints
+        fold = pd.DataFrame({"d": dev_hc, "n": ns}).groupby("d", as_index=False)["n"].sum()
+        mad_hc = quantile_from_counts(fold["d"].to_numpy(), fold["n"].to_numpy(), 0.5)
+        mad_qc = int(round(mad_hc * 2))  # quarter-cents, exact
+        n_out = int(fold["n"][2 * fold["d"] > 3 * mad_qc].sum())
+        rows.append((et, round(med_hc / 200.0, 6), round(mad_qc / 400.0, 6), n_out))
+    return pd.DataFrame(rows, columns=["event_type", "median_value", "mad", "n_outliers"])
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+d AS (SELECT e.event_type, m.med,
+             CAST(ROUND(ABS(e.value - m.med) * 200, 0) AS BIGINT) AS dev_hc
+      FROM events e JOIN m USING (event_type)),
+s AS (SELECT event_type,
+             CAST(ROUND(median(dev_hc) * 2, 0) AS BIGINT) AS mad_qc
+      FROM d GROUP BY 1)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(d.med), 6) AS median_value,
+       ROUND(ANY_VALUE(s.mad_qc) / 400.0, 6) AS mad,
+       CAST(SUM(CASE WHEN 2 * d.dev_hc > 3 * s.mad_qc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN s USING (event_type) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cube_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(source, lang): all four grouping sets re-summed from
+    ONE finest-level distributed aggregate (|sources|×|langs| partial rows
+    reach the driver; coarser levels are driver arithmetic, the same shape
+    as ``revenue_rollup`` but the full lattice).  NULL grouping keys are
+    materialized as 'ALL' on both sides for hash-stable compare."""
+    ds = _t(sf_dir, "documents", ["source", "lang", "n_chars"])
+    fine = grouped_sums(ds, ["source", "lang"], {"chars": "n_chars"}, "n").to_pandas()
+    frames = []
+    for keys in ([], ["source"], ["lang"], ["source", "lang"]):
+        if keys:
+            g = fine.groupby(keys, as_index=False)[["n", "chars"]].sum()
+        else:
+            g = pd.DataFrame({"n": [fine["n"].sum()], "chars": [fine["chars"].sum()]})
+        for c in ("source", "lang"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        frames.append(g[["source", "lang", "n", "chars"]])
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["source", "lang"], ignore_index=True
+    )
+    return _i64(out, ["n", "chars"])
+
+
+SQL_CUBE_COUNTS = """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY CUBE (source, lang) ORDER BY 1, 2
+"""
+
+
+def q_purchase_view_sets(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT over user sets (frequent purchasers ≥8 vs
+    frequent viewers ≥12 — thresholds chosen so all set classes materialize
+    at test scale) computed as ONE membership aggregation instead of two
+    set-op shuffles: per-user indicator sums in a single bucketed exchange
+    → classify → tiny label count.  The classic rewrite that turns N set
+    operations over the same keyspace into one pass."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+                "is_v": pc.cast(pc.equal(t["event_type"], "view"), pa.int64()),
+            }
+        )
+
+    per_user = grouped_sums(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"sp": "is_p", "sv": "is_v"},
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        sp = pc.greater_equal(t["sp"], 8)
+        sv = pc.greater_equal(t["sv"], 12)
+        label = pc.if_else(
+            pc.and_(sp, sv),
+            "both",
+            pc.if_else(sp, "purchase_only", pc.if_else(sv, "view_only", "neither")),
+        )
+        return pa.table({"set_op": label})
+
+    labeled = per_user.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        grouped_sums(labeled, ["set_op"], {}, "n", reduce="driver")
+        .to_pandas()
+        .query("set_op != 'neither'")
+        .sort_values("set_op", ignore_index=True)
+    )
+    return _i64(out, ["n"])
+
+
+SQL_PURCHASE_VIEW_SETS = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sp,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS sv
+  FROM events GROUP BY 1)
+SELECT CASE WHEN sp >= 8 AND sv >= 12 THEN 'both'
+            WHEN sp >= 8 THEN 'purchase_only'
+            ELSE 'view_only' END AS set_op,
+       COUNT(*) AS n
+FROM u WHERE sp >= 8 OR sv >= 12 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ewma_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially TIME-decayed value (τ = 1 day) evaluated at
+    the user's last event — the streaming-state aggregate (EWMA register)
+    done batch: the decayed sum is ASSOCIATIVE once each partial carries its
+    own anchor ``(max_ts, Σ v·e^{(ts-max_ts)/τ})``, so per-batch combiners
+    merge in any tree order by re-anchoring the smaller side.  The exchange
+    moves only (user, anchor, sum) partials; top-25 by decayed value."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    tau_us = 86_400_000_000.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        val = t["value"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        dfm = pd.DataFrame({"u": uid, "ts": us, "v": val})
+        mx = dfm.groupby("u")["ts"].transform("max")
+        dfm["w"] = dfm["v"] * np.exp((dfm["ts"] - mx) / tau_us)
+        g = dfm.groupby("u", as_index=False).agg(anchor=("ts", "max"), s=("w", "sum"))
+        return pa.Table.from_pandas(
+            g.rename(columns={"u": "user_id"}), preserve_index=False
+        )
+
+    from ..functions.relational import bucketed_group_reduce
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.groupby("user_id")["anchor"].transform("max")
+        w = df["s"] * np.exp((df["anchor"] - mx) / tau_us)
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "w": w})
+            .groupby("user_id", as_index=False)["w"]
+            .sum()
+        )
+        return g.rename(columns={"w": "decayed_value"})
+
+    merged = bucketed_group_reduce(partials, ["user_id"], merge)
+    out = merged.to_pandas()[["user_id", "decayed_value"]]
+    out = out.sort_values(
+        ["decayed_value", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(25)
+    out["decayed_value"] = out["decayed_value"].round(6)
+    return _i64(out, ["user_id"])
+
+
+SQL_EWMA_USER_VALUE = """
+WITH m AS (SELECT user_id, MAX(ts) AS mts FROM events GROUP BY 1)
+SELECT e.user_id,
+       ROUND(SUM(e.value * EXP((EPOCH_US(e.ts) - EPOCH_US(m.mts)) / 86400000000.0)), 6)
+         AS decayed_value
+FROM events e JOIN m USING (user_id)
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "bm25_search": QuerySpec(
+        q_bm25_search,
+        SQL_BM25_SEARCH,
+        "BM25 ranked retrieval: one-scan candidate postings + corpus stats, top-20",
+    ),
+    "mad_outliers": QuerySpec(
+        q_mad_outliers,
+        SQL_MAD_OUTLIERS,
+        "median + MAD robust outlier counts from one histogram-sketch pass",
+    ),
+    "cube_counts": QuerySpec(
+        q_cube_counts,
+        SQL_CUBE_COUNTS,
+        "GROUP BY CUBE lattice re-summed from one finest distributed aggregate",
+    ),
+    "purchase_view_sets": QuerySpec(
+        q_purchase_view_sets,
+        SQL_PURCHASE_VIEW_SETS,
+        "INTERSECT/EXCEPT user sets as one membership aggregation pass",
+    ),
+    "ewma_user_value": QuerySpec(
+        q_ewma_user_value,
+        SQL_EWMA_USER_VALUE,
+        "time-decayed EWMA aggregate via re-anchored associative partials",
+    ),
     "events_by_type": QuerySpec(q_events_by_type, SQL_EVENTS_BY_TYPE, "A1 groupby count/sum"),
     "events_per_hour": QuerySpec(q_events_per_hour, SQL_EVENTS_PER_HOUR, "tumbling-window counts"),
     "top_users_by_value": QuerySpec(q_top_users_by_value, SQL_TOP_USERS, "top-k over aggregate"),

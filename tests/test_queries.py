@@ -38,6 +38,12 @@ SUBSET = [
     "zscore_outliers",
     "stratified_sample_k",
     "token_budget_sample",
+    "bm25_search",
+    "mad_outliers",
+    "cube_counts",
+    "purchase_view_sets",
+    "ewma_user_value",
+    "customer_order_counts",
 ]
 
 
