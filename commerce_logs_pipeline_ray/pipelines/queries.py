@@ -3985,11 +3985,184 @@ GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25
 """
 
 
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE merge training (6 rounds) over the derived tokens
+    payload — the canonical iterative token-pipeline job: per-round pair
+    counts via packed-int64 bigram combiners → distributed top-1 → vectorized
+    merge rewrite → per-round materialize (the checkpoint you want at scale).
+    Rows-only in the driver check (iterative rewrite isn't SQL-expressible);
+    verified in pytest against a pure-Python reference BPE on the same
+    corpus plus a decode-roundtrip invariant (``functions/bpe.py``)."""
+    from ..functions.bpe import bpe_train
+    from ..schema import VOCAB_SIZE
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8
+    )
+    return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
+
+
+def q_naive_bayes_langid(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language classifier — train on the hash-split
+    train fold (leakage-safe pure-id membership, same split as
+    ``split_counts``), score the val fold, emit the confusion matrix.
+
+    Scale shape: (lang, term) counts are a vocab-bounded distributed reduce;
+    the model (per-term per-lang ln(c+1) weights + per-lang constants) is a
+    driver fold broadcast into the score stage; scoring is one streaming
+    pass using the factored form  score = prior_l + Σ_t tf·ln(c_{t,l}+1)
+    − mtf·ln(tot_l + V)  so unseen-in-lang vocab terms cost nothing (their
+    ln(0+1)=0 term vanishes) and no lang×vocab dense matrix is ever built.
+    Val docs with zero in-vocab tokens are excluded (both sides)."""
+    from ..functions.search import tokenize_terms
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tag_split(t: pa.Table) -> pa.Table:
+        fp = md5_hex(
+            pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":split", "")
+        )
+        return t.append_column("split", pc.if_else(pc.less(fp, "1a"), "val", "train"))
+
+    tagged = docs.map_batches(tag_split, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- train fold: (lang, term) counts + per-lang doc counts, one pass ---
+    def train_partial(t: pa.Table) -> pa.Table:
+        tr = t.filter(pc.equal(t["split"], "train"))
+        toks = tokenize_terms(tr, "text", "doc_id")
+        lang_of = dict(zip(tr["doc_id"].to_pylist(), tr["lang"].to_pylist()))
+        df = toks.to_pandas()
+        df["lang"] = df["doc_id"].map(lang_of)
+        g = df.groupby(["lang", "term"], as_index=False)["tf"].sum()
+        g["nd"] = 0
+        nd = tr.group_by("lang").aggregate([([], "count_all")]).to_pandas()
+        nd = pd.DataFrame(
+            {"lang": nd["lang"], "term": "", "tf": 0, "nd": nd["count_all"]}
+        )
+        return pa.Table.from_pandas(pd.concat([g, nd], ignore_index=True), preserve_index=False)
+
+    from ..functions.relational import bucketed_group_reduce
+
+    parts = tagged.map_batches(train_partial, batch_format="pyarrow", zero_copy_batch=True)
+    model_df = bucketed_group_reduce(
+        parts,
+        ["lang", "term"],
+        lambda df: df.groupby(["lang", "term"], as_index=False)[["tf", "nd"]].sum(),
+    ).to_pandas()
+
+    doc_counts = model_df[model_df["term"] == ""].set_index("lang")["nd"]
+    counts = model_df[model_df["term"] != ""]
+    langs = sorted(doc_counts.index)
+    lx = {l: i for i, l in enumerate(langs)}
+    n_train = int(doc_counts.sum())
+    tot = counts.groupby("lang")["tf"].sum().reindex(langs).fillna(0).to_numpy()
+    vocab_terms = counts["term"].unique()
+    v_size = len(vocab_terms)
+    # per-term weight rows: ln(c+1) per lang (sparse → dense per term)
+    w = {}
+    for term, g in counts.groupby("term"):
+        row = np.zeros(len(langs))
+        row[[lx[l] for l in g["lang"]]] = np.log(g["tf"].to_numpy() + 1.0)
+        w[term] = row
+    priors = np.log(doc_counts.reindex(langs).to_numpy() / float(n_train))
+    penalty = np.log(tot + float(v_size))  # per-lang ln(tot_l + V)
+
+    # --- val fold: factored-form scoring, confusion pairs pre-counted ---
+    def score_partial(t: pa.Table) -> pa.Table:
+        va = t.filter(pc.equal(t["split"], "val"))
+        if va.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "predicted": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = tokenize_terms(va, "text", "doc_id").to_pandas()
+        toks = toks[toks["term"].isin(w)]
+        ids = va["doc_id"].to_pylist()
+        di = {d: i for i, d in enumerate(ids)}
+        scores = np.tile(priors, (len(ids), 1))
+        rows = toks["doc_id"].map(di).to_numpy()
+        tfv = toks["tf"].to_numpy(dtype=np.float64)
+        wmat = np.vstack([w[x] for x in toks["term"]]) if len(toks) else np.zeros((0, len(langs)))
+        np.add.at(scores, rows, tfv[:, None] * wmat)
+        mtf = np.zeros(len(ids))
+        np.add.at(mtf, rows, tfv)
+        scores -= mtf[:, None] * penalty[None, :]
+        keep = mtf > 0  # zero-in-vocab docs excluded (matches the oracle)
+        pred = np.asarray(langs)[scores.argmax(axis=1)]  # argmax → first (lang asc)
+        truth = np.asarray(va["lang"].to_pylist())
+        df = (
+            pd.DataFrame({"lang": truth[keep], "predicted": pred[keep]})
+            .groupby(["lang", "predicted"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = tagged.map_batches(score_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        grouped_sums(pairs, ["lang", "predicted"], {"n2": "n"}, reduce="driver")
+        .to_pandas()
+        .rename(columns={"n2": "n"})
+        .sort_values(["lang", "predicted"], ignore_index=True)
+    )
+    return _i64(out, ["n"])
+
+
+SQL_NAIVE_BAYES_LANGID = """
+WITH split AS (
+  SELECT doc_id, lang,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < '1a'
+              THEN 'val' ELSE 'train' END AS sp
+  FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tr  AS (SELECT t.doc_id, s.lang, t.term FROM toks2 t JOIN split s USING (doc_id)
+        WHERE s.sp = 'train'),
+c   AS (SELECT lang, term, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS tot FROM tr GROUP BY 1),
+pri AS (SELECT lang, COUNT(*) AS nd FROM split WHERE sp = 'train' GROUP BY 1),
+nt  AS (SELECT COUNT(*) AS n FROM split WHERE sp = 'train'),
+voc AS (SELECT COUNT(DISTINCT term) AS v FROM tr),
+tf  AS (SELECT t.doc_id, t.term, COUNT(*) AS tf FROM toks2 t
+        JOIN split s USING (doc_id) WHERE s.sp = 'val' GROUP BY 1, 2),
+tfv AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM tr) vt USING (term)),
+mtf AS (SELECT doc_id, SUM(tf) AS mtf FROM tfv GROUP BY 1),
+sc AS (
+  SELECT m.doc_id, p.lang,
+         LN(p.nd / CAST(nt.n AS DOUBLE))
+           + COALESCE(x.sumln, 0)
+           - m.mtf * LN(t.tot + voc.v) AS score
+  FROM mtf m CROSS JOIN pri p CROSS JOIN nt CROSS JOIN voc
+  JOIN tot t ON t.lang = p.lang
+  LEFT JOIN (SELECT tfv.doc_id, c.lang, SUM(tfv.tf * LN(c.c + 1)) AS sumln
+             FROM tfv JOIN c USING (term) GROUP BY 1, 2) x
+    ON x.doc_id = m.doc_id AND x.lang = p.lang),
+pred AS (
+  SELECT doc_id, lang AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM sc)
+SELECT s.lang, p.predicted, COUNT(*) AS n
+FROM pred p JOIN split s USING (doc_id)
+WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "bpe_merges": QuerySpec(
+        q_bpe_merges,
+        None,
+        "iterative distributed BPE merge training: pair-count → top-1 → rewrite rounds",
+    ),
+    "naive_bayes_langid": QuerySpec(
+        q_naive_bayes_langid,
+        SQL_NAIVE_BAYES_LANGID,
+        "multinomial Naive Bayes langid: vocab-bounded train reduce, broadcast model score",
+    ),
     "bm25_search": QuerySpec(
         q_bm25_search,
         SQL_BM25_SEARCH,
