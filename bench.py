@@ -70,6 +70,15 @@ BENCH_QUERIES = [
     "approx_users_per_type",
     "type_hour_chi2",
     "customer_order_counts",
+    "bm25_search",
+    "rrf_fusion",
+    "mad_outliers",
+    "ewma_user_value",
+    "naive_bayes_langid",
+    "bpe_merges",
+    "cube_counts",
+    "purchase_view_sets",
+    "type_hour_grid",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

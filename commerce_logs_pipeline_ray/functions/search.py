@@ -133,16 +133,22 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    post: Dataset | None = None,
 ) -> pd.DataFrame:
     """Disjunctive BM25 top-k (Robertson/Sparck-Jones idf in the Lucene
     ``ln(1 + (N-df+.5)/(df+.5))`` form): candidate postings + corpus stats
     from ONE scan (:func:`bm25_postings`, materialized — bounded by the
     query terms' posting lists, the standard search-engine working set),
     df/N/avgdl folded driver-side from tiny frames, then a vectorized
-    score pass → distributed per-doc sum → deterministic top-k."""
+    score pass → distributed per-doc sum → deterministic top-k.
+
+    ``post``: a pre-materialized :func:`bm25_postings` Dataset to reuse
+    (rank-fusion callers score several systems off one scan).
+    """
     from .relational import grouped_sums, topk
 
-    post = bm25_postings(ds, terms, text_col, id_col).materialize()
+    if post is None:
+        post = bm25_postings(ds, terms, text_col, id_col).materialize()
     sent = post.filter(expr=f"{id_col} == -1").to_pandas()
     n_docs = int(sent["tf"].sum())
     avgdl = float(sent["doclen"].sum()) / n_docs  # exact: int sums, one divide

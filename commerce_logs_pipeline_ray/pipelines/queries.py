@@ -4148,11 +4148,124 @@ WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009) of two retrieval systems
+    over the same query — BM25 and raw disjunctive term-frequency — the
+    standard hybrid-search combiner: each system produces its DISTRIBUTED
+    top-100 ranking (per-block prune top-k, driver sees ≤100 rows per
+    system), then the fuse Σ 1/(60+rank) is driver arithmetic over ≤200
+    rows.  Ranks are assigned on scores re-quantized to 6 decimals (both
+    engines) so cross-engine 1-ulp sum-order noise cannot flip a rank
+    boundary; quantization ties break by doc_id identically."""
+    from ..functions.relational import grouped_sums as _gs, topk as _topk
+    from ..functions.search import bm25_postings, bm25_search
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    post = bm25_postings(ds, SEARCH_TERMS).materialize()  # ONE corpus scan
+    bm = bm25_search(ds, SEARCH_TERMS, k=100, post=post)  # scores 6-dec rounded
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True], ignore_index=True)
+    bm["r"] = np.arange(1, len(bm) + 1)
+
+    cands = post.filter(expr="doc_id >= 0")
+    kw = _topk(
+        _gs(cands, ["doc_id"], {"s": "tf"}), ["s", "doc_id"], [True, False], 100
+    ).to_pandas()
+    kw = kw.sort_values(["s", "doc_id"], ascending=[False, True], ignore_index=True)
+    kw["r"] = np.arange(1, len(kw) + 1)
+
+    both = pd.concat([bm[["doc_id", "r"]], kw[["doc_id", "r"]]], ignore_index=True)
+    both["w"] = 1.0 / (60.0 + both["r"])
+    out = both.groupby("doc_id", as_index=False)["w"].sum().rename(columns={"w": "rrf"})
+    out = out.sort_values(["rrf", "doc_id"], ascending=[False, True], ignore_index=True).head(20)
+    out["rrf"] = out["rrf"].round(6)
+    return _i64(out, ["doc_id"])
+
+
+SQL_RRF_FUSION = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents
+), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM toks2 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+       WHERE term IN ('join', 'hash', 'batch') GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+         ROUND(SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (dl.len / (CAST(stats.sumlen AS DOUBLE) / stats.n)))))), 6) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY 1),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+        QUALIFY r <= 100),
+kw AS (SELECT doc_id, SUM(tf) AS s FROM tf GROUP BY 1),
+kwr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM kw
+        QUALIFY r <= 100)
+SELECT doc_id, ROUND(SUM(1.0 / (60.0 + r)), 6) AS rrf
+FROM (SELECT * FROM bmr UNION ALL SELECT * FROM kwr)
+GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def q_type_hour_grid(sf_dir: str) -> pd.DataFrame:
+    """Dense dimension-grid fill (event_type × all 24 hours, zeros kept) —
+    the CROSS JOIN + LEFT JOIN COALESCE pattern: the fact side is ONE
+    distributed (type, hour) aggregate; the grid completion is a reindex
+    over the schema-bounded dimension product on the driver."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour_id = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        hour = pc.subtract(hour_id, pc.multiply(pc.divide(hour_id, 24), 24))
+        return pa.table({"event_type": t["event_type"], "hour": hour})
+
+    agg = grouped_sums(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        {},
+        "n",
+        reduce="driver",
+    ).to_pandas()
+    types = sorted(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, range(24)], names=["event_type", "hour"])
+    out = (
+        agg.set_index(["event_type", "hour"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+        .sort_values(["event_type", "hour"], ignore_index=True)
+    )
+    return _i64(out, ["hour", "n"])
+
+
+SQL_TYPE_HOUR_GRID = """
+WITH dims AS (
+  SELECT t.event_type, h.range AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN range(24) h),
+c AS (
+  SELECT event_type, (EPOCH_US(ts) // 3600000000) % 24 AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT dims.event_type, dims.hour, COALESCE(c.n, 0) AS n
+FROM dims LEFT JOIN c USING (event_type, hour)
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "rrf_fusion": QuerySpec(
+        q_rrf_fusion,
+        SQL_RRF_FUSION,
+        "reciprocal-rank fusion of BM25 and raw-tf rankings (hybrid search)",
+    ),
+    "type_hour_grid": QuerySpec(
+        q_type_hour_grid,
+        SQL_TYPE_HOUR_GRID,
+        "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
+    ),
     "bpe_merges": QuerySpec(
         q_bpe_merges,
         None,

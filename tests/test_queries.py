@@ -44,6 +44,9 @@ SUBSET = [
     "purchase_view_sets",
     "ewma_user_value",
     "customer_order_counts",
+    "rrf_fusion",
+    "type_hour_grid",
+    "naive_bayes_langid",
 ]
 
 
