@@ -4251,11 +4251,319 @@ ORDER BY 1, 2
 """
 
 
+def q_fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity / coverage audit across table relationships —
+    the data-quality gate every multi-table ingest runs before training:
+    for each (child.key → parent.key) relation, count child rows and keys
+    with no parent.  Distributed shape per relation: BOTH sides collapse to
+    key-level partials first (per-batch distinct+count combiner →
+    ``grouped_sums``), so only (key, rows) rows — never raw child rows —
+    reach the anti exchange; the anti itself is one ``bucketed_group_reduce``
+    over the tagged union of the two key tables.  Includes a coverage
+    relation (customer → events.user_id) that is genuinely non-empty, so a
+    bug that yields constant zeros cannot pass the oracle."""
+    from ..functions.relational import bucketed_group_reduce
+
+    def orphans(child: rd.Dataset, ckey: str, parent: rd.Dataset, pkey: str) -> tuple[int, int, int]:
+        ck = grouped_sums(child, [ckey], {}, "rows").map_batches(
+            lambda t, k=ckey: pa.table(
+                {"k": pc.cast(t[k], pa.int64()), "rows": t["rows"],
+                 "par": pa.nulls(t.num_rows, pa.int64()).fill_null(0)}
+            ),
+            batch_format="pyarrow",
+        )
+        pk = grouped_sums(parent, [pkey], {}, "rows").map_batches(
+            lambda t, k=pkey: pa.table(
+                {"k": pc.cast(t[k], pa.int64()), "rows": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+                 "par": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}
+            ),
+            batch_format="pyarrow",
+        )
+        child_rows = int(ck.sum("rows"))
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("k", as_index=False).agg(rows=("rows", "sum"), par=("par", "sum"))
+            g = g[g["par"] == 0]
+            return pd.DataFrame({"orphan_keys": [len(g)], "orphan_rows": [int(g["rows"].sum())]})
+
+        o = bucketed_group_reduce(ck.union(pk), ["k"], anti).to_pandas()
+        return child_rows, int(o["orphan_keys"].sum()), int(o["orphan_rows"].sum())
+
+    rels = [
+        ("orders.o_custkey->customer", _t(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _t(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("lineitem.l_orderkey->orders", _t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _t(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+        ("events.user_id->customer", _t(sf_dir, "events", ["user_id"]), "user_id",
+         _t(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("customer->events.user_id", _t(sf_dir, "customer", ["c_custkey"]), "c_custkey",
+         _t(sf_dir, "events", ["user_id"]), "user_id"),
+    ]
+    out = pd.DataFrame(
+        [(name,) + orphans(c, ck, p, pk) for name, c, ck, p, pk in rels],
+        columns=["relation", "child_rows", "orphan_keys", "orphan_rows"],
+    )
+    return _i64(out, ["child_rows", "orphan_keys", "orphan_rows"])
+
+
+SQL_FK_INTEGRITY_AUDIT = """
+SELECT 'orders.o_custkey->customer' AS relation,
+       (SELECT COUNT(*) FROM orders) AS child_rows,
+       COUNT(DISTINCT o.o_custkey) AS orphan_keys, COUNT(*) AS orphan_rows
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       COUNT(DISTINCT l.l_orderkey), COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'events.user_id->customer',
+       (SELECT COUNT(*) FROM events),
+       COUNT(DISTINCT e.user_id), COUNT(*)
+FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+UNION ALL
+SELECT 'customer->events.user_id',
+       (SELECT COUNT(*) FROM customer),
+       COUNT(DISTINCT c.c_custkey), COUNT(*)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type —
+    the burstiness/seasonality drift signal.  The heavy half is ONE
+    distributed (type, hour) count; the series itself is schema-bounded
+    (|types| × |hours|), so the lag-pair Pearson corr is driver numpy over
+    the tiny aggregate, matching SQL ``corr(n, LAG(n))`` exactly (pairs are
+    consecutive PRESENT rows in hour order, as in the window oracle)."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {"hour_id": pc.divide(micros, pa.scalar(3_600_000_000, pa.int64())),
+             "event_type": t["event_type"]}
+        )
+
+    agg = grouped_sums(
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour_id"],
+        {},
+        "n",
+    ).to_pandas()
+    rows = []
+    for etype, g in agg.sort_values(["event_type", "hour_id"]).groupby("event_type"):
+        x = g["n"].to_numpy(dtype=np.float64)
+        cur, prev = x[1:], x[:-1]
+        if len(cur) >= 2 and cur.std() > 0 and prev.std() > 0:
+            r = float(np.corrcoef(cur, prev)[0, 1])
+        else:
+            r = np.nan
+        rows.append((etype, round(r, 6), len(cur)))
+    out = pd.DataFrame(rows, columns=["event_type", "autocorr", "n_pairs"])
+    return _i64(out, ["n_pairs"])
+
+
+SQL_HOURLY_AUTOCORR = """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY hour_id) AS pn
+  FROM h)
+SELECT event_type, ROUND(corr(n, pn), 6) AS autocorr, COUNT(pn) AS n_pairs
+FROM l GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard similarity between document sources —
+    the corpus-mixture redundancy check.  Never materializes a vocabulary:
+    (source, term) distinct via one grouped exchange, each term's source
+    SET packed into an int bitmask by summing per-source bit values (each
+    (source, term) appears exactly once post-distinct, so SUM ≡ OR), then a
+    histogram over realized masks — the driver sees only (mask, count)
+    rows (≤ distinct masks, ≤ |terms|), from which every pairwise
+    intersection and union is popcount arithmetic."""
+    from ..functions.search import tokenize_terms
+
+    docs = _t(sf_dir, "documents", ["source", "text"])
+    srcs = sorted(grouped_sums(_t(sf_dir, "documents", ["source"]), ["source"], {}, "n")
+                  .to_pandas()["source"])
+    bit_of = {s: 1 << i for i, s in enumerate(srcs)}
+
+    pairs = docs.map_batches(
+        lambda t: tokenize_terms(t, "text", "source"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct = grouped_sums(pairs, ["source", "term"], {}, "c")
+
+    def to_bits(t: pa.Table, *, bits=bit_of) -> pa.Table:
+        src = t["source"].to_pandas().map(bits).to_numpy(dtype=np.int64)
+        return pa.table({"term": t["term"], "bit": pa.array(src, pa.int64())})
+
+    masks = grouped_sums(
+        distinct.map_batches(to_bits, batch_format="pyarrow"), ["term"], {"mask": "bit"}, "c"
+    )
+    hist = grouped_sums(
+        masks.select_columns(["mask"]), ["mask"], {}, "cnt"
+    ).to_pandas()
+    mask_vals = hist["mask"].to_numpy(dtype=np.int64)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    size = {s: int(cnts[(mask_vals & b) != 0].sum()) for s, b in bit_of.items()}
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = int(cnts[((mask_vals & bit_of[a]) != 0) & ((mask_vals & bit_of[b]) != 0)].sum())
+            uni = size[a] + size[b] - inter
+            rows.append((a, b, inter, round(inter / uni, 6) if uni else np.nan))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "inter", "jaccard"])
+    return _i64(out, ["inter"])
+
+
+SQL_SOURCE_VOCAB_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT source, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t AS (SELECT * FROM toks WHERE term <> ''),
+sizes AS (SELECT source, COUNT(*) AS n FROM t GROUP BY 1),
+grid AS (
+  SELECT a.source AS source_a, a.n AS na, b.source AS source_b, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.source < b.source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT g.source_a, g.source_b, COALESCE(i.inter, 0) AS inter,
+       ROUND(COALESCE(i.inter, 0) / (g.na + g.nb - COALESCE(i.inter, 0)), 6) AS jaccard
+FROM grid g LEFT JOIN i ON g.source_a = i.source_a AND g.source_b = i.source_b
+ORDER BY 1, 2
+"""
+
+
+def q_orders_vs_ships_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily order volume vs daily shipment volume via a native FULL OUTER
+    hash join — the reconciliation-report shape where either side may have
+    days the other lacks (ship dates extend past the last order date).
+    Both sides are pre-aggregated to (day, n) BEFORE the join, so the
+    exchange moves day-level partials, not raw rows; Ray's full-outer
+    ``Dataset.join`` coalesces the key across sides."""
+    from ..functions.relational import hash_join
+
+    def to_day(col: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            micros = pc.cast(t[col], pa.int64())
+            return pa.table({"day_id": pc.divide(micros, pa.scalar(86_400_000_000, pa.int64()))})
+        return f
+
+    o = grouped_sums(
+        _t(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            to_day("o_orderdate", "day_id"), batch_format="pyarrow", zero_copy_batch=True),
+        ["day_id"], {}, "o_n",
+    )
+    l = grouped_sums(
+        _t(sf_dir, "lineitem", ["l_shipdate"]).map_batches(
+            to_day("l_shipdate", "day_id"), batch_format="pyarrow", zero_copy_batch=True),
+        ["day_id"], {}, "l_n",
+    )
+    j = hash_join(o, l, on="day_id", how="full_outer").to_pandas()
+    j["o_n"] = j["o_n"].fillna(0)
+    j["l_n"] = j["l_n"].fillna(0)
+    return _i64(j, ["day_id", "o_n", "l_n"])
+
+
+SQL_ORDERS_VS_SHIPS_DAILY = """
+WITH o AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day_id, COUNT(*) AS o_n
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day_id, COUNT(*) AS l_n
+  FROM lineitem GROUP BY 1)
+SELECT COALESCE(o.day_id, l.day_id) AS day_id,
+       COALESCE(o.o_n, 0) AS o_n, COALESCE(l.l_n, 0) AS l_n
+FROM o FULL OUTER JOIN l ON o.day_id = l.day_id
+ORDER BY 1
+"""
+
+
+def q_copurchase_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Degree distribution of the co-purchase graph — the skew probe run
+    before any graph algorithm (hub degree decides triangle/PageRank
+    partitioning).  Distinct edges via grouped reduce over per-order pair
+    combiners (pair blow-up bounded by order width²), symmetrize, then two
+    tiny grouped exchanges: neighbors-per-node, nodes-per-degree."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b"})
+
+    edges = grouped_sums(
+        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {}, "c"
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t["part_a"].combine_chunks().cast(pa.int64()),
+                 t["part_b"].combine_chunks().cast(pa.int64())])}
+        )
+
+    deg = grouped_sums(
+        edges.map_batches(sym, batch_format="pyarrow"), ["node"], {}, "deg"
+    )
+    out = grouped_sums(deg.select_columns(["deg"]), ["deg"], {}, "n_nodes").to_pandas()
+    return _i64(out, ["deg", "n_nodes"])
+
+
+SQL_COPURCHASE_DEGREE_HIST = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+s AS (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e),
+deg AS (SELECT node, COUNT(*) AS deg FROM s GROUP BY 1)
+SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "fk_integrity_audit": QuerySpec(
+        q_fk_integrity_audit,
+        SQL_FK_INTEGRITY_AUDIT,
+        "referential-integrity / coverage audit: orphan keys+rows per relation",
+    ),
+    "hourly_autocorr": QuerySpec(
+        q_hourly_autocorr,
+        SQL_HOURLY_AUTOCORR,
+        "lag-1 autocorrelation of hourly event counts per type (corr vs LAG oracle)",
+    ),
+    "source_vocab_jaccard": QuerySpec(
+        q_source_vocab_jaccard,
+        SQL_SOURCE_VOCAB_JACCARD,
+        "pairwise source-vocabulary Jaccard via term bitmask histogram",
+    ),
+    "orders_vs_ships_daily": QuerySpec(
+        q_orders_vs_ships_daily,
+        SQL_ORDERS_VS_SHIPS_DAILY,
+        "FULL OUTER join reconciliation: daily orders vs shipments",
+    ),
+    "copurchase_degree_hist": QuerySpec(
+        q_copurchase_degree_hist,
+        SQL_COPURCHASE_DEGREE_HIST,
+        "co-purchase graph degree distribution (graph skew probe)",
+    ),
     "rrf_fusion": QuerySpec(
         q_rrf_fusion,
         SQL_RRF_FUSION,

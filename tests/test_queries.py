@@ -47,6 +47,11 @@ SUBSET = [
     "rrf_fusion",
     "type_hour_grid",
     "naive_bayes_langid",
+    "fk_integrity_audit",
+    "hourly_autocorr",
+    "source_vocab_jaccard",
+    "orders_vs_ships_daily",
+    "copurchase_degree_hist",
 ]
 
 
