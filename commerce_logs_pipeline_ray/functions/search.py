@@ -171,3 +171,23 @@ def bm25_search(
     out = topk(per_doc, ["score", id_col], [True, False], k).to_pandas()
     out["score"] = out["score"].round(6)
     return out[[id_col, "score"]]
+
+
+def word_bigrams(t: pa.Table, text_col: str = "text", group_col: str | None = None) -> pa.Table:
+    """Per-batch ordered word-bigram stream: lower + regex split (one RE2
+    pass over the Arrow buffer), empty tokens dropped BEFORE pairing (so
+    punctuation does not break adjacency, matching ``list_filter`` +
+    consecutive-index SQL semantics), then consecutive pairs within each
+    row via one vectorized parent-index comparison — no per-row Python."""
+    words = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), TOKEN_SPLIT)
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(words)
+    flat = words.flatten()
+    mask = pc.not_equal(flat, "")
+    w = flat.filter(mask)
+    p = parents.filter(mask).to_numpy(zero_copy_only=False)
+    idx = np.nonzero(p[:-1] == p[1:])[0] if len(p) else np.empty(0, np.int64)
+    cols = {"w1": w.take(pa.array(idx)), "w2": w.take(pa.array(idx + 1))}
+    if group_col is not None:
+        cols[group_col] = pc.take(t[group_col], pa.array(p[idx] if len(idx) else idx))
+    return pa.table(cols)

@@ -276,6 +276,25 @@ def quantile_from_counts(bins, counts, q: float):
     return lo_v + (hi_v - lo_v) * (pos - lo_rank)
 
 
+def quantile_disc_from_counts(bins, counts, q: float):
+    """SQL ``quantile_disc`` (Postgres ``percentile_disc``: the first value
+    whose cumulative fraction ≥ q, i.e. the 1-based rank ``ceil(q·n)``
+    order statistic) from a sorted-by-bin histogram, in BIN units.
+    Returns None when the histogram carries no non-null mass."""
+    import numpy as np
+    import pandas as pd
+
+    mask = pd.notna(bins)
+    bins = np.asarray(bins)[mask]
+    counts = np.asarray(counts)[mask]
+    total = int(counts.sum()) if len(counts) else 0
+    if total == 0:
+        return None
+    rank = max(1, int(np.ceil(q * total)))
+    cum = np.cumsum(counts)
+    return int(bins[np.searchsorted(cum, rank)])
+
+
 class CountMinSketch:
     """Mergeable ``depth × width`` counter matrix (Cormode & Muthukrishnan
     2005): point-query estimates NEVER underestimate, overestimate by

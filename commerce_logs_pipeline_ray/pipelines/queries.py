@@ -4534,11 +4534,202 @@ SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bigram_lm_nll(sf_dir: str) -> pd.DataFrame:
+    """Add-one-smoothed bigram language model trained on the whole corpus,
+    scored per source (average negative log-likelihood per bigram) — the
+    LM-based quality/drift signal one step up from unigram surprisal.
+
+    Distributed shape: the raw bigram stream is collapsed to
+    (source, w1, w2, n) partials in ONE grouped exchange and reused for
+    both training and scoring (the corpus model is a further reduce of the
+    same table, so the text is tokenized exactly once); unigram counts and
+    vocabulary size come from a second cheap scan; scoring joins the
+    source-bigram table — bigram-type-level, not token-level — against the
+    model with hash joins (big-big safe; ``auto_join`` broadcasts the
+    unigram side while it fits)."""
+    from ..functions.relational import auto_join, hash_join
+    from ..functions.search import TOKEN_SPLIT, word_bigrams
+
+    docs = _t(sf_dir, "documents", ["source", "text"])
+    sb = grouped_sums(
+        docs.map_batches(
+            lambda t: word_bigrams(t, "text", "source"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["source", "w1", "w2"],
+        {},
+        "n",
+    ).materialize()
+    mb = grouped_sums(sb, ["w1", "w2"], {"c12": "n"})
+
+    def flat_words(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT)
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        return pa.table({"w1": flat.filter(pc.not_equal(flat, ""))})
+
+    uc = grouped_sums(
+        docs.map_batches(flat_words, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1"],
+        {},
+        "c1",
+    ).materialize()
+    vocab = uc.count()
+
+    j = auto_join(hash_join(sb, mb, on=("w1", "w2")), uc, on="w1")
+
+    def score(t: pa.Table, *, v=vocab) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nll = n * -(np.log(c12 + 1.0) - np.log(c1 + v))
+        return pa.table({"source": t["source"], "nll": pa.array(nll), "n": t["n"]})
+
+    out = grouped_sums(
+        j.map_batches(score, batch_format="pyarrow"),
+        ["source"],
+        {"nll": "nll", "n_bigrams": "n"},
+    ).to_pandas()
+    out["avg_nll"] = (out["nll"] / out["n_bigrams"]).round(6)
+    out = out.drop(columns=["nll"]).sort_values("source", ignore_index=True)
+    return _i64(out, ["n_bigrams"])
+
+
+SQL_BIGRAM_LM_NLL = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT UNNEST(ws) AS w FROM d),
+uc AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM uc),
+bg AS (
+  SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+  FROM d, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+sb AS (SELECT source, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3)
+SELECT source, SUM(n) AS n_bigrams,
+       ROUND(SUM(n * -ln((c12 + 1.0) / (c1 + v.v))) / SUM(n), 6) AS avg_nll
+FROM sb JOIN bc USING (w1, w2) JOIN uc ON sb.w1 = uc.w CROSS JOIN v
+GROUP BY source ORDER BY source
+"""
+
+
+def q_value_boxplot(sf_dir: str) -> pd.DataFrame:
+    """Per-group boxplot profile — discrete quartiles plus Tukey-fence
+    (1.5·IQR) outlier counts — from ONE histogram pass: the mergeable
+    fixed-bin sketch (``sketch.py::grouped_histogram_fixedpoint``) already
+    carries everything, so unlike the SQL oracle (which scans twice: once
+    for quantiles, once to count outliers) no second scan happens.  All
+    fence comparisons are exact integer arithmetic in half-cent units —
+    quartiles are cent-grid data values (quantile_disc), so 1.5·IQR lives
+    on the half-cent grid and no float boundary can flip a count."""
+    from ..functions.sketch import grouped_histogram_fixedpoint, quantile_disc_from_counts
+
+    hist = grouped_histogram_fixedpoint(
+        _t(sf_dir, "events", ["event_type", "value"]), "event_type", "value", scale=100
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        bins = g["bin"].to_numpy()
+        counts = g["n"].to_numpy()
+        mask = pd.notna(bins)
+        b = bins[mask].astype(np.int64)
+        c = counts[mask].astype(np.int64)
+        n = int(c.sum())
+        q25 = quantile_disc_from_counts(b, c, 0.25)
+        q50 = quantile_disc_from_counts(b, c, 0.50)
+        q75 = quantile_disc_from_counts(b, c, 0.75)
+        iqr = q75 - q25
+        lo2, hi2 = 2 * q25 - 3 * iqr, 2 * q75 + 3 * iqr  # half-cent units
+        n_out = int(c[(2 * b < lo2) | (2 * b > hi2)].sum())
+        rows.append((etype, round(q25 / 100.0, 2), round(q50 / 100.0, 2),
+                     round(q75 / 100.0, 2), n, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "p25", "p50", "p75", "n", "n_outliers"])
+    return _i64(out, ["n", "n_outliers"])
+
+
+SQL_VALUE_BOXPLOT = """
+WITH q AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_disc(value, 0.25) * 100) AS BIGINT) AS q25c,
+         CAST(ROUND(quantile_disc(value, 0.50) * 100) AS BIGINT) AS q50c,
+         CAST(ROUND(quantile_disc(value, 0.75) * 100) AS BIGINT) AS q75c
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       ROUND(q25c / 100.0, 2) AS p25, ROUND(q50c / 100.0, 2) AS p50,
+       ROUND(q75c / 100.0, 2) AS p75,
+       COUNT(value) AS n,
+       COUNT(*) FILTER (CAST(ROUND(value * 200) AS BIGINT) < 2 * q25c - 3 * (q75c - q25c)
+                     OR CAST(ROUND(value * 200) AS BIGINT) > 2 * q75c + 3 * (q75c - q25c))
+         AS n_outliers
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q25c, q50c, q75c ORDER BY 1
+"""
+
+
+def q_nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total window (``ratio_to_report``): each nation's share
+    of its region's order revenue.  The fact side pre-aggregates per
+    custkey BEFORE touching any dimension, the customer dimension attaches
+    via the size-aware join planner, and the final share window runs on
+    the |nations|-bounded aggregate on the driver."""
+    from ..functions.relational import auto_join
+
+    o = grouped_sums(_t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+                     ["o_custkey"], {"rev": "o_totalprice"})
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"], "nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_nation = grouped_sums(
+        auto_join(o, cust, on="o_custkey"), ["nationkey"], {"revenue": "rev"}
+    ).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    out = per_nation.merge(dim, left_on="nationkey", right_on="n_nationkey")
+    out["share"] = (out["revenue"] / out.groupby("r_regionkey")["revenue"].transform("sum")).round(6)
+    out["revenue"] = out["revenue"].round(2)
+    out = out.rename(columns={"r_name": "region", "n_name": "nation"})
+    return out[["region", "nation", "revenue", "share"]].sort_values(
+        ["region", "nation"], ignore_index=True)
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, SUM(o.o_totalprice) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT r.r_name AS region, n.n_name AS nation, ROUND(revenue, 2) AS revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY r.r_regionkey), 6) AS share
+FROM rev JOIN nation n ON rev.nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "bigram_lm_nll": QuerySpec(
+        q_bigram_lm_nll,
+        SQL_BIGRAM_LM_NLL,
+        "add-one-smoothed bigram LM: per-source avg negative log-likelihood",
+    ),
+    "value_boxplot": QuerySpec(
+        q_value_boxplot,
+        SQL_VALUE_BOXPLOT,
+        "boxplot profile per group from one histogram pass (disc quartiles + Tukey fences)",
+    ),
+    "nation_revenue_share": QuerySpec(
+        q_nation_revenue_share,
+        SQL_NATION_REVENUE_SHARE,
+        "percent-of-total window: nation share of region revenue",
+    ),
     "fk_integrity_audit": QuerySpec(
         q_fk_integrity_audit,
         SQL_FK_INTEGRITY_AUDIT,

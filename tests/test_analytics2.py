@@ -123,3 +123,39 @@ def test_naive_bayes_confusion_diagonal_dominant(ray_session):
     # tiny, so demand only better-than-chance (5 langs → 0.2); exact-output
     # correctness is the DuckDB-oracle check in test_queries/check_queries
     assert total > 0 and diag / total > 0.2
+
+
+def test_quantile_disc_from_counts_matches_duckdb():
+    """quantile_disc ≡ Postgres percentile_disc: first value whose
+    cumulative fraction ≥ q — verified against DuckDB itself."""
+    import duckdb
+
+    from commerce_logs_pipeline_ray.functions.sketch import quantile_disc_from_counts
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 17, 100):
+        vals = rng.integers(-50, 50, size=n)
+        bins, counts = np.unique(vals, return_counts=True)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(int(v),) for v in vals])
+        for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+            want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert quantile_disc_from_counts(bins, counts, q) == want, (n, q)
+
+
+def test_word_bigrams_kernel():
+    """Punctuation does not break adjacency (empties dropped BEFORE
+    pairing); bigrams never cross row boundaries; empty/one-word rows emit
+    nothing."""
+    import pyarrow as pa
+
+    from commerce_logs_pipeline_ray.functions.search import word_bigrams
+
+    t = pa.table({
+        "text": ["a, b...c", "", "word", "X  y!z", None],
+        "src": ["s1", "s2", "s3", "s4", "s5"],
+    })
+    out = word_bigrams(t, "text", "src").to_pandas()
+    got = list(zip(out["src"], out["w1"], out["w2"]))
+    assert got == [("s1", "a", "b"), ("s1", "b", "c"), ("s4", "x", "y"), ("s4", "y", "z")]

@@ -52,6 +52,9 @@ SUBSET = [
     "source_vocab_jaccard",
     "orders_vs_ships_daily",
     "copurchase_degree_hist",
+    "bigram_lm_nll",
+    "value_boxplot",
+    "nation_revenue_share",
 ]
 
 
