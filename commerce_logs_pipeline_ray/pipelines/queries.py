@@ -4710,11 +4710,270 @@ ORDER BY 1, 2
 """
 
 
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority): segment-filtered customers →
+    date-filtered orders → post-cutoff lineitems, top-10 orders by revenue.
+    Plan: every filter is pushed into the scan; lineitem pre-aggregates
+    revenue PER ORDER before any join (the classic combiner-before-join
+    rule — the join then moves order-level rows, not lineitems); customer
+    participates only as a key set through the size-aware planner."""
+    from ..functions.relational import auto_join
+
+    cutoff = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+    o_seg = auto_join(orders, cust, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "r": r})
+
+    li_rev = grouped_sums(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"], {"revenue": "r"},
+    )
+    j = auto_join(li_rev, o_seg, on="o_orderkey")
+    out = topk(j, ["revenue", "o_orderkey"], [True, False], 10).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out = out.rename(columns={"o_orderkey": "l_orderkey"})
+    return _i64(out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]], ["l_orderkey"])
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def q_new_users_daily(sf_dir: str) -> pd.DataFrame:
+    """First-seen cohort counts (new users per day): per-batch min-day
+    partials per user → bucketed min reduce (only (user, day) pairs cross
+    the exchange) → day-level count.  The first-touch-attribution shape."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(micros, pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"user_id": t["user_id"], "day_id": day}).group_by(["user_id"]).aggregate(
+            [("day_id", "min")])
+        return pa.table({"user_id": g["user_id"], "day_id": g["day_id_min"]})
+
+    per_user = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False)["day_id"].min(),
+    )
+    out = grouped_sums(per_user.select_columns(["day_id"]), ["day_id"], {}, "new_users").to_pandas()
+    return _i64(out, ["day_id", "new_users"])
+
+
+SQL_NEW_USERS_DAILY = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day_id
+  FROM events GROUP BY 1)
+SELECT day_id, COUNT(*) AS new_users FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type trigram mining (the behavioral-pattern
+    sequence op one step past the Markov transition matrix): hash exchange
+    on the user, per-group chronological sort + vectorized shift-compare
+    trigram partials, global trigram reduce, deterministic top-20."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        u, e = df["user_id"].to_numpy(), df["event_type"].to_numpy()
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:]) if len(u) >= 3 else np.empty(0, bool)
+        t = pd.DataFrame({"t1": e[:-2][same], "t2": e[1:-1][same], "t3": e[2:][same]})
+        return t.groupby(["t1", "t2", "t3"], as_index=False).size().rename(columns={"size": "n"})
+
+    tri = bucketed_group_reduce(ds, ["user_id"], per_user)
+    agg = grouped_sums(tri, ["t1", "t2", "t3"], {"n": "n"})
+    out = topk(agg, ["n", "t1", "t2", "t3"], [True, False, False, False], 20).to_pandas()
+    return _i64(out, ["n"])
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS t3,
+         LAG(event_type, 1) OVER w AS t2,
+         LAG(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, COUNT(*) AS n
+FROM s WHERE t1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+def q_conversion_latency(sf_dir: str) -> pd.DataFrame:
+    """First-view → first-purchase latency (funnel timing): conditional
+    per-user MIN partials for both stages in one scan, bucketed min
+    reduce, then scalar moments folded distributedly — the driver sees
+    four numbers, never per-user rows."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        df = pa.table({"user_id": t["user_id"], "us": micros, "et": t["event_type"]}).to_pandas()
+        v = df[df["et"] == "view"].groupby("user_id")["us"].min()
+        p = df[df["et"] == "purchase"].groupby("user_id")["us"].min()
+        m = pd.concat([v.rename("v_us"), p.rename("p_us")], axis=1).reset_index()
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    def merge_mins(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            v_us=("v_us", "min"), p_us=("p_us", "min"))
+
+    per_user = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], merge_mins,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["v_us", "p_us"])
+        d = d[d["p_us"] >= d["v_us"]]
+        lat = (d["p_us"] - d["v_us"]).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "n": [len(lat)], "s": [int(lat.sum())],
+            "mn": [int(lat.min()) if len(lat) else np.iinfo(np.int64).max],
+            "mx": [int(lat.max()) if len(lat) else np.iinfo(np.int64).min],
+        })
+
+    parts = per_user.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    out = pd.DataFrame({
+        "n_users": [n],
+        "avg_latency_s": [round(float(parts["s"].sum()) / n / 1e6, 3) if n else np.nan],
+        "min_latency_s": [int(parts["mn"].min() // 1_000_000)],
+        "max_latency_s": [int(parts["mx"].max() // 1_000_000)],
+    })
+    return _i64(out, ["n_users", "min_latency_s", "max_latency_s"])
+
+
+SQL_CONVERSION_LATENCY = """
+WITH u AS (
+  SELECT user_id,
+         MIN(EPOCH_US(ts)) FILTER (event_type = 'view') AS v_us,
+         MIN(EPOCH_US(ts)) FILTER (event_type = 'purchase') AS p_us
+  FROM events GROUP BY 1)
+SELECT COUNT(*) AS n_users,
+       ROUND(SUM(p_us - v_us) / COUNT(*) / 1000000.0, 3) AS avg_latency_s,
+       CAST(MIN(p_us - v_us) // 1000000 AS BIGINT) AS min_latency_s,
+       CAST(MAX(p_us - v_us) // 1000000 AS BIGINT) AS max_latency_s
+FROM u WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+"""
+
+
+def q_value_gini(sf_dir: str) -> pd.DataFrame:
+    """Per-group Gini coefficient of the value distribution (inequality /
+    concentration signal) computed EXACTLY from the same one-pass mergeable
+    cent histogram as the median/boxplot — rank sums per bin are closed-form
+    (run of c equal values starting at rank r contributes
+    ``x·(c·r + c·(c-1)/2)``), so no sort and no raw-value shuffle, while the
+    SQL oracle needs a full ROW_NUMBER window sort."""
+    from ..functions.sketch import grouped_histogram_fixedpoint
+
+    hist = grouped_histogram_fixedpoint(
+        _t(sf_dir, "events", ["event_type", "value"]), "event_type", "value", scale=100
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        mask = pd.notna(g["bin"])
+        b = g["bin"].to_numpy()[mask].astype(np.int64)
+        c = g["n"].to_numpy()[mask].astype(np.int64)
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        n = int(c.sum())
+        start = np.concatenate(([0], np.cumsum(c)[:-1])) + 1  # 1-based first rank per run
+        s = int((b * c).sum())
+        si = int((b * (c * start + c * (c - 1) // 2)).sum())
+        gini = 2.0 * si / (n * s) - (n + 1.0) / n if n and s else np.nan
+        rows.append((etype, round(gini, 6), n))
+    out = pd.DataFrame(rows, columns=["event_type", "gini", "n"])
+    return _i64(out, ["n"])
+
+
+SQL_VALUE_GINI = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS i
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT event_type, COUNT(*) AS n, SUM(value) AS s, SUM(i * value) AS si
+      FROM r GROUP BY 1)
+SELECT event_type, ROUND(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini, n
+FROM g ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "shipping_priority": QuerySpec(
+        q_shipping_priority,
+        SQL_SHIPPING_PRIORITY,
+        "TPC-H Q3 shape: segment+date filtered 3-way join, order-level pre-agg, top-10",
+    ),
+    "new_users_daily": QuerySpec(
+        q_new_users_daily,
+        SQL_NEW_USERS_DAILY,
+        "first-seen cohort counts: per-user min-day reduce, day-level count",
+    ),
+    "event_trigrams": QuerySpec(
+        q_event_trigrams,
+        SQL_EVENT_TRIGRAMS,
+        "per-user ordered event-type trigram mining, global top-20",
+    ),
+    "conversion_latency": QuerySpec(
+        q_conversion_latency,
+        SQL_CONVERSION_LATENCY,
+        "first-view→first-purchase latency: conditional min reduce + scalar moments",
+    ),
+    "value_gini": QuerySpec(
+        q_value_gini,
+        SQL_VALUE_GINI,
+        "exact per-group Gini from the one-pass cent histogram (no sort, no raw shuffle)",
+    ),
     "bigram_lm_nll": QuerySpec(
         q_bigram_lm_nll,
         SQL_BIGRAM_LM_NLL,

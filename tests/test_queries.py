@@ -55,6 +55,11 @@ SUBSET = [
     "bigram_lm_nll",
     "value_boxplot",
     "nation_revenue_share",
+    "shipping_priority",
+    "new_users_daily",
+    "event_trigrams",
+    "conversion_latency",
+    "value_gini",
 ]
 
 
