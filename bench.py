@@ -79,6 +79,19 @@ BENCH_QUERIES = [
     "cube_counts",
     "purchase_view_sets",
     "type_hour_grid",
+    "fk_integrity_audit",
+    "hourly_autocorr",
+    "source_vocab_jaccard",
+    "orders_vs_ships_daily",
+    "copurchase_degree_hist",
+    "bigram_lm_nll",
+    "value_boxplot",
+    "nation_revenue_share",
+    "shipping_priority",
+    "new_users_daily",
+    "event_trigrams",
+    "conversion_latency",
+    "value_gini",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -4264,45 +4264,49 @@ def q_fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
     bug that yields constant zeros cannot pass the oracle."""
     from ..functions.relational import bucketed_group_reduce
 
-    def orphans(child: rd.Dataset, ckey: str, parent: rd.Dataset, pkey: str) -> tuple[int, int, int]:
-        ck = grouped_sums(child, [ckey], {}, "rows").map_batches(
-            lambda t, k=ckey: pa.table(
-                {"k": pc.cast(t[k], pa.int64()), "rows": t["rows"],
-                 "par": pa.nulls(t.num_rows, pa.int64()).fill_null(0)}
-            ),
-            batch_format="pyarrow",
-        )
-        pk = grouped_sums(parent, [pkey], {}, "rows").map_batches(
-            lambda t, k=pkey: pa.table(
-                {"k": pc.cast(t[k], pa.int64()), "rows": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
-                 "par": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}
-            ),
-            batch_format="pyarrow",
-        )
-        child_rows = int(ck.sum("rows"))
-
-        def anti(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("k", as_index=False).agg(rows=("rows", "sum"), par=("par", "sum"))
-            g = g[g["par"] == 0]
-            return pd.DataFrame({"orphan_keys": [len(g)], "orphan_rows": [int(g["rows"].sum())]})
-
-        o = bucketed_group_reduce(ck.union(pk), ["k"], anti).to_pandas()
-        return child_rows, int(o["orphan_keys"].sum()), int(o["orphan_rows"].sum())
-
     rels = [
-        ("orders.o_custkey->customer", _t(sf_dir, "orders", ["o_custkey"]), "o_custkey",
-         _t(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
-        ("lineitem.l_orderkey->orders", _t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
-         _t(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
-        ("events.user_id->customer", _t(sf_dir, "events", ["user_id"]), "user_id",
-         _t(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
-        ("customer->events.user_id", _t(sf_dir, "customer", ["c_custkey"]), "c_custkey",
-         _t(sf_dir, "events", ["user_id"]), "user_id"),
+        ("orders.o_custkey->customer", ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders", ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("events.user_id->customer", ("events", "user_id"), ("customer", "c_custkey")),
+        ("customer->events.user_id", ("customer", "c_custkey"), ("events", "user_id")),
     ]
-    out = pd.DataFrame(
-        [(name,) + orphans(c, ck, p, pk) for name, c, ck, p, pk in rels],
-        columns=["relation", "child_rows", "orphan_keys", "orphan_rows"],
-    )
+
+    def tagged(table: str, key: str, rid: int, par: int) -> rd.Dataset:
+        # per-BATCH key partials tagged with (relation id, side): child keys
+        # carry their row counts, parent keys carry 0 — the tagged union then
+        # needs exactly ONE (rel, k) exchange for all relations together,
+        # which yields orphans AND child totals in the same reduce
+        def part(t: pa.Table, *, k=key, r=rid, p=par) -> pa.Table:
+            g = pa.table({"k": pc.cast(t[k], pa.int64())}).group_by(["k"]).aggregate(
+                [([], "count_all")])
+            n = g.num_rows
+            rows = (pc.cast(g["count_all"], pa.int64()) if p == 0
+                    else pa.nulls(n, pa.int64()).fill_null(0))
+            return pa.table(
+                {"rel": pa.nulls(n, pa.int64()).fill_null(r), "k": g["k"],
+                 "rows": rows, "par": pa.nulls(n, pa.int64()).fill_null(p)})
+
+        return _t(sf_dir, table, [key]).map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = [
+        tagged(tbl, key, rid, side)
+        for rid, (_, child, parent) in enumerate(rels)
+        for side, (tbl, key) in enumerate((child, parent))
+    ]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["rel", "k"], as_index=False).agg(rows=("rows", "sum"), par=("par", "sum"))
+        g["orph"] = g["par"] == 0
+        g["orows"] = g["rows"] * g["orph"]
+        return g.groupby("rel", as_index=False).agg(
+            child_rows=("rows", "sum"), orphan_keys=("orph", "sum"), orphan_rows=("orows", "sum"))
+
+    per_bucket = bucketed_group_reduce(parts[0].union(*parts[1:]), ["rel", "k"], fold).to_pandas()
+    agg = per_bucket.groupby("rel", as_index=False).sum()
+    agg["relation"] = agg["rel"].map({i: name for i, (name, _, _) in enumerate(rels)})
+    out = agg[["relation", "child_rows", "orphan_keys", "orphan_rows"]].sort_values(
+        "relation", ignore_index=True)
     return _i64(out, ["child_rows", "orphan_keys", "orphan_rows"])
 
 
@@ -4720,25 +4724,23 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     from ..functions.relational import auto_join
 
     cutoff = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+    cust = _t(
+        sf_dir, "customer", ["c_custkey"],
         filter=pads.field("c_mktsegment") == "BUILDING",
     ).map_batches(
         lambda t: pa.table({"o_custkey": t["c_custkey"]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pads.field("o_orderdate") < cutoff,
     )
     o_seg = auto_join(orders, cust, on="o_custkey").map_batches(
         lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pads.field("l_shipdate") > cutoff,
     )
 
