@@ -4946,11 +4946,212 @@ FROM g ORDER BY 1
 """
 
 
+def q_order_priority_check(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join): orders with at least one lineitem
+    shipped >30 days after the order date, counted per priority.  The
+    correlated EXISTS collapses to a per-order MAX pre-aggregate (the
+    predicate is monotone in shipdate), so the exchange moves order-level
+    partials; the orders side then attaches via one hash join and the
+    comparison is a vectorized timestamp subtract."""
+    from ..functions.relational import bucketed_group_reduce, hash_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"o_orderkey": t["l_orderkey"], "ship_us": pc.cast(t["l_shipdate"], pa.int64())}
+        ).group_by(["o_orderkey"]).aggregate([("ship_us", "max")])
+        return pa.table({"o_orderkey": g["o_orderkey"], "ship_us": g["ship_us_max"]})
+
+    li_max = bucketed_group_reduce(
+        li.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False)["ship_us"].max(),
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(orders, li_max, on="o_orderkey")
+
+    def late_flag(t: pa.Table) -> pa.Table:
+        cut = pc.add(pc.cast(t["o_orderdate"], pa.int64()),
+                     pa.scalar(30 * 86_400_000_000, pa.int64()))
+        keep = pc.fill_null(pc.greater(t["ship_us"], cut), False)
+        return pa.table({"o_orderpriority": t["o_orderpriority"].filter(keep)})
+
+    flagged = j.map_batches(late_flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(flagged, ["o_orderpriority"], {}, "n", reduce="driver").to_pandas()
+    return _i64(out.sort_values("o_orderpriority", ignore_index=True), ["n"])
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (join back to a correlated aggregate): revenue from
+    lineitems whose quantity is below 20% of their part's average quantity.
+    Per-part (count, Σqty) pre-aggregates once, the fact joins BACK to its
+    own aggregate (big-big hash join — parts scale with the catalog), and
+    the threshold test is the integer cross-multiplied form
+    ``5·qty·cnt < Σqty`` so no float-boundary tie can flip a row."""
+    from ..functions.relational import hash_join
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    s = grouped_sums(
+        li.map_batches(
+            lambda t: pa.table({"l_partkey": t["l_partkey"], "q": t["l_quantity"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], {"sq": "q"}, "cnt",
+    )
+    j = hash_join(li, s, on="l_partkey")
+
+    def keep(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        m = 5.0 * qty * cnt < sq
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"revenue": [float(price.sum())], "n_rows": [int(m.sum())]})
+
+    parts = j.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame({
+        "revenue": [round(float(parts["revenue"].sum()), 2)],
+        "n_rows": [int(parts["n_rows"].sum())],
+    })
+    return _i64(out, ["n_rows"])
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH s AS (
+  SELECT l_partkey, COUNT(*) AS cnt, SUM(l_quantity) AS sq
+  FROM lineitem GROUP BY 1)
+SELECT ROUND(SUM(l.l_extendedprice), 2) AS revenue, COUNT(*) AS n_rows
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE 5 * l.l_quantity * s.cnt < s.sq
+"""
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintiles)
+    — the classic marketing cube, built distributed: ONE bucketed reduce
+    collapses purchases to per-user (last_us, freq, monetary-cents) rows;
+    each metric then gets an EXACT global NTILE(5) via the distributed
+    row-number construction (``functions/rank.py``), and the three ranked
+    user tables re-join on the user key.  Monetary is summed in integer
+    cents so rank order is bit-stable; all tile orders carry the user id as
+    tie-break (SQL mirrors the same ORDER BY)."""
+    from ..functions.rank import global_row_number, ntile_of
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0), 0), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "us": us, "c": cents}).group_by(
+            ["user_id"]).aggregate([("us", "max"), ("c", "sum"), ([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "last_us": g["us_max"],
+                         "mon_c": g["c_sum"], "freq": pc.cast(g["count_all"], pa.int64())})
+
+    users = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"), mon_c=("mon_c", "sum"), freq=("freq", "sum")),
+    ).materialize()
+
+    n_users = users.count()
+
+    # ALL THREE metrics rank in ONE global_row_number pass: melt to
+    # (user, metric, value) and rank on the packed key metric·2⁵⁵ + value —
+    # 2⁵⁵ exceeds any metric's value range, so rows order by (metric, value)
+    # and each metric occupies one contiguous rn span of exactly n_users,
+    # making the per-metric rank rn − metric·n_users.  One sort exchange
+    # instead of three (each with its own sampling + counting pre-pass).
+    C = 1 << 55
+
+    def melt(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks()
+        n = t.num_rows
+        out_uid, out_metric, out_packed = [], [], []
+        for mid, key in enumerate(["last_us", "freq", "mon_c"]):
+            v = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_uid.append(uid)
+            out_metric.append(pa.nulls(n, pa.int64()).fill_null(mid))
+            out_packed.append(pa.array(mid * C + v))
+        return pa.table({"user_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_uid]),
+                         "metric": pa.concat_arrays(out_metric),
+                         "packed": pa.concat_arrays(out_packed)})
+
+    melted = users.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, _total = global_row_number(melted, "packed", ["user_id"])
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        mid = t["metric"].to_numpy(zero_copy_only=False)
+        local = rn - mid * n_users
+        return pa.table({"user_id": t["user_id"], "metric": t["metric"],
+                         "tile": pa.array(ntile_of(local, n_users, 5))})
+
+    tagged = ranked.map_batches(to_tile, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index="user_id", columns="metric", values="tile",
+                           aggfunc="first").reset_index()
+        g = w.groupby([0, 1, 2], as_index=False).size()
+        return g.rename(columns={0: "r_tile", 1: "f_tile", 2: "m_tile", "size": "n"})
+
+    cells = bucketed_group_reduce(tagged, ["user_id"], fold)
+    out = grouped_sums(cells, ["r_tile", "f_tile", "m_tile"], {"n": "n"},
+                       reduce="driver").to_pandas()
+    return _i64(out, ["r_tile", "f_tile", "m_tile", "n"])
+
+
+SQL_RFM_SEGMENTS = """
+WITH p AS (
+  SELECT user_id, MAX(EPOCH_US(ts)) AS last_us, COUNT(*) AS freq,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS mon_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+r AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY last_us, user_id) AS r_tile,
+         NTILE(5) OVER (ORDER BY freq, user_id) AS f_tile,
+         NTILE(5) OVER (ORDER BY mon_c, user_id) AS m_tile
+  FROM p)
+SELECT r_tile, f_tile, m_tile, COUNT(*) AS n
+FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "order_priority_check": QuerySpec(
+        q_order_priority_check,
+        SQL_ORDER_PRIORITY_CHECK,
+        "TPC-H Q4 shape: EXISTS semi via per-order max pre-agg + hash join",
+    ),
+    "small_quantity_revenue": QuerySpec(
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
+        "TPC-H Q17 shape: fact joins back to its own per-key aggregate",
+    ),
+    "rfm_segments": QuerySpec(
+        q_rfm_segments,
+        SQL_RFM_SEGMENTS,
+        "RFM quintile segmentation: per-user reduce + 3× exact distributed NTILE",
+    ),
     "shipping_priority": QuerySpec(
         q_shipping_priority,
         SQL_SHIPPING_PRIORITY,

@@ -60,6 +60,9 @@ SUBSET = [
     "event_trigrams",
     "conversion_latency",
     "value_gini",
+    "order_priority_check",
+    "small_quantity_revenue",
+    "rfm_segments",
 ]
 
 
