@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "event_trigrams",
     "conversion_latency",
     "value_gini",
+    "order_priority_check",
+    "small_quantity_revenue",
+    "rfm_segments",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

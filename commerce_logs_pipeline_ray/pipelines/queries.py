@@ -4543,58 +4543,66 @@ def q_bigram_lm_nll(sf_dir: str) -> pd.DataFrame:
     scored per source (average negative log-likelihood per bigram) — the
     LM-based quality/drift signal one step up from unigram surprisal.
 
-    Distributed shape: the raw bigram stream is collapsed to
-    (source, w1, w2, n) partials in ONE grouped exchange and reused for
-    both training and scoring (the corpus model is a further reduce of the
-    same table, so the text is tokenized exactly once); unigram counts and
-    vocabulary size come from a second cheap scan; scoring joins the
-    source-bigram table — bigram-type-level, not token-level — against the
-    model with hash joins (big-big safe; ``auto_join`` broadcasts the
-    unigram side while it fits)."""
-    from ..functions.relational import auto_join, hash_join
+    Distributed shape: bigram and unigram streams collapse to per-batch
+    TYPE-level partials (combiner before any exchange), then ONE co-group
+    exchange on w1 — where all of a word's bigram partials and its unigram
+    partials co-locate — computes c12, c1 and the smoothed score in place,
+    replacing the two model joins a naive plan would run; only per-source
+    scalar partials reach the driver."""
+    from ..functions.relational import bucketed_group_reduce
     from ..functions.search import TOKEN_SPLIT, word_bigrams
 
     docs = _t(sf_dir, "documents", ["source", "text"])
-    sb = grouped_sums(
-        docs.map_batches(
-            lambda t: word_bigrams(t, "text", "source"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        ["source", "w1", "w2"],
-        {},
-        "n",
-    ).materialize()
-    mb = grouped_sums(sb, ["w1", "w2"], {"c12": "n"})
 
-    def flat_words(t: pa.Table) -> pa.Table:
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        bg = word_bigrams(t, "text", "source")
+        df = bg.to_pandas().groupby(["source", "w1", "w2"], as_index=False).size()
+        df["c1"] = 0
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"})[["source", "w1", "w2", "n", "c1"]],
+            preserve_index=False)
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
         words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT)
         words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         flat = words.flatten()
-        return pa.table({"w1": flat.filter(pc.not_equal(flat, ""))})
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"w1": flat}).group_by(["w1"]).aggregate([([], "count_all")])
+        n = g.num_rows
+        return pa.table({"source": pa.nulls(n, pa.string()).fill_null(""),
+                         "w1": g["w1"],
+                         "w2": pa.nulls(n, pa.string()).fill_null(""),
+                         "n": pa.nulls(n, pa.int64()).fill_null(0),
+                         "c1": pc.cast(g["count_all"], pa.int64())})
 
-    uc = grouped_sums(
-        docs.map_batches(flat_words, batch_format="pyarrow", zero_copy_batch=True),
-        ["w1"],
-        {},
-        "c1",
-    ).materialize()
-    vocab = uc.count()
+    bg = docs.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: the vocab count below and the co-group union both
+    # consume these partials — without it the corpus tokenizes twice
+    un = docs.map_batches(
+        unigram_partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    j = auto_join(hash_join(sb, mb, on=("w1", "w2")), uc, on="w1")
+    # V = |vocabulary| — one w1-level reduce of the unigram partials
+    vocab = grouped_sums(un.select_columns(["w1"]), ["w1"], {}, "c").count()
 
-    def score(t: pa.Table, *, v=vocab) -> pa.Table:
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nll = n * -(np.log(c12 + 1.0) - np.log(c1 + v))
-        return pa.table({"source": t["source"], "nll": pa.array(nll), "n": t["n"]})
+    # ONE co-group exchange on w1 replaces both model joins: every row of a
+    # given w1 (all its bigram partials from every source + its unigram
+    # partials) lands in one bucket, so c12 and c1 are in-bucket sums and
+    # the smoothed score is computed where the data already sits.  Bucket
+    # mass is bounded by bigram TYPES per w1 (partials, not tokens).
+    def fold(df: pd.DataFrame, *, v=vocab) -> pd.DataFrame:
+        c1 = df.groupby("w1")["c1"].sum()
+        b = df[df["n"] > 0].groupby(["source", "w1", "w2"], as_index=False)["n"].sum()
+        if not len(b):
+            return pd.DataFrame({"source": [], "nll": [], "n": []})
+        c12 = b.groupby(["w1", "w2"])["n"].transform("sum")
+        nll = b["n"] * -(np.log(c12.to_numpy() + 1.0)
+                         - np.log(c1.loc[b["w1"]].to_numpy() + v))
+        out = pd.DataFrame({"source": b["source"], "nll": nll, "n": b["n"]})
+        return out.groupby("source", as_index=False).agg(nll=("nll", "sum"), n=("n", "sum"))
 
-    out = grouped_sums(
-        j.map_batches(score, batch_format="pyarrow"),
-        ["source"],
-        {"nll": "nll", "n_bigrams": "n"},
-    ).to_pandas()
+    parts = bucketed_group_reduce(bg.union(un), ["w1"], fold).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        nll=("nll", "sum"), n_bigrams=("n", "sum"))
     out["avg_nll"] = (out["nll"] / out["n_bigrams"]).round(6)
     out = out.drop(columns=["nll"]).sort_values("source", ignore_index=True)
     return _i64(out, ["n_bigrams"])
