@@ -95,11 +95,14 @@ BENCH_QUERIES = [
     "order_priority_check",
     "small_quantity_revenue",
     "rfm_segments",
+    "bounce_rate",
+    "centroid_separation",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
 # copurchase_triangles (wedge mass ~Σ C(outdeg,2) on the dense item graph),
-# skew_join_nation_value (3 passes over the fact by design: detect/hot/cold)
+# skew_join_nation_value (3 passes over the fact by design: detect/hot/cold),
+# frequent_triples (a-priori: two per-order pair/triple generation passes)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -5140,11 +5140,240 @@ FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_frequent_triples(sf_dir: str) -> pd.DataFrame:
+    """A-priori frequent-itemset mining, 3-itemsets with support ≥ 2:
+    frequent pairs first (grouped reduce over per-order pair combiners),
+    then the downward-closure prune — the packed frequent-pair key set
+    broadcasts once and per-order triple generation keeps a candidate only
+    if ALL THREE sub-pairs are frequent — so the triple blow-up is bounded
+    by the (tiny) frequent-pair structure, not order-width³.  The SQL
+    oracle runs the unpruned 3-way self-join; results must agree exactly."""
+    import itertools
+
+    import ray
+
+    from ..functions.relational import bucketed_group_reduce
+
+    SUPPORT = 2
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b", "size": "n"})
+
+    pairs = grouped_sums(
+        bucketed_group_reduce(ds, ["l_orderkey"], pair_partial), ["a", "b"], {"n": "n"}
+    )
+    freq = pairs.filter(expr=f"n >= {SUPPORT}").to_pandas()
+    M = 1 << 32  # part keys < 2³², so a·M + b is collision-free
+    fp = np.sort((freq["a"].to_numpy(dtype=np.int64) * M + freq["b"].to_numpy(dtype=np.int64)))
+    fp_ref = ray.put(fp)
+
+    def triple_partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keys = _ray.get(fp_ref) if not isinstance(fp_ref, np.ndarray) else fp_ref
+        df = df.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+        out = []
+        for _, g in df.groupby("l_orderkey"):
+            p = g["l_partkey"].to_numpy(dtype=np.int64)
+            if len(p) < 3:
+                continue
+            # prune items not in any frequent pair within this order first
+            ii, jj = np.triu_indices(len(p), k=1)
+            pk = p[ii] * M + p[jj]
+            ok = np.isin(pk, keys, assume_unique=False)
+            if ok.sum() < 3:
+                continue
+            okset = set(pk[ok].tolist())
+            for x, y, z in itertools.combinations(np.unique(p).tolist(), 3):
+                if x * M + y in okset and x * M + z in okset and y * M + z in okset:
+                    out.append((x, y, z))
+        if not out:
+            return pd.DataFrame({"p_a": pd.Series([], dtype="int64"),
+                                 "p_b": pd.Series([], dtype="int64"),
+                                 "p_c": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        t = pd.DataFrame(out, columns=["p_a", "p_b", "p_c"])
+        return t.groupby(["p_a", "p_b", "p_c"], as_index=False).size().rename(columns={"size": "n"})
+
+    tri = grouped_sums(
+        bucketed_group_reduce(ds, ["l_orderkey"], triple_partial),
+        ["p_a", "p_b", "p_c"], {"n": "n"},
+    )
+    out = tri.filter(expr=f"n >= {SUPPORT}").to_pandas()
+    if out.empty:  # sparse catalogs can have no support-2 triple at all
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ["p_a", "p_b", "p_c", "n"]})
+    out = out.sort_values(["p_a", "p_b", "p_c"], ignore_index=True)
+    return _i64(out, ["p_a", "p_b", "p_c", "n"])
+
+
+SQL_FREQUENT_TRIPLES = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, c.l_partkey AS p_c, COUNT(*) AS n
+  FROM d a
+  JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN d c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+SELECT p_a, p_b, p_c, n FROM t ORDER BY 1, 2, 3
+"""
+
+
+def q_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Session-quality rollup over the gap-sessionizer (ST6 watermark
+    analogue): bounce = single-event session.  Sessions stream out of
+    ``windows.sessionize`` and collapse to scalar partials per batch — the
+    driver sees four numbers."""
+    from ..functions.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = sessionize(ds, gap_seconds=1800.0)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "sessions": [len(df)],
+            "bounces": [int((df["n_events"] == 1).sum())],
+            "events": [int(df["n_events"].sum())],
+        })
+
+    p = sess.map_batches(part, batch_format="pandas").to_pandas()
+    sessions, bounces, events = int(p["sessions"].sum()), int(p["bounces"].sum()), int(p["events"].sum())
+    out = pd.DataFrame({
+        "n_sessions": [sessions], "n_bounces": [bounces],
+        "bounce_rate": [round(bounces / sessions, 6)],
+        "avg_events": [round(events / sessions, 6)],
+    })
+    return _i64(out, ["n_sessions", "n_bounces"])
+
+
+SQL_BOUNCE_RATE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+), agg AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT COUNT(*) AS n_sessions,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+       ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events
+FROM agg
+"""
+
+
+def q_centroid_separation(sf_dir: str) -> pd.DataFrame:
+    """Cluster-separation diagnostic (silhouette-lite): per label, the
+    average euclidean distance to the OWN centroid vs the NEAREST other
+    centroid.  Two streaming passes: (1) per-batch (label, Σx, n) scatter
+    partials → k·d-float centroid matrix on the driver; (2) centroids
+    broadcast, one gemm per batch gives every point's distance to all k
+    centroids, per-label scalar partials reduce.  Points never shuffle."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        mat = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        labels = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"label": pa.array(uniq), "n": pa.array(n),
+                         "sums": pa.array(list(sums), type=pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(cent_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    labels = sorted(parts["label"].unique())
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    d = len(parts["sums"].iloc[0])
+    sums = np.zeros((len(labels), d))
+    cnt = np.zeros(len(labels), dtype=np.int64)
+    for _, r in parts.iterrows():
+        sums[lab_idx[r["label"]]] += np.asarray(r["sums"])
+        cnt[lab_idx[r["label"]]] += r["n"]
+    cent = sums / cnt[:, None]
+    import ray
+
+    cent_ref = ray.put((np.asarray(labels, dtype=np.int64), cent))
+
+    def dist_partial(t: pa.Table, *, ref=cent_ref) -> pa.Table:
+        labs, C = ray.get(ref) if not isinstance(ref, tuple) else ref
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        X = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        y = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d2 = np.maximum(
+            (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T), 0.0)
+        dist = np.sqrt(d2)
+        own_col = np.searchsorted(labs, y)
+        d_own = dist[np.arange(len(X)), own_col]
+        masked = dist.copy()
+        masked[np.arange(len(X)), own_col] = np.inf
+        d_other = masked.min(axis=1)
+        g = pd.DataFrame({"label": y, "d_own": d_own, "d_other": d_other}).groupby(
+            "label", as_index=False).agg(n=("d_own", "size"), so=("d_own", "sum"),
+                                         sn=("d_other", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("label", as_index=False).agg(
+        n=("n", "sum"), so=("so", "sum"), sn=("sn", "sum"))
+    out["avg_own"] = (out["so"] / out["n"]).round(6)
+    out["avg_other"] = (out["sn"] / out["n"]).round(6)
+    out = out.drop(columns=["so", "sn"]).sort_values("label", ignore_index=True)
+    return _i64(out, ["label", "n"])
+
+
+SQL_CENTROID_SEPARATION = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS lab, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings),
+ex AS (SELECT lab, i AS dim, emb[i] AS v
+       FROM e, unnest(generate_series(1, len(emb))) AS t(i)),
+cd AS (SELECT lab, dim, AVG(v) AS c FROM ex GROUP BY 1, 2),
+cent AS (SELECT lab, list(c ORDER BY dim) AS cvec FROM cd GROUP BY 1),
+dists AS (
+  SELECT p.vec_id, p.lab, c.lab AS clab, list_distance(p.emb, c.cvec) AS dd
+  FROM e p CROSS JOIN cent c),
+per AS (
+  SELECT vec_id, lab,
+         MIN(dd) FILTER (clab = lab) AS d_own,
+         MIN(dd) FILTER (clab <> lab) AS d_other
+  FROM dists GROUP BY 1, 2)
+SELECT lab AS label, COUNT(*) AS n,
+       ROUND(AVG(d_own), 6) AS avg_own, ROUND(AVG(d_other), 6) AS avg_other
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "frequent_triples": QuerySpec(
+        q_frequent_triples,
+        SQL_FREQUENT_TRIPLES,
+        "a-priori 3-itemsets: frequent-pair broadcast prunes triple generation",
+    ),
+    "bounce_rate": QuerySpec(
+        q_bounce_rate,
+        SQL_BOUNCE_RATE,
+        "session-quality rollup over the gap sessionizer (bounce rate, avg events)",
+    ),
+    "centroid_separation": QuerySpec(
+        q_centroid_separation,
+        SQL_CENTROID_SEPARATION,
+        "silhouette-lite cluster separation: own vs nearest-other centroid distance",
+    ),
     "order_priority_check": QuerySpec(
         q_order_priority_check,
         SQL_ORDER_PRIORITY_CHECK,

@@ -63,6 +63,9 @@ SUBSET = [
     "order_priority_check",
     "small_quantity_revenue",
     "rfm_segments",
+    "frequent_triples",
+    "bounce_rate",
+    "centroid_separation",
 ]
 
 
