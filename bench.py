@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "bounce_rate",
     "centroid_separation",
+    "curation_pipeline",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

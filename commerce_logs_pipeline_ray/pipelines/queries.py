@@ -5354,11 +5354,79 @@ FROM per GROUP BY 1 ORDER BY 1
 """
 
 
+def ensure_curation_parquet(sf_dir: str) -> str:
+    """Materialize the planted-redundancy curation corpus
+    (sources/curation.py) in the shared oracle-artifact dir."""
+    import os as _os
+
+    from ..sources.curation import build_curation_table
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "curation.parquet"),
+        lambda: build_curation_table(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        ),
+    )
+
+
+def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END curation pipeline (pipelines/curate.py): normalize →
+    quality gate → content dedup → langid → Hive-partitioned sink, run for
+    real (files written, then summarized from the run result) against the
+    planted-redundancy corpus; the oracle replays every stage in SQL over
+    the same parquet.  This checks the COMPOSITION — stage order, gate
+    arithmetic, keep-min dedup semantics — not just each operator alone."""
+    import os as _os
+    import shutil as _shutil
+
+    from .curate import CurateConfig, run_curate
+
+    src = ensure_curation_parquet(sf_dir)
+    out_dir = _os.path.join(_corpus_dir(sf_dir), "curate_out")
+    _shutil.rmtree(out_dir, ignore_errors=True)  # fresh deterministic run
+    res = run_curate(CurateConfig(input_path=src, output_dir=out_dir))
+    out = pd.DataFrame(
+        [(lang, n, w) for lang, (n, w) in sorted(res.per_lang.items())],
+        columns=["lang_guess", "n_docs", "total_words"],
+    )
+    return _i64(out, ["n_docs", "total_words"])
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/curation.parquet')),
+q AS (
+  SELECT doc_id, ntext,
+         len(string_split(ntext, ' ')) AS n_words,
+         len(regexp_extract_all(ntext, '{STOPWORD_PATTERN}')) AS hits
+  FROM norm),
+f AS (SELECT * FROM q WHERE n_words >= 5 AND hits * 2 <= n_words * 1),
+k AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn FROM f)
+  WHERE rn = 1),
+l AS (
+  SELECT CASE WHEN len(regexp_extract_all(ntext, '\\b(?:spark|query|vector)\\b'))
+                   >= len(regexp_extract_all(ntext, '\\b(?:the|a|of)\\b'))
+              THEN 'code' ELSE 'en' END AS lang_guess,
+         n_words
+  FROM k)
+SELECT lang_guess, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "curation_pipeline": QuerySpec(
+        q_curation_pipeline,
+        SQL_CURATION_PIPELINE,
+        "end-to-end curation: normalize → quality gate → dedup → langid → partitioned sink",
+    ),
     "frequent_triples": QuerySpec(
         q_frequent_triples,
         SQL_FREQUENT_TRIPLES,

@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop after N consecutive cycles with no new work")
     w.add_argument("--partition-by", default=None)
 
+    c = sub.add_parser("curate", help="normalize → quality gate → dedup → langid → partitioned sink")
+    c.add_argument("--input", required=True, help="parquet with (doc_id, source, text)")
+    c.add_argument("--output", required=True)
+    c.add_argument("--min-words", type=int, default=5)
+
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -137,6 +142,25 @@ def main(argv: list[str] | None = None) -> int:
                         "wall_s": round(res.wall_seconds, 3),
                         "rows_per_s": res.metrics.get("rows_per_s"),
                         "output_dir": res.output_dir,
+                    }
+                )
+            )
+            return 0
+
+        if args.cmd == "curate":
+            from .pipelines.curate import CurateConfig, run_curate
+
+            res = run_curate(CurateConfig(
+                input_path=args.input, output_dir=args.output, min_words=args.min_words))
+            print(
+                json.dumps(
+                    {
+                        "rows_in": res.rows_in,
+                        "dropped_quality": res.dropped_quality,
+                        "dropped_duplicate": res.dropped_duplicate,
+                        "rows_out": res.rows_out,
+                        "per_lang": {k: list(v) for k, v in res.per_lang.items()},
+                        "n_files": len(res.output_files),
                     }
                 )
             )

@@ -1,0 +1,88 @@
+"""Curation pipeline: planted-truth stage counts, partitioned sink layout,
+and determinism (tests/test_flagship.py is the model; corpus plants are
+documented in sources/curation.py)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from commerce_logs_pipeline_ray.pipelines.curate import CurateConfig, CurateResult, run_curate
+from commerce_logs_pipeline_ray.sources.curation import (
+    EXACT_DUP_MOD,
+    FRAGMENT_MOD,
+    VARIANT_MOD,
+    build_curation_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"])
+    t = build_curation_table(docs)
+    d = tmp_path_factory.mktemp("curate_in")
+    path = str(d / "curation.parquet")
+    pq.write_table(t, path)
+    return docs, t, path
+
+
+def test_plant_schedule_counts(corpus):
+    docs, t, _ = corpus
+    ids = docs["doc_id"].to_pylist()
+    dups = sum(1 for i in ids if i % EXACT_DUP_MOD == 0)
+    variants = sum(1 for i in ids if i % VARIANT_MOD == 0)
+    frags = sum(1 for i in ids if i % FRAGMENT_MOD == 0)
+    assert t.num_rows == len(ids) + dups + variants + frags
+
+
+def test_curate_planted_truth(corpus, ray_session, tmp_path):
+    docs, t, path = corpus
+    ids = docs["doc_id"].to_pylist()
+    dups = sum(1 for i in ids if i % EXACT_DUP_MOD == 0)
+    variants = sum(1 for i in ids if i % VARIANT_MOD == 0)
+    frags = sum(1 for i in ids if i % FRAGMENT_MOD == 0)
+
+    res = run_curate(CurateConfig(input_path=path, output_dir=str(tmp_path / "out")))
+    assert isinstance(res, CurateResult)
+    assert res.rows_in == t.num_rows
+    # every fragment fails the min-words gate; no base doc does (all ≥ 15
+    # words, stop ratios ≪ 0.5)
+    assert res.dropped_quality == frags
+    # every exact dup AND every case/space variant collapses onto its base
+    # under normalize-then-fingerprint keep-min
+    assert res.dropped_duplicate == dups + variants
+    assert res.rows_out == len(ids)
+
+    # survivors are exactly the base ids (keep-min wins over offset ids)
+    kept = set()
+    for f in res.output_files:
+        kept.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert kept == set(ids)
+
+
+def test_partitioned_sink_layout_and_pruned_read(corpus, ray_session, tmp_path):
+    _, _, path = corpus
+    out = str(tmp_path / "out")
+    res = run_curate(CurateConfig(input_path=path, output_dir=out))
+    lang_dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(out, "curated", "lang=*")))
+    assert lang_dirs and all(d.startswith("lang=") for d in lang_dirs)
+    # a pruned read of one partition touches only that directory's files and
+    # agrees with the run summary
+    lang = lang_dirs[0].split("=", 1)[1]
+    files = glob.glob(os.path.join(out, "curated", f"lang={lang}", "*.parquet"))
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert n == res.per_lang[lang][0]
+
+
+def test_curate_deterministic(corpus, ray_session, tmp_path):
+    _, _, path = corpus
+    r1 = run_curate(CurateConfig(input_path=path, output_dir=str(tmp_path / "a")))
+    r2 = run_curate(CurateConfig(input_path=path, output_dir=str(tmp_path / "b")))
+    assert r1.per_lang == r2.per_lang
+    assert r1.rows_out == r2.rows_out
+    # batch-digest file names are content-addressed → identical names
+    assert [os.path.basename(p) for p in r1.output_files] == \
+           [os.path.basename(p) for p in r2.output_files]

@@ -66,6 +66,7 @@ SUBSET = [
     "frequent_triples",
     "bounce_rate",
     "centroid_separation",
+    "curation_pipeline",
 ]
 
 
