@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "bounce_rate",
     "centroid_separation",
     "curation_pipeline",
+    "orders_growth_wow",
+    "session_depth_histogram",
+    "zipf_slope",
+    "revenue_pareto",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -5417,11 +5417,182 @@ FROM l GROUP BY 1 ORDER BY 1
 """
 
 
+def q_orders_growth_wow(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week growth report: one distributed weekly count, then the
+    LAG/pct-change window on the |weeks|-bounded series (driver arithmetic,
+    mirroring SQL ``LAG`` over present weeks)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate"])
+
+    def wk(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["o_orderdate"], pa.int64())
+        return pa.table({"week_id": pc.divide(micros, pa.scalar(604_800_000_000, pa.int64()))})
+
+    agg = grouped_sums(
+        ds.map_batches(wk, batch_format="pyarrow", zero_copy_batch=True),
+        ["week_id"], {}, "n",
+    ).to_pandas().sort_values("week_id", ignore_index=True)
+    prev = agg["n"].shift(1)
+    agg["growth"] = ((agg["n"] - prev) / prev).round(6)
+    return _i64(agg, ["week_id", "n"])
+
+
+SQL_ORDERS_GROWTH_WOW = """
+WITH w AS (
+  SELECT EPOCH_US(o_orderdate) // 604800000000 AS week_id, COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT week_id, n,
+       ROUND((n - LAG(n) OVER (ORDER BY week_id)) /
+             CAST(LAG(n) OVER (ORDER BY week_id) AS DOUBLE), 6) AS growth
+FROM w ORDER BY week_id
+"""
+
+
+def q_session_depth_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distribution of session depths (events per gap-session): sessions
+    stream out of the sessionizer and collapse through one tiny grouped
+    count on the depth."""
+    from ..functions.windows import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = sessionize(ds, gap_seconds=1800.0)
+    out = grouped_sums(
+        sess.select_columns(["n_events"]), ["n_events"], {}, "n_sessions", reduce="driver"
+    ).to_pandas()
+    return _i64(out.sort_values("n_events", ignore_index=True), ["n_events", "n_sessions"])
+
+
+SQL_SESSION_DEPTH_HISTOGRAM = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+), agg AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT n_events, COUNT(*) AS n_sessions FROM agg GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf exponent of the corpus token distribution: distributed term
+    frequencies (per-batch postings combiner → one grouped exchange),
+    deterministic top-500 by (freq desc, term), then the log-log OLS slope
+    over the 500-point series on the driver — the standard corpus-health
+    statistic (natural text ≈ −1)."""
+    from ..functions.search import tokenize_terms
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    flat = docs.map_batches(
+        lambda t: tokenize_terms(t, "text", "doc_id").select(["term", "tf"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    tc = grouped_sums(flat, ["term"], {"f": "tf"})
+    top = topk(tc, ["f", "term"], [True, False], 500).to_pandas()
+    top = top.sort_values(["f", "term"], ascending=[False, True], ignore_index=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["f"].to_numpy(dtype=np.float64))
+    xc, yc = x - x.mean(), y - y.mean()
+    slope = float((xc * yc).sum() / (xc * xc).sum())
+    return pd.DataFrame({"n_ranks": pd.Series([len(top)], dtype="int64"),
+                         "zipf_slope": [round(slope, 6)]})
+
+
+SQL_ZIPF_SLOPE = """
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+tc AS (SELECT term, COUNT(*) AS f FROM toks WHERE term <> '' GROUP BY 1),
+top AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r FROM tc
+  QUALIFY r <= 500)
+SELECT COUNT(*) AS n_ranks, ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope FROM top
+"""
+
+
+def q_revenue_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto 80/20 check: the share of total order revenue held by the
+    top-20% customers.  Fully distributed and exact: per-customer revenue
+    in integer cents (one exchange), revenue-descending global rank via the
+    MPP row-number construction (``functions/rank.py`` — negate the cents
+    key), then scalar partials for the top-k sum; the driver folds four
+    numbers.  Tie-break by custkey matches the SQL window exactly."""
+    from ..functions.rank import global_row_number
+
+    o = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "rev_c": c})
+
+    per_cust = grouped_sums(
+        o.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], {"rev_c": "rev_c"},
+    ).map_batches(
+        lambda t: t.append_column("neg_rev", pc.negate(t["rev_c"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    ranked, total = global_row_number(per_cust, "neg_rev", ["o_custkey"])
+    k = int(np.ceil(0.2 * total))
+
+    def part(t: pa.Table, *, k=k) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)
+        return pa.table({"top_c": [int(rev[rn <= k].sum())], "all_c": [int(rev.sum())]})
+
+    p = ranked.map_batches(part, batch_format="pyarrow").to_pandas()
+    top_c, all_c = int(p["top_c"].sum()), int(p["all_c"].sum())
+    return pd.DataFrame({
+        "n_customers": pd.Series([total], dtype="int64"),
+        "top_n": pd.Series([k], dtype="int64"),
+        "top_share": [round(top_c / all_c, 6)],
+    })
+
+
+SQL_REVENUE_PARETO = """
+WITH rc AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS total
+  FROM rc)
+SELECT MAX(total) AS n_customers,
+       CAST(CEIL(0.2 * MAX(total)) AS BIGINT) AS top_n,
+       ROUND(SUM(CASE WHEN rn <= CEIL(0.2 * total) THEN rev_c ELSE 0 END)
+             / CAST(SUM(rev_c) AS DOUBLE), 6) AS top_share
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "orders_growth_wow": QuerySpec(
+        q_orders_growth_wow,
+        SQL_ORDERS_GROWTH_WOW,
+        "week-over-week growth: weekly count + LAG pct-change window",
+    ),
+    "session_depth_histogram": QuerySpec(
+        q_session_depth_histogram,
+        SQL_SESSION_DEPTH_HISTOGRAM,
+        "events-per-session distribution over the gap sessionizer",
+    ),
+    "zipf_slope": QuerySpec(
+        q_zipf_slope,
+        SQL_ZIPF_SLOPE,
+        "corpus Zipf exponent: top-500 term frequencies, log-log OLS slope",
+    ),
+    "revenue_pareto": QuerySpec(
+        q_revenue_pareto,
+        SQL_REVENUE_PARETO,
+        "Pareto 80/20: top-20% customers' revenue share via distributed rank",
+    ),
     "curation_pipeline": QuerySpec(
         q_curation_pipeline,
         SQL_CURATION_PIPELINE,

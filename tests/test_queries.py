@@ -67,6 +67,10 @@ SUBSET = [
     "bounce_rate",
     "centroid_separation",
     "curation_pipeline",
+    "orders_growth_wow",
+    "session_depth_histogram",
+    "zipf_slope",
+    "revenue_pareto",
 ]
 
 
