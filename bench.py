@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "session_depth_histogram",
     "zipf_slope",
     "revenue_pareto",
+    "rolling_active_users",
+    "churn_counts",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

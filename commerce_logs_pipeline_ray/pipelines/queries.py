@@ -5568,11 +5568,153 @@ FROM r
 """
 
 
+def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT rolling 7-day distinct active users per day — the sliding
+    DISTINCT no window function computes cheaply.  Trick: a user active on
+    day d is "active" for every window ending in [d, d+6], so each user's
+    merged activity intervals become ±1 diff events; the pipeline is
+    (user, day) distinct partials → per-user interval merge (bucketed
+    reduce; each user's days sort locally) → day-keyed diff-sum exchange →
+    one cumulative sum over the |days|-bounded series on the driver.
+    DISTINCT rows never cross a window boundary and no per-window set is
+    ever materialized."""
+    from ..functions.relational import bucketed_group_reduce
+
+    W = 7
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(micros, pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"user_id": t["user_id"], "d": day}).group_by(["user_id", "d"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_diffs(df: pd.DataFrame) -> pd.DataFrame:
+        # per user: merge [d, d+W-1] cover intervals, emit ±1 at the edges
+        out_d, out_v = [], []
+        for _, g in df.groupby("user_id"):
+            days = np.unique(g["d"].to_numpy(dtype=np.int64))
+            start = days[0]
+            prev = days[0]
+            for d in days[1:]:
+                if d > prev + W - 1:  # gap: window runs [start, prev+W-1]
+                    out_d += [start, prev + W]
+                    out_v += [1, -1]
+                    start = d
+                prev = d
+            out_d += [start, prev + W]
+            out_v += [1, -1]
+        return pd.DataFrame({"day_id": out_d, "v": out_v})
+
+    diffs = bucketed_group_reduce(pairs, ["user_id"], to_diffs)
+    agg = grouped_sums(diffs, ["day_id"], {"v": "v"}).to_pandas().sort_values(
+        "day_id", ignore_index=True)
+    days = np.arange(agg["day_id"].min(), agg["day_id"].max() + 1, dtype=np.int64)
+    v = np.zeros(len(days), dtype=np.int64)
+    v[agg["day_id"].to_numpy(dtype=np.int64) - days[0]] = agg["v"].to_numpy(dtype=np.int64)
+    run = np.cumsum(v)
+    keep = run > 0  # SQL GROUP BY only yields days with ≥1 active user
+    out = pd.DataFrame({"day_id": days[keep], "active_users": run[keep]})
+    return _i64(out.reset_index(drop=True), ["day_id", "active_users"])
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH days AS (
+  SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS d FROM events),
+w AS (
+  SELECT DISTINCT user_id, d + i AS day_id
+  FROM days, UNNEST(range(0, 7)) AS t(i))
+SELECT day_id, COUNT(DISTINCT user_id) AS active_users
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_churn_counts(sf_dir: str) -> pd.DataFrame:
+    """Churn report: users whose LAST event is >30 days before the corpus
+    high-watermark, per event source cohort (their FIRST event's type).
+    One scan produces both per-user extremes (min/max + arg-min type via
+    packed (ts, type-code) minimization); the watermark is a scalar fold."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    types = sorted(grouped_sums(
+        _t(sf_dir, "events", ["event_type"]), ["event_type"], {}, "c").to_pandas()["event_type"])
+    code_of = {t: i for i, t in enumerate(types)}
+
+    def part(t: pa.Table, *, codes=code_of) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        code = t["event_type"].to_pandas().map(codes).to_numpy(dtype=np.int64)
+        # pack (ts, tie-break code) so min() is the SQL arg-min with
+        # deterministic type tie-break on equal timestamps
+        packed = micros * 8 + code  # |types| ≤ 8
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                           "first_p": packed, "last_us": micros})
+        g = df.groupby("user_id", as_index=False).agg(
+            first_p=("first_p", "min"), last_us=("last_us", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            first_p=("first_p", "min"), last_us=("last_us", "max")),
+    ).materialize()
+    watermark = int(per_user.max("last_us"))
+    cutoff = watermark - 30 * 86_400_000_000
+
+    def fold(df: pd.DataFrame, *, types=types) -> pd.DataFrame:
+        first_type = pd.Series([types[c] for c in (df["first_p"] % 8)], index=df.index)
+        churned = df["last_us"] < cutoff
+        out = pd.DataFrame({"first_type": first_type, "churned": churned.astype(np.int64)})
+        return out.groupby("first_type", as_index=False).agg(
+            n_users=("churned", "size"), n_churned=("churned", "sum"))
+
+    agg = per_user.map_batches(fold, batch_format="pandas").to_pandas()
+    out = agg.groupby("first_type", as_index=False).agg(
+        n_users=("n_users", "sum"), n_churned=("n_churned", "sum"))
+    out["churn_rate"] = (out["n_churned"] / out["n_users"]).round(6)
+    return _i64(out.sort_values("first_type", ignore_index=True), ["n_users", "n_churned"])
+
+
+SQL_CHURN_COUNTS = """
+WITH u AS (
+  SELECT user_id,
+         MIN(EPOCH_US(ts) * 8 + tc) AS first_p,
+         MAX(EPOCH_US(ts)) AS last_us
+  FROM (SELECT *, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS tc
+        FROM events)
+  GROUP BY 1),
+wm AS (SELECT MAX(last_us) AS watermark FROM u),
+t AS (SELECT DISTINCT event_type,
+             CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS tc
+      FROM events)
+SELECT t.event_type AS first_type,
+       COUNT(*) AS n_users,
+       SUM(CASE WHEN u.last_us < wm.watermark - 30 * 86400000000 THEN 1 ELSE 0 END) AS n_churned,
+       ROUND(SUM(CASE WHEN u.last_us < wm.watermark - 30 * 86400000000 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+FROM u CROSS JOIN wm JOIN t ON u.first_p % 8 = t.tc
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "rolling_active_users": QuerySpec(
+        q_rolling_active_users,
+        SQL_ROLLING_ACTIVE_USERS,
+        "exact rolling 7-day distinct users via per-user interval diff events",
+    ),
+    "churn_counts": QuerySpec(
+        q_churn_counts,
+        SQL_CHURN_COUNTS,
+        "churn by first-touch cohort: packed arg-min + watermark cutoff",
+    ),
     "orders_growth_wow": QuerySpec(
         q_orders_growth_wow,
         SQL_ORDERS_GROWTH_WOW,

@@ -71,6 +71,8 @@ SUBSET = [
     "session_depth_histogram",
     "zipf_slope",
     "revenue_pareto",
+    "rolling_active_users",
+    "churn_counts",
 ]
 
 
