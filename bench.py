@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "revenue_pareto",
     "rolling_active_users",
     "churn_counts",
+    "skyline_orders",
+    "longest_streaks",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

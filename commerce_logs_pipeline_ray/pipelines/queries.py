@@ -5700,11 +5700,140 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (totalprice MAX, orderdate MIN) — dominance = other order has ≥ price
+    AND ≤ date with at least one strict.  Distributed shape: each block
+    computes its LOCAL skyline (sort by price desc, keep rows that strictly
+    improve the running min date — vectorized cummin), so only per-block
+    frontier rows reach the driver; the frontier-of-frontiers is computed
+    the same way over that small union (skyline(A∪B) ⊆ skyline(A)∪skyline(B),
+    the classic divide-and-conquer prune)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def skyline_core(c: pd.DataFrame) -> pd.DataFrame:
+        # group equal prices: a row survives iff its date is strictly below
+        # the min date over all STRICTLY higher prices, and is the min date
+        # within its own price class (ties on both dims are all kept only if
+        # identical rows — dominance requires one strict inequality)
+        c = c.sort_values(["price_c", "date_us"], ascending=[False, True], kind="stable")
+        price = c["price_c"].to_numpy()
+        date = c["date_us"].to_numpy()
+        if not len(c):
+            return c
+        run_min = np.minimum.accumulate(date)
+        # min date among strictly-higher-price rows: shift run_min across
+        # price-class boundaries
+        new_class = np.r_[True, price[1:] != price[:-1]]
+        class_id = np.cumsum(new_class) - 1
+        # run_min at the END of each class, then per-row min over previous classes
+        last_idx_of_class = np.r_[np.nonzero(new_class)[0][1:] - 1, len(price) - 1]
+        class_min = run_min[last_idx_of_class]
+        prev_class_min = np.r_[np.int64(np.iinfo(np.int64).max), class_min[:-1]]
+        prior_min = prev_class_min[class_id]  # min date over strictly higher prices
+        # within the class, min date wins; equal (price, date) duplicates all survive
+        class_date_min = c.groupby(class_id)["date_us"].transform("min").to_numpy()
+        keep = (date < prior_min) & (date == class_date_min)
+        return c[keep]
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        return skyline_core(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "price_c": (df["o_totalprice"] * 100).round().astype(np.int64),
+            "date_us": df["o_orderdate"].astype("int64"),
+        }))
+
+    parts = ds.map_batches(local_skyline, batch_format="pandas").to_pandas()
+    sky = skyline_core(parts)
+    out = pd.DataFrame({
+        "o_orderkey": sky["o_orderkey"].to_numpy(),
+        "o_totalprice": (sky["price_c"] / 100.0).round(2),
+        "o_orderdate": pd.to_datetime(sky["date_us"], unit="us"),
+    }).sort_values("o_orderkey", ignore_index=True)
+    return _i64(out, ["o_orderkey"])
+
+
+SQL_SKYLINE_ORDERS = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders x
+  WHERE x.o_totalprice >= o.o_totalprice AND x.o_orderdate <= o.o_orderdate
+    AND (x.o_totalprice > o.o_totalprice OR x.o_orderdate < o.o_orderdate))
+ORDER BY o_orderkey
+"""
+
+
+def q_longest_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days, global top-10 (streak desc, user asc).  Hash exchange on the
+    user; inside a bucket the island lengths fall out of one vectorized
+    diff over the sorted distinct days (no d − ROW_NUMBER() trick needed
+    off-SQL); only (user, best_streak) partials leave the bucket."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(micros, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "d": day}).group_by(
+            ["user_id", "d"]).aggregate([])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["user_id", "d"])
+        u = df["user_id"].to_numpy()
+        d = df["d"].to_numpy(dtype=np.int64)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        isl = np.cumsum(brk) - 1
+        g = pd.DataFrame({"user_id": u, "isl": isl}).groupby(
+            ["user_id", "isl"], as_index=False).size()
+        return g.groupby("user_id", as_index=False)["size"].max().rename(
+            columns={"size": "streak"})
+
+    per_user = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], best,
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "streak": pc.cast(t["streak"], pa.int64())})
+
+    out = topk(per_user.map_batches(neg, batch_format="pyarrow"),
+               ["streak", "user_id"], [True, False], 10).to_pandas()
+    return _i64(out, ["user_id", "streak"])
+
+
+SQL_LONGEST_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+runs AS (SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, grp),
+best AS (SELECT user_id, MAX(len) AS streak FROM runs GROUP BY 1)
+SELECT user_id, streak FROM best
+ORDER BY streak DESC, user_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "skyline_orders": QuerySpec(
+        q_skyline_orders,
+        SQL_SKYLINE_ORDERS,
+        "2-D Pareto skyline: per-block frontier prune + frontier-of-frontiers",
+    ),
+    "longest_streaks": QuerySpec(
+        q_longest_streaks,
+        SQL_LONGEST_STREAKS,
+        "gaps-and-islands longest consecutive-day streak per user, top-10",
+    ),
     "rolling_active_users": QuerySpec(
         q_rolling_active_users,
         SQL_ROLLING_ACTIVE_USERS,

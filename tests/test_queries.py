@@ -73,6 +73,8 @@ SUBSET = [
     "revenue_pareto",
     "rolling_active_users",
     "churn_counts",
+    "skyline_orders",
+    "longest_streaks",
 ]
 
 
