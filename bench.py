@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "churn_counts",
     "skyline_orders",
     "longest_streaks",
+    "custdist",
+    "total_active_time",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -5819,11 +5819,104 @@ ORDER BY streak DESC, user_id LIMIT 10
 """
 
 
+def q_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers — per-custkey pre-agg, LEFT
+    OUTER hash join against the full customer list, then a tiny grouped
+    count on the count."""
+    from ..functions.relational import hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    per_cust = grouped_sums(_t(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], {}, "__n")
+    j = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey", how="left_outer")
+    counts = j.map_batches(
+        lambda t: pa.table({"c_count": pc.fill_null(pc.cast(t["__n"], pa.int64()), 0)}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = grouped_sums(counts, ["c_count"], {}, "custdist", reduce="driver").to_pandas()
+    out = out.sort_values(["custdist", "c_count"], ascending=[False, False], ignore_index=True)
+    return _i64(out, ["c_count", "custdist"])
+
+
+SQL_CUSTDIST = """
+WITH c AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist
+FROM c GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_total_active_time(sf_dir: str) -> pd.DataFrame:
+    """Total in-session active time per user (Σ session span over
+    30-min-gap sessions), global top-10 — one user-keyed exchange; the
+    session segmentation and span sums are one vectorized diff inside the
+    bucket; only (user, active_s) partials leave it."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        u = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (us[1:] - us[:-1] > 1_800_000_000)]
+        sess = np.cumsum(new) - 1
+        g = pd.DataFrame({"user_id": u, "sess": sess, "us": us}).groupby(
+            ["user_id", "sess"], as_index=False).agg(lo=("us", "min"), hi=("us", "max"))
+        g["span"] = g["hi"] - g["lo"]
+        return g.groupby("user_id", as_index=False)["span"].sum()
+
+    per_user = bucketed_group_reduce(ds, ["user_id"], spans)
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "active_s": pc.divide(pc.cast(t["span"], pa.int64()),
+                                               pa.scalar(1_000_000, pa.int64()))})
+
+    out = topk(per_user.map_batches(to_secs, batch_format="pyarrow"),
+               ["active_s", "user_id"], [True, False], 10).to_pandas()
+    return _i64(out, ["user_id", "active_s"])
+
+
+SQL_TOTAL_ACTIVE_TIME = """
+WITH ordered AS (
+  SELECT user_id, ts, EPOCH_US(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR EPOCH_US(ts) - EPOCH_US(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), spans AS (
+  SELECT user_id, session_id, MAX(us) - MIN(us) AS span
+  FROM sess GROUP BY 1, 2)
+SELECT user_id, SUM(span) // 1000000 AS active_s
+FROM spans GROUP BY 1
+ORDER BY active_s DESC, user_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "custdist": QuerySpec(
+        q_custdist,
+        SQL_CUSTDIST,
+        "TPC-H Q13 shape: per-customer order-count histogram incl. zeros",
+    ),
+    "total_active_time": QuerySpec(
+        q_total_active_time,
+        SQL_TOTAL_ACTIVE_TIME,
+        "total in-session active seconds per user over 30-min-gap sessions, top-10",
+    ),
     "skyline_orders": QuerySpec(
         q_skyline_orders,
         SQL_SKYLINE_ORDERS,

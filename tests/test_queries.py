@@ -75,6 +75,8 @@ SUBSET = [
     "churn_counts",
     "skyline_orders",
     "longest_streaks",
+    "custdist",
+    "total_active_time",
 ]
 
 
