@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "longest_streaks",
     "custdist",
     "total_active_time",
+    "winsorized_mean_per_type",
+    "filter_attribution",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

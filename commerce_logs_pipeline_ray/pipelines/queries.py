@@ -5902,11 +5902,133 @@ ORDER BY active_s DESC, user_id LIMIT 10
 """
 
 
+def q_winsorized_mean_per_type(sf_dir: str) -> pd.DataFrame:
+    """Robust winsorized mean per group (values clipped to [p5, p95] before
+    averaging — the outlier-resistant feature-scaling statistic): derived
+    ENTIRELY from the one-pass mergeable cent histogram — quantiles, clip,
+    and mean are integer arithmetic over (bin, count), no second scan (the
+    SQL oracle scans twice)."""
+    from ..functions.sketch import grouped_histogram_fixedpoint, quantile_disc_from_counts
+
+    hist = grouped_histogram_fixedpoint(
+        _t(sf_dir, "events", ["event_type", "value"]), "event_type", "value", scale=100
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        mask = pd.notna(g["bin"])
+        b = g["bin"].to_numpy()[mask].astype(np.int64)
+        c = g["n"].to_numpy()[mask].astype(np.int64)
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        n = int(c.sum())
+        lo = quantile_disc_from_counts(b, c, 0.05)
+        hi = quantile_disc_from_counts(b, c, 0.95)
+        clipped = np.clip(b, lo, hi)
+        wmean = round(float((clipped * c).sum()) / n / 100.0, 6)
+        rows.append((etype, wmean, n))
+    out = pd.DataFrame(rows, columns=["event_type", "wmean", "n"])
+    return _i64(out, ["n"])
+
+
+SQL_WINSORIZED_MEAN_PER_TYPE = """
+WITH q AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_disc(value, 0.05) * 100) AS BIGINT) AS lo,
+         CAST(ROUND(quantile_disc(value, 0.95) * 100) AS BIGINT) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       ROUND(SUM(LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), lo), hi))
+             / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS wmean,
+       COUNT(*) AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_filter_attribution(sf_dir: str) -> pd.DataFrame:
+    """Filter-funnel attribution over the curation corpus: which GATE (or
+    combination) would drop each document — too-short (bit 1), stopword-
+    heavy (bit 2), duplicate-content (bit 4) — as a count per failure
+    bitmask.  The dup bit needs global state: the keep-min fingerprint
+    reduce runs once, its (output-sized) keeper id set broadcasts back, and
+    the mask histogram is then per-batch counters; each gate is attributed
+    INDEPENDENTLY (unlike the curate pipeline, which gates sequentially)."""
+    import ray
+
+    from ..functions.relational import bucketed_group_reduce
+    from ..functions.scrub import normalize_text
+    from ..functions.text import md5_hex, n_words, stopword_hits
+
+    src = ensure_curation_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        norm = normalize_text(t["text"])
+        g = pa.table({"fp": md5_hex(norm), "doc_id": t["doc_id"]}).group_by(["fp"]).aggregate(
+            [("doc_id", "min")])
+        return pa.table({"fp": g["fp"], "keeper": g["doc_id_min"]})
+
+    keepers = bucketed_group_reduce(
+        ds.map_batches(fp_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        lambda df: df.groupby("fp", as_index=False)["keeper"].min(),
+    ).to_pandas()
+    keep_ref = ray.put(np.sort(keepers["keeper"].to_numpy(dtype=np.int64)))
+
+    def masks(t: pa.Table, *, ref=keep_ref) -> pa.Table:
+        keep = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        norm = normalize_text(t["text"])
+        nw = pc.cast(n_words(norm), pa.int64()).to_numpy(zero_copy_only=False)
+        hits = stopword_hits(norm).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (nw < 5).astype(np.int64)
+        m += 2 * (2 * hits > nw).astype(np.int64)
+        m += 4 * (~np.isin(ids, keep)).astype(np.int64)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"fail_mask": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    agg = grouped_sums(
+        ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True),
+        ["fail_mask"], {"n": "n"}, reduce="driver",
+    ).to_pandas()
+    return _i64(agg.sort_values("fail_mask", ignore_index=True), ["fail_mask", "n"])
+
+
+SQL_FILTER_ATTRIBUTION = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/curation.parquet')),
+q AS (
+  SELECT doc_id, nt, len(string_split(nt, ' ')) AS nw,
+         len(regexp_extract_all(nt, '{STOPWORD_PATTERN}')) AS h
+  FROM norm),
+d AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(nt) ORDER BY doc_id) > 1
+                 THEN 1 ELSE 0 END AS dup
+  FROM q)
+SELECT (CASE WHEN nw < 5 THEN 1 ELSE 0 END)
+       + 2 * (CASE WHEN 2 * h > nw THEN 1 ELSE 0 END)
+       + 4 * dup AS fail_mask,
+       COUNT(*) AS n
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "winsorized_mean_per_type": QuerySpec(
+        q_winsorized_mean_per_type,
+        SQL_WINSORIZED_MEAN_PER_TYPE,
+        "winsorized (p5/p95-clipped) mean per group from the one-pass histogram",
+    ),
+    "filter_attribution": QuerySpec(
+        q_filter_attribution,
+        SQL_FILTER_ATTRIBUTION,
+        "curation filter-funnel attribution: per-gate failure bitmask counts",
+    ),
     "custdist": QuerySpec(
         q_custdist,
         SQL_CUSTDIST,

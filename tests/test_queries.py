@@ -77,6 +77,8 @@ SUBSET = [
     "longest_streaks",
     "custdist",
     "total_active_time",
+    "winsorized_mean_per_type",
+    "filter_attribution",
 ]
 
 
