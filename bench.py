@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "total_active_time",
     "winsorized_mean_per_type",
     "filter_attribution",
+    "embedding_quantization_error",
+    "weighted_median_price",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6014,11 +6014,129 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def q_embedding_quantization_error(sf_dir: str) -> pd.DataFrame:
+    """Int8 symmetric quantization error audit (the compression every
+    large-scale vector store applies): per vector, scale = max|x|, q =
+    round(x·127/scale), reconstruction = q·scale/127; report per-label mean
+    squared error and mean scale.  Pure per-batch gemm-free numpy over the
+    zero-copy matrix view + scalar label partials — nothing shuffles."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        X = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(t), -1)
+        y = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        scale = np.abs(X).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.round(X * (127.0 / safe[:, None]))
+        recon = q * (safe[:, None] / 127.0)
+        mse = ((X - recon) ** 2).mean(axis=1)
+        df = pd.DataFrame({"label": y, "mse": mse, "scale": scale}).groupby(
+            "label", as_index=False).agg(n=("mse", "size"), sm=("mse", "sum"),
+                                         ss=("scale", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("label", as_index=False).agg(
+        n=("n", "sum"), sm=("sm", "sum"), ss=("ss", "sum"))
+    out["mean_mse"] = (out["sm"] / out["n"]).round(9)
+    out["mean_scale"] = (out["ss"] / out["n"]).round(6)
+    out = out.drop(columns=["sm", "ss"]).sort_values("label", ignore_index=True)
+    return _i64(out, ["label", "n"])
+
+
+SQL_EMBEDDING_QUANTIZATION_ERROR = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings),
+s AS (
+  SELECT label, emb,
+         GREATEST(list_max(list_transform(emb, x -> abs(x))), 0) AS scale
+  FROM e),
+m AS (
+  SELECT label, scale,
+         list_sum(list_transform(emb,
+             x -> pow(x - ROUND(x * 127.0 / (CASE WHEN scale = 0 THEN 1 ELSE scale END))
+                          * (CASE WHEN scale = 0 THEN 1 ELSE scale END) / 127.0, 2)))
+           / len(emb) AS mse
+  FROM s)
+SELECT label, COUNT(*) AS n, ROUND(AVG(mse), 9) AS mean_mse,
+       ROUND(AVG(scale), 6) AS mean_scale
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """WEIGHTED median (by quantity) of the extended price per return flag —
+    the weighted-quantile operator plain SQL lacks: the mergeable cent
+    histogram simply accumulates WEIGHT per bin instead of row counts, and
+    the quantile walk runs over cumulative weight; one streaming pass, only
+    (key, bin, w) partials exchange.  The oracle mirrors it with a
+    cumulative-weight window."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        w = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"k": t["l_returnflag"], "bin": cents, "w": w}).group_by(
+            ["k", "bin"]).aggregate([("w", "sum")])
+        return pa.table({"k": g["k"], "bin": g["bin"], "w": g["w_sum"]})
+
+    hist = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["k", "bin"],
+        lambda df: df.groupby(["k", "bin"], as_index=False)["w"].sum(),
+    ).to_pandas()
+    rows = []
+    for k, g in hist.groupby("k", sort=True):
+        g = g.sort_values("bin")
+        w = g["w"].to_numpy(dtype=np.int64)
+        b = g["bin"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        # weighted quantile_disc: first value whose cumulative weight
+        # reaches half the total (ceil for odd totals)
+        half = (total + 1) // 2
+        med = b[np.searchsorted(cum, half)]
+        rows.append((k, round(med / 100.0, 2), int(total)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_price", "total_qty"])
+    return _i64(out, ["total_qty"])
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH c AS (
+  SELECT l_returnflag AS k, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS bin,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+cw AS (
+  SELECT k, bin, w,
+         SUM(w) OVER (PARTITION BY k ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY k) AS total
+  FROM c)
+SELECT k AS l_returnflag,
+       ROUND(MIN(bin) FILTER (cum >= (total + 1) // 2) / 100.0, 2) AS wmedian_price,
+       CAST(MAX(total) AS BIGINT) AS total_qty
+FROM cw GROUP BY k ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "embedding_quantization_error": QuerySpec(
+        q_embedding_quantization_error,
+        SQL_EMBEDDING_QUANTIZATION_ERROR,
+        "int8 symmetric quantization reconstruction-error audit per label",
+    ),
+    "weighted_median_price": QuerySpec(
+        q_weighted_median_price,
+        SQL_WEIGHTED_MEDIAN_PRICE,
+        "quantity-weighted median price per return flag (weighted-quantile histogram)",
+    ),
     "winsorized_mean_per_type": QuerySpec(
         q_winsorized_mean_per_type,
         SQL_WINSORIZED_MEAN_PER_TYPE,

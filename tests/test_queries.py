@@ -79,6 +79,8 @@ SUBSET = [
     "total_active_time",
     "winsorized_mean_per_type",
     "filter_attribution",
+    "embedding_quantization_error",
+    "weighted_median_price",
 ]
 
 
