@@ -159,3 +159,49 @@ def test_word_bigrams_kernel():
     out = word_bigrams(t, "text", "src").to_pandas()
     got = list(zip(out["src"], out["w1"], out["w2"]))
     assert got == [("s1", "a", "b"), ("s1", "b", "c"), ("s4", "x", "y"), ("s4", "y", "z")]
+
+
+def test_skyline_tie_semantics(ray_session, tmp_path):
+    """Crafted ties: exact-duplicate rows BOTH survive (neither strictly
+    dominates), same-price/different-date keeps the earlier date only,
+    same-date/different-price keeps the higher price only — verified
+    against the NOT EXISTS dominance oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY, SQL_SKYLINE_ORDERS
+    from tools.check_queries import compare
+
+    rows = [
+        # duplicates on both dims → both in skyline
+        (1, 500.00, "2000-01-05"),
+        (2, 500.00, "2000-01-05"),
+        # same price, later date → dominated by 1/2
+        (3, 500.00, "2000-02-01"),
+        # same date as 1/2, lower price → dominated
+        (4, 400.00, "2000-01-05"),
+        # strictly better date, lower price → in skyline
+        (5, 300.00, "2000-01-01"),
+        # dominated by 5 (same date, lower price)
+        (6, 200.00, "2000-01-01"),
+        # the global max price, latest date → in skyline
+        (7, 900.00, "2000-03-01"),
+    ]
+    t = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([1] * len(rows), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([pd.Timestamp(r[2]) for r in rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+    got = REGISTRY["skyline_orders"].fn(str(tmp_path))
+    assert sorted(got["o_orderkey"]) == [1, 2, 5, 7]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')")
+    assert not compare("skyline", got, con.execute(SQL_SKYLINE_ORDERS).df())
