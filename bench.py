@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "filter_attribution",
     "embedding_quantization_error",
     "weighted_median_price",
+    "ttr_per_source",
+    "session_conversion_rate",
+    "forecast_revenue_change",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

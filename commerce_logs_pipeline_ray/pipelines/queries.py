@@ -6122,11 +6122,162 @@ FROM cw GROUP BY k ORDER BY k
 """
 
 
+def q_ttr_per_source(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio (lexical diversity) per source: per-doc
+    distinct-words / words, averaged per source.  A document is whole
+    within its batch, so both counts come out of the ONE per-batch
+    tokenize (distinct via the same grouped postings kernel); only
+    (source, Σttr, n_docs) scalar partials reduce."""
+    from ..functions.search import TOKEN_SPLIT
+
+    docs = _t(sf_dir, "documents", ["source", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT)
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(words)
+        flat = pa.table({"i": parents, "term": words.flatten()})
+        flat = flat.filter(pc.not_equal(flat["term"], ""))
+        df = flat.to_pandas()
+        tok = df.groupby("i").size()
+        typ = df.drop_duplicates().groupby("i").size()
+        src = t["source"].to_pandas()
+        ttr = (typ / tok).reindex(tok.index)
+        g = pd.DataFrame({"source": src.iloc[tok.index].to_numpy(), "ttr": ttr.to_numpy()})
+        out = g.groupby("source", as_index=False).agg(s=("ttr", "sum"), n_docs=("ttr", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("source", as_index=False).agg(s=("s", "sum"), n_docs=("n_docs", "sum"))
+    out["avg_ttr"] = (out["s"] / out["n_docs"]).round(6)
+    out = out.drop(columns=["s"]).sort_values("source", ignore_index=True)
+    return _i64(out, ["n_docs"])
+
+
+SQL_TTR_PER_SOURCE = """
+WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+t AS (SELECT source,
+             len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr
+      FROM d WHERE len(ws) > 0)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(ttr), 6) AS avg_ttr
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_session_conversion_rate(sf_dir: str) -> pd.DataFrame:
+    """Within-session conversion: of sessions containing a view, how many
+    also contain a purchase.  Per-user bucket does the gap segmentation and
+    per-session flag ORs in one vectorized pass; only scalar partials leave
+    the bucket."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        u = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (us[1:] - us[:-1] > 1_800_000_000)]
+        sess = np.cumsum(new) - 1
+        et = df["event_type"].to_numpy()
+        g = pd.DataFrame({"sess": sess,
+                          "v": (et == "view").astype(np.int64),
+                          "p": (et == "purchase").astype(np.int64)}).groupby(
+            "sess", as_index=False).agg(v=("v", "max"), p=("p", "max"))
+        return pd.DataFrame({
+            "n_sessions": [len(g)],
+            "with_view": [int(g["v"].sum())],
+            "converted": [int((g["v"] & g["p"]).sum())],
+        })
+
+    p = bucketed_group_reduce(ds, ["user_id"], flags).to_pandas()
+    n, wv, cv = int(p["n_sessions"].sum()), int(p["with_view"].sum()), int(p["converted"].sum())
+    out = pd.DataFrame({
+        "n_sessions": [n], "with_view": [wv], "converted": [cv],
+        "conversion_rate": [round(cv / wv, 6) if wv else np.nan],
+    })
+    return _i64(out, ["n_sessions", "with_view", "converted"])
+
+
+SQL_SESSION_CONVERSION_RATE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR EPOCH_US(ts) - EPOCH_US(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), f AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM sess GROUP BY 1, 2)
+SELECT COUNT(*) AS n_sessions,
+       SUM(v) AS with_view,
+       SUM(v * p) AS converted,
+       ROUND(SUM(v * p) / CAST(SUM(v) AS DOUBLE), 6) AS conversion_rate
+FROM f
+"""
+
+
+def q_forecast_revenue_change(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one filtered scan —
+    year + discount band + quantity cap — with every predicate pushed to
+    the parquet read, then a scalar sum.  The simplest possible pipeline,
+    kept as the pushdown-efficiency baseline."""
+    lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
+    f = (
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= 0.05) & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice", "l_discount"], filter=f)
+
+    def part(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"r": [float(rev)], "n": [t.num_rows]})
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return _i64(pd.DataFrame({"revenue": [round(float(p["r"].sum()), 2)],
+                              "n_rows": [int(p["n"].sum())]}), ["n_rows"])
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "ttr_per_source": QuerySpec(
+        q_ttr_per_source,
+        SQL_TTR_PER_SOURCE,
+        "lexical diversity: avg type-token ratio per source",
+    ),
+    "session_conversion_rate": QuerySpec(
+        q_session_conversion_rate,
+        SQL_SESSION_CONVERSION_RATE,
+        "within-session view→purchase conversion rate",
+    ),
+    "forecast_revenue_change": QuerySpec(
+        q_forecast_revenue_change,
+        SQL_FORECAST_REVENUE_CHANGE,
+        "TPC-H Q6 shape: fully-pushed-down filtered scan + scalar sum",
+    ),
     "embedding_quantization_error": QuerySpec(
         q_embedding_quantization_error,
         SQL_EMBEDDING_QUANTIZATION_ERROR,

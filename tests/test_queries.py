@@ -81,6 +81,9 @@ SUBSET = [
     "filter_attribution",
     "embedding_quantization_error",
     "weighted_median_price",
+    "ttr_per_source",
+    "session_conversion_rate",
+    "forecast_revenue_change",
 ]
 
 
