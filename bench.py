@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "ttr_per_source",
     "session_conversion_rate",
     "forecast_revenue_change",
+    "scd2_history",
+    "tail_expected_shortfall",
+    "returned_item_customers",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6258,11 +6258,180 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def q_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """CDC → SCD2 transform: the event stream becomes a slowly-changing-
+    dimension-2 validity history — one row per (user, state) run with
+    [valid_from, valid_to) bounds, valid_to = next change's timestamp
+    (NULL-sentineled max for the open row).  Per-user ordered segmentation
+    is one vectorized shift inside the user-keyed bucket — the standard
+    LEAD() construction without a window engine."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], len(u)]
+        valid_from = us[starts]
+        # valid_to: next run's start ts within the same user, else open (-1)
+        nxt = np.full(len(starts), -1, dtype=np.int64)
+        same_user = u[starts[1:]] == u[starts[:-1]]
+        nxt[:-1][same_user] = valid_from[1:][same_user]
+        return pd.DataFrame({
+            "user_id": u[starts], "state": et[starts],
+            "valid_from_us": valid_from, "valid_to_us": nxt,
+            "n_events": ends - starts,
+        })
+
+    out = bucketed_group_reduce(ds, ["user_id"], runs).to_pandas()
+    return _i64(out.sort_values(["user_id", "valid_from_us"], ignore_index=True),
+                ["user_id", "valid_from_us", "valid_to_us", "n_events"])
+
+
+SQL_SCD2_HISTORY = """
+WITH o AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type, us,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+), runs AS (
+  SELECT user_id, MIN(event_type) AS state, MIN(us) AS valid_from_us,
+         COUNT(*) AS n_events
+  FROM r GROUP BY user_id, run_id)
+SELECT user_id, state, valid_from_us,
+       COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                -1) AS valid_to_us,
+       n_events
+FROM runs ORDER BY user_id, valid_from_us
+"""
+
+
+def q_tail_expected_shortfall(sf_dir: str) -> pd.DataFrame:
+    """Tail risk per group: p99 (discrete) plus expected shortfall — the
+    mean of all values AT OR ABOVE p99 — both read off the same one-pass
+    cent histogram with integer arithmetic (the SQL oracle needs a second
+    scan for the conditional mean)."""
+    from ..functions.sketch import grouped_histogram_fixedpoint, quantile_disc_from_counts
+
+    hist = grouped_histogram_fixedpoint(
+        _t(sf_dir, "events", ["event_type", "value"]), "event_type", "value", scale=100
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        mask = pd.notna(g["bin"])
+        b = g["bin"].to_numpy()[mask].astype(np.int64)
+        c = g["n"].to_numpy()[mask].astype(np.int64)
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        p99 = quantile_disc_from_counts(b, c, 0.99)
+        tail = b >= p99
+        es = float((b[tail] * c[tail]).sum()) / int(c[tail].sum())
+        rows.append((etype, round(p99 / 100.0, 2), round(es / 100.0, 6), int(c[tail].sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "p99", "expected_shortfall", "n_tail"])
+    return _i64(out, ["n_tail"])
+
+
+SQL_TAIL_EXPECTED_SHORTFALL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_disc(value, 0.99) * 100) AS BIGINT) AS p99c
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       ROUND(p99c / 100.0, 2) AS p99,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             FILTER (CAST(ROUND(value * 100) AS BIGINT) >= p99c)
+             / CAST(COUNT(*) FILTER (CAST(ROUND(value * 100) AS BIGINT) >= p99c) AS DOUBLE)
+             / 100.0, 6) AS expected_shortfall,
+       COUNT(*) FILTER (CAST(ROUND(value * 100) AS BIGINT) >= p99c) AS n_tail
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, p99c ORDER BY 1
+"""
+
+
+def q_returned_item_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    per customer over one year, top-20 with nation names.  Returned
+    lineitems pre-aggregate per order BEFORE the join chain; orders carry
+    the date filter at the read; the customer→nation dimension attaches by
+    broadcast."""
+    from ..functions.relational import auto_join
+
+    lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=pads.field("l_returnflag") == "R")
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "r": r})
+
+    per_order = grouped_sums(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey"], {"rev": "r"},
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi))
+    j = auto_join(per_order, orders, on="o_orderkey")
+    per_cust = grouped_sums(j, ["o_custkey"], {"revenue": "rev"})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]),
+        nat.rename_columns(["c_nationkey", "n_name"]),
+        "c_nationkey",
+    ).select_columns(["c_custkey", "c_name", "n_name"])
+    out = topk(auto_join(per_cust, cust, on="o_custkey", right_on="c_custkey"),
+               ["revenue", "o_custkey"], [True, False], 20).to_pandas()
+    out = out.rename(columns={"o_custkey": "c_custkey", "n_name": "nation"})
+    out["revenue"] = out["revenue"].round(2)
+    return _i64(out[["c_custkey", "c_name", "nation", "revenue"]], ["c_custkey"])
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "scd2_history": QuerySpec(
+        q_scd2_history,
+        SQL_SCD2_HISTORY,
+        "CDC → SCD2 validity-range history per user (LEAD construction)",
+    ),
+    "tail_expected_shortfall": QuerySpec(
+        q_tail_expected_shortfall,
+        SQL_TAIL_EXPECTED_SHORTFALL,
+        "p99 + expected shortfall per group from one histogram pass",
+    ),
+    "returned_item_customers": QuerySpec(
+        q_returned_item_customers,
+        SQL_RETURNED_ITEM_CUSTOMERS,
+        "TPC-H Q10 shape: returned-revenue per customer, top-20 with nation",
+    ),
     "ttr_per_source": QuerySpec(
         q_ttr_per_source,
         SQL_TTR_PER_SOURCE,

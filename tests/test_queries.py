@@ -84,6 +84,9 @@ SUBSET = [
     "ttr_per_source",
     "session_conversion_rate",
     "forecast_revenue_change",
+    "scd2_history",
+    "tail_expected_shortfall",
+    "returned_item_customers",
 ]
 
 
