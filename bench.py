@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "scd2_history",
     "tail_expected_shortfall",
     "returned_item_customers",
+    "new_vs_returning_revenue",
+    "fulfillment_latency_hist",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

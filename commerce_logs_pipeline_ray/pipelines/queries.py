@@ -6412,11 +6412,136 @@ LIMIT 20
 """
 
 
+def q_new_vs_returning_revenue(sf_dir: str) -> pd.DataFrame:
+    """Monthly revenue split into NEW customers (ordering in their
+    first-ever month) vs RETURNING — the standard growth-accounting report.
+    Two-level dependency done with one custkey co-group: per-batch
+    (custkey, month, rev) partials union with nothing — the same exchange
+    that computes each customer's first month also splits that customer's
+    month rows, so no join and no broadcast of a customer-sized table."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        # calendar month id: days→approximate months need real calendars —
+        # use year*12+month from the timestamp instead
+        dt = pd.to_datetime(micros, unit="us")
+        month = (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                           "month_id": month, "rev_c": cents})
+        g = df.groupby(["o_custkey", "month_id"], as_index=False)["rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "month_id"], as_index=False)["rev_c"].sum()
+        first = g.groupby("o_custkey")["month_id"].transform("min")
+        g["is_new"] = g["month_id"] == first
+        out = g.groupby(["month_id", "is_new"], as_index=False)["rev_c"].sum()
+        return out
+
+    parts = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], split,
+    ).to_pandas()
+    agg = parts.groupby(["month_id", "is_new"], as_index=False)["rev_c"].sum()
+    wide = agg.pivot_table(index="month_id", columns="is_new", values="rev_c",
+                           fill_value=0, aggfunc="sum").reset_index()
+    wide = wide.rename(columns={True: "new_c", False: "returning_c"})
+    for c in ("new_c", "returning_c"):
+        if c not in wide:
+            wide[c] = 0
+    out = pd.DataFrame({
+        "month_id": wide["month_id"],
+        "revenue_new": (wide["new_c"] / 100.0).round(2),
+        "revenue_returning": (wide["returning_c"] / 100.0).round(2),
+    }).sort_values("month_id", ignore_index=True)
+    return _i64(out, ["month_id"])
+
+
+SQL_NEW_VS_RETURNING_REVENUE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev_c
+  FROM orders),
+f AS (SELECT *, MIN(month_id) OVER (PARTITION BY o_custkey) AS first_month FROM o)
+SELECT month_id,
+       ROUND(SUM(CASE WHEN month_id = first_month THEN rev_c ELSE 0 END) / 100.0, 2)
+         AS revenue_new,
+       ROUND(SUM(CASE WHEN month_id > first_month THEN rev_c ELSE 0 END) / 100.0, 2)
+         AS revenue_returning
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_fulfillment_latency_hist(sf_dir: str) -> pd.DataFrame:
+    """Order→first-shipment latency distribution in whole days: per-order
+    MIN shipdate partials co-grouped with the order header on the orderkey
+    (one exchange), vectorized day diff, tiny day-level count."""
+    from ..functions.relational import bucketed_group_reduce
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": t["l_orderkey"],
+                      "ship_us": pc.cast(t["l_shipdate"], pa.int64())}).group_by(
+            ["o_orderkey"]).aggregate([("ship_us", "min")])
+        return pa.table({"o_orderkey": g["o_orderkey"], "ship_us": g["ship_us_min"],
+                         "order_us": pa.nulls(g.num_rows, pa.int64())})
+
+    def o_part(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ship_us": pa.nulls(t.num_rows, pa.int64()),
+                         "order_us": pc.cast(t["o_orderdate"], pa.int64())})
+
+    u = li.map_batches(li_part, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(o_part, batch_format="pyarrow", zero_copy_batch=True))
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            ship_us=("ship_us", "min"), order_us=("order_us", "min"))
+        g = g.dropna(subset=["ship_us", "order_us"])
+        days = ((g["ship_us"] - g["order_us"]) // 86_400_000_000).astype(np.int64)
+        return pd.DataFrame({"latency_days": days}).groupby(
+            "latency_days", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = bucketed_group_reduce(u, ["o_orderkey"], diff).to_pandas()
+    out = parts.groupby("latency_days", as_index=False)["n"].sum().sort_values(
+        "latency_days", ignore_index=True)
+    return _i64(out, ["latency_days", "n"])
+
+
+SQL_FULFILLMENT_LATENCY_HIST = """
+WITH s AS (
+  SELECT l_orderkey, MIN(EPOCH_US(l_shipdate)) AS ship_us
+  FROM lineitem GROUP BY 1)
+SELECT (s.ship_us - EPOCH_US(o.o_orderdate)) // 86400000000 AS latency_days,
+       COUNT(*) AS n
+FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "new_vs_returning_revenue": QuerySpec(
+        q_new_vs_returning_revenue,
+        SQL_NEW_VS_RETURNING_REVENUE,
+        "monthly revenue split: new vs returning customers (one custkey co-group)",
+    ),
+    "fulfillment_latency_hist": QuerySpec(
+        q_fulfillment_latency_hist,
+        SQL_FULFILLMENT_LATENCY_HIST,
+        "order→first-ship latency histogram (orderkey co-group, day diff)",
+    ),
     "scd2_history": QuerySpec(
         q_scd2_history,
         SQL_SCD2_HISTORY,

@@ -87,6 +87,8 @@ SUBSET = [
     "scd2_history",
     "tail_expected_shortfall",
     "returned_item_customers",
+    "new_vs_returning_revenue",
+    "fulfillment_latency_hist",
 ]
 
 
