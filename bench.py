@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "returned_item_customers",
     "new_vs_returning_revenue",
     "fulfillment_latency_hist",
+    "basket_lift",
+    "user_survival_curve",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6527,11 +6527,140 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_basket_lift(sf_dir: str) -> pd.DataFrame:
+    """Association rules over the co-purchase pairs: support, confidence
+    and lift for the top-20 pairs by joint support.  Joint counts come from
+    the per-order pair combiner reduce; single-item order-frequencies from
+    a distinct (order, part) reduce; only the 20 winning pairs' item
+    counts are looked up driver-side (40 keys)."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return out.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "n"})
+
+    pairs = grouped_sums(
+        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {"n": "n"}
+    )
+    top = topk(pairs, ["n", "part_a", "part_b"], [True, False, False], 20).to_pandas()
+
+    def item_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"part": t["l_partkey"], "o": t["l_orderkey"]}).group_by(
+            ["part", "o"]).aggregate([])
+        return g
+
+    # two-level distinct: the per-batch (part, order) dedup is only a
+    # combiner — an order's lines span batches, so a GLOBAL (part, order)
+    # reduce must run before counting orders per part
+    po = grouped_sums(
+        ds.map_batches(item_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["part", "o"], {}, "c",
+    )
+    item = grouped_sums(po.select_columns(["part"]), ["part"], {}, "cnt")
+    want = set(top["part_a"]) | set(top["part_b"])
+    from ..functions.relational import semi_join_broadcast
+
+    counts = semi_join_broadcast(item, sorted(want), "part").to_pandas()
+    cnt = dict(zip(counts["part"], counts["cnt"]))
+    n_orders = int(grouped_sums(
+        ds.select_columns(["l_orderkey"]), ["l_orderkey"], {}, "c").count())
+    top["confidence"] = (top["n"] / top["part_a"].map(cnt)).round(6)
+    top["lift"] = (top["n"] * n_orders /
+                   (top["part_a"].map(cnt) * top["part_b"].map(cnt))).round(6)
+    return _i64(top[["part_a", "part_b", "n", "confidence", "lift"]],
+                ["part_a", "part_b", "n"])
+
+
+SQL_BASKET_LIFT = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM d GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY n DESC, part_a, part_b LIMIT 20)
+SELECT p.part_a, p.part_b, p.n,
+       ROUND(p.n / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+       ROUND(p.n * no.n_orders / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+FROM p JOIN ic ia ON p.part_a = ia.l_partkey
+       JOIN ic ib ON p.part_b = ib.l_partkey
+       CROSS JOIN no
+ORDER BY n DESC, part_a, part_b
+"""
+
+
+def q_user_survival_curve(sf_dir: str) -> pd.DataFrame:
+    """Retention/survival curve: fraction of users whose activity span
+    (last − first event, whole days) reaches at least k days, for
+    k = 0..30.  One per-user extremes reduce → a |days|-bounded span
+    histogram → reverse cumulative sum on the driver."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t["user_id"],
+                      "us": pc.cast(t["ts"], pa.int64())}).group_by(["user_id"]).aggregate(
+            [("us", "min"), ("us", "max")])
+        return pa.table({"user_id": g["user_id"], "lo": g["us_min"], "hi": g["us_max"]})
+
+    spans = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(lo=("lo", "min"), hi=("hi", "max")),
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        days = ((df["hi"] - df["lo"]) // 86_400_000_000).astype(np.int64)
+        return pd.DataFrame({"span_days": days}).groupby(
+            "span_days", as_index=False).size().rename(columns={"size": "n"})
+
+    h = spans.map_batches(hist, batch_format="pandas").to_pandas()
+    h = h.groupby("span_days", as_index=False)["n"].sum()
+    total = int(h["n"].sum())
+    ks = np.arange(0, 31, dtype=np.int64)
+    alive = np.array([int(h.loc[h["span_days"] >= k, "n"].sum()) for k in ks])
+    out = pd.DataFrame({"k_days": ks, "n_surviving": alive,
+                        "survival": (alive / total).round(6)})
+    return _i64(out, ["k_days", "n_surviving"])
+
+
+SQL_USER_SURVIVAL_CURVE = """
+WITH u AS (
+  SELECT user_id,
+         (MAX(EPOCH_US(ts)) - MIN(EPOCH_US(ts))) // 86400000000 AS span_days
+  FROM events GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM u),
+k AS (SELECT UNNEST(range(0, 31)) AS k_days)
+SELECT k.k_days,
+       COUNT(u.user_id) AS n_surviving,
+       ROUND(COUNT(u.user_id) / CAST(MAX(tot.n) AS DOUBLE), 6) AS survival
+FROM k CROSS JOIN tot LEFT JOIN u ON u.span_days >= k.k_days
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "basket_lift": QuerySpec(
+        q_basket_lift,
+        SQL_BASKET_LIFT,
+        "association rules: confidence + lift for top-20 co-purchase pairs",
+    ),
+    "user_survival_curve": QuerySpec(
+        q_user_survival_curve,
+        SQL_USER_SURVIVAL_CURVE,
+        "activity-span survival curve (fraction of users reaching k days)",
+    ),
     "new_vs_returning_revenue": QuerySpec(
         q_new_vs_returning_revenue,
         SQL_NEW_VS_RETURNING_REVENUE,

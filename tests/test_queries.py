@@ -89,6 +89,8 @@ SUBSET = [
     "returned_item_customers",
     "new_vs_returning_revenue",
     "fulfillment_latency_hist",
+    "basket_lift",
+    "user_survival_curve",
 ]
 
 
