@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "fulfillment_latency_hist",
     "basket_lift",
     "user_survival_curve",
+    "lineitem_corr_matrix",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6646,11 +6646,62 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Numeric-profile correlation matrix over (quantity, extendedprice,
+    discount, tax): every pairwise Pearson r from ONE streaming moments
+    pass — each batch emits (n, Σx per col, ΣxᵀX cross-products), a handful
+    of doubles; the driver closes the covariance form.  The SQL oracle
+    calls corr() once per pair (six scans' worth of aggregates)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _t(sf_dir, "lineitem", cols)
+
+    def part(t: pa.Table) -> pa.Table:
+        X = np.column_stack([t[c].to_numpy(zero_copy_only=False) for c in cols])
+        g = X.T @ X
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(p["n"].sum())
+    s = np.sum([np.asarray(x) for x in p["s"]], axis=0)
+    G = np.sum([np.asarray(x) for x in p["g"]], axis=0).reshape(len(cols), len(cols))
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    rows = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                rows.append((a, b, round(float(corr[i, j]), 6)))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
+
+
+SQL_LINEITEM_CORR_MATRIX = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+) ORDER BY col_a, col_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "lineitem_corr_matrix": QuerySpec(
+        q_lineitem_corr_matrix,
+        SQL_LINEITEM_CORR_MATRIX,
+        "pairwise Pearson matrix from one mergeable-moments pass",
+    ),
     "basket_lift": QuerySpec(
         q_basket_lift,
         SQL_BASKET_LIFT,

@@ -91,6 +91,7 @@ SUBSET = [
     "fulfillment_latency_hist",
     "basket_lift",
     "user_survival_curve",
+    "lineitem_corr_matrix",
 ]
 
 
