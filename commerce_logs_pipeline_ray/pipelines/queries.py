@@ -6068,39 +6068,70 @@ FROM m GROUP BY 1 ORDER BY 1
 
 def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
     """WEIGHTED median (by quantity) of the extended price per return flag —
-    the weighted-quantile operator plain SQL lacks: the mergeable cent
-    histogram simply accumulates WEIGHT per bin instead of row counts, and
-    the quantile walk runs over cumulative weight; one streaming pass, only
-    (key, bin, w) partials exchange.  The oracle mirrors it with a
-    cumulative-weight window."""
+    the weighted-quantile operator plain SQL lacks, via TWO-PHASE
+    refinement (the iterative distributed-quantile construction): a coarse
+    $100-bucket weight histogram locates each key's half-weight bucket,
+    then a second filtered pass builds the exact cent histogram of ONLY
+    that bucket.  Prices are near-unique, so a single-pass cent histogram
+    would be ~|rows| on the driver; this keeps driver state at
+    keys × coarse-buckets + keys × one-bucket-of-cents.  EXACT — the
+    oracle mirrors it with a cumulative-weight window."""
     from ..functions.relational import bucketed_group_reduce
 
-    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]).materialize()
+    COARSE = 10_000  # $100 buckets — prices are near-unique, so a raw cent
+    # histogram is ~|rows| and must never reach the driver; this two-phase
+    # refinement keeps driver state at (keys × coarse buckets), then
+    # (keys × cents within ONE bucket)
 
-    def part(t: pa.Table) -> pa.Table:
+    def coarse_part(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
-        w = pc.cast(t["l_quantity"], pa.int64())
-        g = pa.table({"k": t["l_returnflag"], "bin": cents, "w": w}).group_by(
-            ["k", "bin"]).aggregate([("w", "sum")])
-        return pa.table({"k": g["k"], "bin": g["bin"], "w": g["w_sum"]})
+        cb = pc.divide(cents, pa.scalar(COARSE, pa.int64()))
+        g = pa.table({"k": t["l_returnflag"], "cb": cb,
+                      "w": pc.cast(t["l_quantity"], pa.int64())}).group_by(
+            ["k", "cb"]).aggregate([("w", "sum")])
+        return pa.table({"k": g["k"], "cb": g["cb"], "w": g["w_sum"]})
 
-    hist = bucketed_group_reduce(
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
-        ["k", "bin"],
-        lambda df: df.groupby(["k", "bin"], as_index=False)["w"].sum(),
+    coarse = bucketed_group_reduce(
+        ds.map_batches(coarse_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["k", "cb"],
+        lambda df: df.groupby(["k", "cb"], as_index=False)["w"].sum(),
     ).to_pandas()
-    rows = []
-    for k, g in hist.groupby("k", sort=True):
-        g = g.sort_values("bin")
-        w = g["w"].to_numpy(dtype=np.int64)
-        b = g["bin"].to_numpy(dtype=np.int64)
-        cum = np.cumsum(w)
-        total = cum[-1]
-        # weighted quantile_disc: first value whose cumulative weight
-        # reaches half the total (ceil for odd totals)
+
+    # phase-1 walk: locate each key's half-weight coarse bucket + the
+    # cumulative weight strictly before it
+    target: dict[str, tuple[int, int, int]] = {}
+    for k, g in coarse.groupby("k", sort=True):
+        g = g.sort_values("cb")
+        cum = g["w"].cumsum().to_numpy()
+        total = int(cum[-1])
         half = (total + 1) // 2
-        med = b[np.searchsorted(cum, half)]
-        rows.append((k, round(med / 100.0, 2), int(total)))
+        i = int(np.searchsorted(cum, half))
+        before = int(cum[i - 1]) if i else 0
+        target[k] = (int(g["cb"].iloc[i]), before, total)
+
+    # phase 2: exact cent histogram of ONLY each key's target bucket
+    def fine_part(t: pa.Table, *, tgt=target) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        df = pd.DataFrame({"k": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                           "bin": cents.to_numpy(zero_copy_only=False),
+                           "w": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)})
+        df["cb"] = df["bin"] // COARSE
+        want = df["k"].map({k: v[0] for k, v in tgt.items()}).to_numpy()
+        df = df[df["cb"].to_numpy() == want]
+        g = df.groupby(["k", "bin"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = ds.map_batches(fine_part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    fine = fine.groupby(["k", "bin"], as_index=False)["w"].sum()
+    rows = []
+    for k, g in fine.groupby("k", sort=True):
+        cb, before, total = target[k]
+        g = g.sort_values("bin")
+        cum = before + g["w"].cumsum().to_numpy()
+        half = (total + 1) // 2
+        med = int(g["bin"].to_numpy()[np.searchsorted(cum, half)])
+        rows.append((k, round(med / 100.0, 2), total))
     out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_price", "total_qty"])
     return _i64(out, ["total_qty"])
 
