@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "basket_lift",
     "user_survival_curve",
     "lineitem_corr_matrix",
+    "journey_patterns",
+    "k_anonymity_audit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6723,11 +6723,89 @@ SELECT * FROM (
 """
 
 
+def q_journey_patterns(sf_dir: str) -> pd.DataFrame:
+    """Top user-journey prefixes: each user's first five event types joined
+    into a path string, counted across users, top-10.  The path assembly is
+    one vectorized take inside the user bucket; the pattern count is a
+    grouped reduce over short strings."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)["event_type"]
+        p = g.apply(lambda s: ">".join(s.iloc[:5]))
+        out = pd.DataFrame({"path": p.to_numpy()})
+        return out.groupby("path", as_index=False).size().rename(columns={"size": "n"})
+
+    counts = grouped_sums(
+        bucketed_group_reduce(ds, ["user_id"], paths), ["path"], {"n": "n"}
+    )
+    out = topk(counts, ["n", "path"], [True, False], 10).to_pandas()
+    return _i64(out, ["n"])
+
+
+SQL_JOURNEY_PATTERNS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY 1)
+SELECT path, COUNT(*) AS n FROM p GROUP BY 1
+ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def q_k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit over quasi-identifiers (market segment × nation):
+    how many equivalence classes fall below k=5 members and how many
+    customers sit in them — the privacy pre-release gate.  One bounded
+    grouped count; only class-level rows reduce."""
+    K = 5
+    counts = grouped_sums(
+        _t(sf_dir, "customer", ["c_mktsegment", "c_nationkey"]),
+        ["c_mktsegment", "c_nationkey"], {}, "n",
+    ).to_pandas()
+    risky = counts[counts["n"] < K]
+    out = pd.DataFrame({
+        "n_classes": pd.Series([len(counts)], dtype="int64"),
+        "n_risky_classes": pd.Series([len(risky)], dtype="int64"),
+        "n_risky_customers": pd.Series([int(risky["n"].sum())], dtype="int64"),
+        "min_class_size": pd.Series([int(counts["n"].min())], dtype="int64"),
+    })
+    return out
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT COUNT(*) AS n_classes,
+       COUNT(*) FILTER (n < 5) AS n_risky_classes,
+       COALESCE(SUM(n) FILTER (n < 5), 0) AS n_risky_customers,
+       MIN(n) AS min_class_size
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "journey_patterns": QuerySpec(
+        q_journey_patterns,
+        SQL_JOURNEY_PATTERNS,
+        "top user-journey prefixes (first 5 event types joined per user)",
+    ),
+    "k_anonymity_audit": QuerySpec(
+        q_k_anonymity_audit,
+        SQL_K_ANONYMITY_AUDIT,
+        "k-anonymity audit over quasi-identifier classes (k=5)",
+    ),
     "lineitem_corr_matrix": QuerySpec(
         q_lineitem_corr_matrix,
         SQL_LINEITEM_CORR_MATRIX,

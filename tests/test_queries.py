@@ -92,6 +92,8 @@ SUBSET = [
     "basket_lift",
     "user_survival_curve",
     "lineitem_corr_matrix",
+    "journey_patterns",
+    "k_anonymity_audit",
 ]
 
 
