@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "lineitem_corr_matrix",
     "journey_patterns",
     "k_anonymity_audit",
+    "boilerplate_sentences",
+    "hapax_docs_per_source",
+    "anomaly_audit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

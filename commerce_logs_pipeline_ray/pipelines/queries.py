@@ -6791,11 +6791,187 @@ FROM c
 """
 
 
+def q_boilerplate_sentences(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate detection: sentences (period-split, trimmed, non-empty)
+    repeated across the corpus, top-10 by occurrence count — the curation
+    step that strips licence headers / navigation chrome.  One vectorized
+    split+flatten per batch, one grouped count over sentence strings."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def sents(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], ".")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        flat = pc.utf8_trim_whitespace(parts.flatten())
+        return pa.table({"sentence": flat.filter(pc.not_equal(flat, ""))})
+
+    counts = grouped_sums(
+        docs.map_batches(sents, batch_format="pyarrow", zero_copy_batch=True),
+        ["sentence"], {}, "n",
+    )
+    out = topk(counts, ["n", "sentence"], [True, False], 10).to_pandas()
+    return _i64(out, ["n"])
+
+
+SQL_BOILERPLATE_SENTENCES = """
+WITH s AS (
+  SELECT trim(UNNEST(string_split(text, '.'))) AS sentence FROM documents)
+SELECT sentence, COUNT(*) AS n
+FROM s WHERE sentence <> ''
+GROUP BY 1 ORDER BY n DESC, sentence LIMIT 10
+"""
+
+
+def q_hapax_docs_per_source(sf_dir: str) -> pd.DataFrame:
+    """Rarity flagging: documents containing at least one HAPAX trigram
+    shingle (corpus frequency 1), counted per source — the memorization-
+    risk probe (word-level hapaxes don't exist in this closed-vocabulary
+    corpus; trigram shingles do).  The hapax set is shingle-space-sized —
+    far too big to broadcast — so the shingle stream co-groups with its own
+    frequency reduce on the shingle key (join-back-to-aggregate over
+    text); the source rides inside the packed doc id so the final distinct
+    + per-source count stays distributed end to end."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..functions.search import TOKEN_SPLIT
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        pid_col = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()), t["source"], "|")
+        words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT)
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(words)
+        flat = words.flatten()
+        mask = pc.not_equal(flat, "")
+        w = flat.filter(mask)
+        p = parents.filter(mask).to_numpy(zero_copy_only=False)
+        idx = (np.nonzero((p[:-2] == p[1:-1]) & (p[1:-1] == p[2:]))[0]
+               if len(p) >= 3 else np.empty(0, np.int64))
+        g = pc.binary_join_element_wise(
+            w.take(pa.array(idx)), w.take(pa.array(idx + 1)), w.take(pa.array(idx + 2)), " ")
+        flatt = pa.table({"pid": pc.take(pid_col, pa.array(p[idx] if len(idx) else idx)),
+                          "term": g})
+        agg = flatt.group_by(["pid", "term"]).aggregate([([], "count_all")])
+        return pa.table({"pid": agg["pid"], "term": agg["term"],
+                         "tf": pc.cast(agg["count_all"], pa.int64())})
+
+    post = docs.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df.groupby("term")["tf"].transform("sum")
+        return df[tf == 1][["pid"]].drop_duplicates()
+
+    flagged = bucketed_group_reduce(post, ["term"], flag)
+    # distinct flagged docs (a doc can hold hapaxes under many terms), then
+    # one tiny grouped count on the unpacked source
+    distinct = grouped_sums(flagged, ["pid"], {}, "c")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        src = pc.list_element(pc.split_pattern(t["pid"], "|"), 1)
+        return pa.table({"source": src})
+
+    out = grouped_sums(
+        distinct.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], {}, "n_hapax_docs", reduce="driver",
+    ).to_pandas()
+    return _i64(out.sort_values("source", ignore_index=True), ["n_hapax_docs"])
+
+
+SQL_HAPAX_DOCS_PER_SOURCE = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+tg AS (
+  SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS term
+  FROM d, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+  WHERE i + 2 <= len(ws)),
+tf AS (SELECT term, COUNT(*) AS f FROM tg GROUP BY 1),
+flagged AS (
+  SELECT DISTINCT tg.doc_id, tg.source
+  FROM tg JOIN tf USING (term) WHERE tf.f = 1)
+SELECT source, COUNT(*) AS n_hapax_docs
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_anomaly_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table data-validation sweep: per table, scalar anomaly
+    counters (negative amounts, nulls, timestamps beyond the corpus
+    horizon) folded from per-batch partials — the pre-ingest contract
+    check.  Every counter is a one-pass column scan."""
+    horizon = pa.scalar(datetime(2002, 1, 1), pa.timestamp("us"))
+
+    def audit(table: str, checks) -> tuple[str, int, int, int]:
+        ds = _t(sf_dir, table, list({c for c, _ in checks}))
+
+        def part(t: pa.Table) -> pa.Table:
+            neg = nul = fut = 0
+            for col, kind in checks:
+                if kind == "neg":
+                    neg += int(pc.sum(pc.cast(pc.less(t[col], 0.0), pa.int64())).as_py() or 0)
+                    nul += t[col].null_count
+                elif kind == "future":
+                    fut += int(pc.sum(pc.cast(pc.greater(t[col], horizon), pa.int64())).as_py() or 0)
+                    nul += t[col].null_count
+            return pa.table({"neg": [neg], "nul": [nul], "fut": [fut]})
+
+        p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        return table, int(p["neg"].sum()), int(p["nul"].sum()), int(p["fut"].sum())
+
+    rows = [
+        audit("events", [("value", "neg"), ("ts", "future")]),
+        audit("orders", [("o_totalprice", "neg"), ("o_orderdate", "future")]),
+        audit("lineitem", [("l_extendedprice", "neg"), ("l_shipdate", "future")]),
+    ]
+    out = pd.DataFrame(rows, columns=["tbl", "n_negative", "n_null", "n_future"])
+    return _i64(out, ["n_negative", "n_null", "n_future"])
+
+
+SQL_ANOMALY_AUDIT = """
+SELECT 'events' AS tbl,
+       COUNT(*) FILTER (value < 0) AS n_negative,
+       (SELECT COUNT(*) FROM events WHERE value IS NULL)
+         + (SELECT COUNT(*) FROM events WHERE ts IS NULL) AS n_null,
+       COUNT(*) FILTER (ts > TIMESTAMP '2002-01-01') AS n_future
+FROM events
+UNION ALL
+SELECT 'orders',
+       COUNT(*) FILTER (o_totalprice < 0),
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+       COUNT(*) FILTER (o_orderdate > TIMESTAMP '2002-01-01')
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       COUNT(*) FILTER (l_extendedprice < 0),
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NULL)
+         + (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL),
+       COUNT(*) FILTER (l_shipdate > TIMESTAMP '2002-01-01')
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "boilerplate_sentences": QuerySpec(
+        q_boilerplate_sentences,
+        SQL_BOILERPLATE_SENTENCES,
+        "repeated-sentence boilerplate detection, top-10",
+    ),
+    "hapax_docs_per_source": QuerySpec(
+        q_hapax_docs_per_source,
+        SQL_HAPAX_DOCS_PER_SOURCE,
+        "docs containing corpus-hapax tokens per source (term co-group join-back)",
+    ),
+    "anomaly_audit": QuerySpec(
+        q_anomaly_audit,
+        SQL_ANOMALY_AUDIT,
+        "cross-table anomaly sweep: negative / null / future-timestamp counts",
+    ),
     "journey_patterns": QuerySpec(
         q_journey_patterns,
         SQL_JOURNEY_PATTERNS,

@@ -94,6 +94,9 @@ SUBSET = [
     "lineitem_corr_matrix",
     "journey_patterns",
     "k_anonymity_audit",
+    "boilerplate_sentences",
+    "hapax_docs_per_source",
+    "anomaly_audit",
 ]
 
 
