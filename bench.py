@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "boilerplate_sentences",
     "hapax_docs_per_source",
     "anomaly_audit",
+    "quality_gate_sweep",
+    "wau_retention",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -6952,11 +6952,108 @@ FROM lineitem
 """
 
 
+def q_quality_gate_sweep(sf_dir: str) -> pd.DataFrame:
+    """Threshold-sensitivity sweep for the min-words quality gate: drop
+    counts at five candidate thresholds from ONE streaming pass (vectorized
+    multi-threshold counters per batch) — the tuning loop that would
+    otherwise rescan the corpus per candidate."""
+    from ..functions.scrub import normalize_text
+    from ..functions.text import n_words
+
+    THRESHOLDS = [3, 5, 8, 13, 21]
+    src = ensure_curation_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        nw = pc.cast(n_words(normalize_text(t["text"])), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        drops = [int((nw < k).sum()) for k in THRESHOLDS]
+        return pa.table({"min_words": pa.array(THRESHOLDS, pa.int64()),
+                         "n_dropped": pa.array(drops, pa.int64()),
+                         "n_total": pa.array([len(nw)] * len(THRESHOLDS), pa.int64())})
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = p.groupby("min_words", as_index=False).sum()
+    out["drop_rate"] = (out["n_dropped"] / out["n_total"]).round(6)
+    return _i64(out, ["min_words", "n_dropped", "n_total"])
+
+
+SQL_QUALITY_GATE_SWEEP = f"""
+WITH q AS (
+  SELECT len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS nw
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/curation.parquet')),
+k AS (SELECT UNNEST([3, 5, 8, 13, 21]) AS min_words)
+SELECT k.min_words,
+       COUNT(*) FILTER (q.nw < k.min_words) AS n_dropped,
+       COUNT(*) AS n_total,
+       ROUND(COUNT(*) FILTER (q.nw < k.min_words) / CAST(COUNT(*) AS DOUBLE), 6) AS drop_rate
+FROM k CROSS JOIN q
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_wau_retention(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week retention: of users active in week w, how many are
+    also active in w+1.  Distinct (user, week) pairs reduce once; a
+    per-user co-group turns each user's sorted week set into
+    (week, retained-next-week) flags with one vectorized diff; the final
+    week-level aggregate is tiny."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "week_id": w}).group_by(
+            ["user_id", "week_id"]).aggregate([])
+
+    pairs = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["user_id", "week_id"])
+        u = df["user_id"].to_numpy()
+        w = df["week_id"].to_numpy(dtype=np.int64)
+        nxt = np.r_[(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1), False]
+        g = pd.DataFrame({"week_id": w, "retained": nxt.astype(np.int64)})
+        return g.groupby("week_id", as_index=False).agg(
+            active=("retained", "size"), retained=("retained", "sum"))
+
+    parts = bucketed_group_reduce(pairs, ["user_id"], flags).to_pandas()
+    out = parts.groupby("week_id", as_index=False).agg(
+        active=("active", "sum"), retained=("retained", "sum"))
+    out["retention"] = (out["retained"] / out["active"]).round(6)
+    return _i64(out.sort_values("week_id", ignore_index=True),
+                ["week_id", "active", "retained"])
+
+
+SQL_WAU_RETENTION = """
+WITH p AS (
+  SELECT DISTINCT user_id, EPOCH_US(ts) // 604800000000 AS week_id FROM events)
+SELECT a.week_id,
+       COUNT(*) AS active,
+       COUNT(b.user_id) AS retained,
+       ROUND(COUNT(b.user_id) / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+FROM p a LEFT JOIN p b ON a.user_id = b.user_id AND b.week_id = a.week_id + 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "quality_gate_sweep": QuerySpec(
+        q_quality_gate_sweep,
+        SQL_QUALITY_GATE_SWEEP,
+        "min-words gate sensitivity sweep: five thresholds in one pass",
+    ),
+    "wau_retention": QuerySpec(
+        q_wau_retention,
+        SQL_WAU_RETENTION,
+        "week-over-week retention from distinct (user, week) pairs",
+    ),
     "boilerplate_sentences": QuerySpec(
         q_boilerplate_sentences,
         SQL_BOILERPLATE_SENTENCES,

@@ -97,6 +97,8 @@ SUBSET = [
     "boilerplate_sentences",
     "hapax_docs_per_source",
     "anomaly_audit",
+    "quality_gate_sweep",
+    "wau_retention",
 ]
 
 
