@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "anomaly_audit",
     "quality_gate_sweep",
     "wau_retention",
+    "heaps_law_fit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7039,11 +7039,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_heaps_law_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law fit across sources (V ≈ K·Nᵝ): per source, total tokens
+    N from one scan-side count and vocabulary size V from a distinct
+    (source, term) reduce; β is the log-log OLS slope over the 20 source
+    points — the vocabulary-growth health check that complements the Zipf
+    exponent."""
+    from ..functions.search import tokenize_terms
+
+    docs = _t(sf_dir, "documents", ["source", "text"])
+    pairs = docs.map_batches(
+        lambda t: tokenize_terms(t, "text", "source"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    # N per source: sum of tf over the (source, term) partials; V per
+    # source: distinct terms — both from the same materialized postings
+    n_tok = grouped_sums(pairs, ["source"], {"n": "tf"}).to_pandas()
+    vocab = grouped_sums(
+        grouped_sums(pairs, ["source", "term"], {}, "c").select_columns(["source"]),
+        ["source"], {}, "v",
+    ).to_pandas()
+    m = n_tok.merge(vocab, on="source").sort_values("source", ignore_index=True)
+    x = np.log(m["n"].to_numpy(dtype=np.float64))
+    y = np.log(m["v"].to_numpy(dtype=np.float64))
+    xc, yc = x - x.mean(), y - y.mean()
+    beta = float((xc * yc).sum() / (xc * xc).sum())
+    return pd.DataFrame({"n_sources": pd.Series([len(m)], dtype="int64"),
+                         "heaps_beta": [round(beta, 6)]})
+
+
+SQL_HEAPS_LAW_FIT = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t AS (SELECT * FROM toks WHERE term <> ''),
+s AS (SELECT source, COUNT(*) AS n, COUNT(DISTINCT term) AS v FROM t GROUP BY 1)
+SELECT COUNT(*) AS n_sources, ROUND(regr_slope(ln(v), ln(n)), 6) AS heaps_beta FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "heaps_law_fit": QuerySpec(
+        q_heaps_law_fit,
+        SQL_HEAPS_LAW_FIT,
+        "Heaps'-law vocabulary-growth exponent across sources",
+    ),
     "quality_gate_sweep": QuerySpec(
         q_quality_gate_sweep,
         SQL_QUALITY_GATE_SWEEP,

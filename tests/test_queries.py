@@ -99,6 +99,7 @@ SUBSET = [
     "anomaly_audit",
     "quality_gate_sweep",
     "wau_retention",
+    "heaps_law_fit",
 ]
 
 
