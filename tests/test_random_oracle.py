@@ -1,0 +1,63 @@
+"""Randomized oracle tests: run window/interval/sessionization queries
+against their DuckDB SQL on RANDOM small corpora — edge cases the fixed
+testdata never hits (single-event users, ties at window boundaries, users
+spanning exactly one gap, empty overlap weeks)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+from tools.check_queries import compare
+
+QUERIES = [
+    "rolling_active_users",
+    "wau_retention",
+    "longest_streaks",
+    "new_users_daily",
+    "session_depth_histogram",
+    "total_active_time",
+    "scd2_history",
+    "event_trigrams",
+    "hourly_autocorr",
+    "conversion_latency",
+]
+
+
+def random_events(seed: int, n_users: int = 40, n_events: int = 600) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    users = rng.integers(1, n_users + 1, size=n_events)
+    base = pd.Timestamp("2001-03-01").value // 1000  # µs
+    # mix of tight bursts and multi-day gaps, plus exact 30-min boundary gaps
+    offsets = np.cumsum(rng.choice(
+        [1_000_000, 60_000_000, 1_800_000_000, 1_800_000_001, 86_400_000_000],
+        p=[0.35, 0.3, 0.1, 0.1, 0.15], size=n_events))
+    ts = base + offsets + rng.integers(0, 1000, size=n_events)
+    types = rng.choice(["view", "click", "purchase", "signup", "error"], size=n_events)
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(ts, unit="us"), type=pa.timestamp("us")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.round(rng.uniform(0, 500, size=n_events), 2)),
+        "props": pa.array(["{}"] * n_events),
+    })
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("name", QUERIES)
+def test_random_corpus_matches_oracle(name, seed, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"rand{seed}")
+    pq.write_table(random_events(seed), str(d / "events.parquet"))
+    spec = REGISTRY[name]
+    got = spec.fn(str(d))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.execute(spec.sql).df()
+    problems = compare(name, got, want)
+    assert not problems, problems
