@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "quality_gate_sweep",
     "wau_retention",
     "heaps_law_fit",
+    "top_parts_per_segment",
+    "cohort_ltv",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7078,11 +7078,143 @@ SELECT COUNT(*) AS n_sources, ROUND(regr_slope(ln(v), ln(n)), 6) AS heaps_beta F
 """
 
 
+def q_top_parts_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Popularity baseline per market segment: top-3 parts by distinct
+    order count within each segment — grouped top-k AFTER a join chain.
+    The fact collapses to (custkey→segment via broadcast dim, partkey)
+    distinct-order partials before any ranking; the per-segment prune is
+    the grouped-top-k operator (per-block prune, exact)."""
+    from ..functions.relational import auto_join, grouped_topk
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    # (order, part) distinct → attach custkey → attach segment
+    op = grouped_sums(
+        li.map_batches(
+            lambda t: pa.table({"o_orderkey": t["l_orderkey"], "part": t["l_partkey"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderkey", "part"], {}, "c",
+    )
+    j = auto_join(op, orders, on="o_orderkey")
+    j = auto_join(j, cust.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"], "segment": t["c_mktsegment"]}),
+        batch_format="pyarrow", zero_copy_batch=True), on="o_custkey")
+    per_seg_part = grouped_sums(j, ["segment", "part"], {}, "n_orders")
+    out = grouped_topk(
+        per_seg_part, ["segment"], ["n_orders", "part"], [True, False], 3
+    ).to_pandas().sort_values(["segment", "n_orders", "part"],
+                              ascending=[True, False, True], ignore_index=True)
+    return _i64(out, ["part", "n_orders"])
+
+
+SQL_TOP_PARTS_PER_SEGMENT = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+j AS (
+  SELECT c.c_mktsegment AS segment, op.l_partkey AS part, COUNT(*) AS n_orders
+  FROM op JOIN orders o ON op.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY n_orders DESC, part) AS rn
+  FROM j)
+SELECT segment, part, n_orders FROM r WHERE rn <= 3
+ORDER BY segment, n_orders DESC, part
+"""
+
+
+def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort lifetime value: average cumulative revenue per customer by
+    months-since-first-order, per acquisition-month cohort (first four
+    cohorts × ages 0-3).  One custkey co-group assigns each order its
+    cohort and age; cents-integer revenue keeps the cumulative sums
+    bit-stable; the cumulative step runs on the (cohorts × ages)-bounded
+    grid on the driver."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(micros, unit="us")
+        month = (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                           "month_id": month, "rev_c": cents})
+        return pa.Table.from_pandas(
+            df.groupby(["o_custkey", "month_id"], as_index=False)["rev_c"].sum(),
+            preserve_index=False)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "month_id"], as_index=False)["rev_c"].sum()
+        first = g.groupby("o_custkey")["month_id"].transform("min")
+        g["cohort"] = first
+        g["age"] = g["month_id"] - first
+        out = g.groupby(["cohort", "age"], as_index=False).agg(rev_c=("rev_c", "sum"))
+        sizes = g[g["age"] == 0].groupby("cohort", as_index=False).agg(
+            n_cust=("o_custkey", "nunique"))
+        return out.merge(sizes, on="cohort")
+
+    parts = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], assign,
+    ).to_pandas()
+    agg = parts.groupby(["cohort", "age"], as_index=False).agg(
+        rev_c=("rev_c", "sum"), n_cust=("n_cust", "sum"))
+    cohorts = sorted(agg["cohort"].unique())[:4]
+    rows = []
+    for c in cohorts:
+        g = agg[agg["cohort"] == c].sort_values("age")
+        n = int(g.loc[g["age"] == 0, "n_cust"].iloc[0])
+        cum = 0
+        by_age = dict(zip(g["age"], g["rev_c"]))
+        for a in range(4):
+            cum += int(by_age.get(a, 0))
+            rows.append((int(c), a, round(cum / n / 100.0, 6)))
+    out = pd.DataFrame(rows, columns=["cohort", "age", "avg_cum_revenue"])
+    return _i64(out, ["cohort", "age"])
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev_c
+  FROM orders),
+f AS (SELECT *, MIN(month_id) OVER (PARTITION BY o_custkey) AS cohort FROM o),
+cs AS (SELECT cohort, COUNT(DISTINCT o_custkey) AS n_cust FROM f GROUP BY 1),
+co AS (SELECT cohort FROM cs ORDER BY cohort LIMIT 4),
+ages AS (SELECT UNNEST(range(0, 4)) AS age),
+rev AS (
+  SELECT cohort, month_id - cohort AS age, SUM(rev_c) AS rev_c
+  FROM f GROUP BY 1, 2)
+SELECT co.cohort, ages.age,
+       ROUND(COALESCE(SUM(r.rev_c), 0) / CAST(MAX(cs.n_cust) AS DOUBLE) / 100.0, 6)
+         AS avg_cum_revenue
+FROM co CROSS JOIN ages
+JOIN cs ON cs.cohort = co.cohort
+LEFT JOIN rev r ON r.cohort = co.cohort AND r.age <= ages.age
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "top_parts_per_segment": QuerySpec(
+        q_top_parts_per_segment,
+        SQL_TOP_PARTS_PER_SEGMENT,
+        "grouped top-3 parts per market segment after a join chain",
+    ),
+    "cohort_ltv": QuerySpec(
+        q_cohort_ltv,
+        SQL_COHORT_LTV,
+        "cohort LTV: avg cumulative revenue by months-since-first-order",
+    ),
     "heaps_law_fit": QuerySpec(
         q_heaps_law_fit,
         SQL_HEAPS_LAW_FIT,

@@ -100,6 +100,8 @@ SUBSET = [
     "quality_gate_sweep",
     "wau_retention",
     "heaps_law_fit",
+    "top_parts_per_segment",
+    "cohort_ltv",
 ]
 
 
