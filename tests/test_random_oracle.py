@@ -24,6 +24,20 @@ QUERIES = [
     "event_trigrams",
     "hourly_autocorr",
     "conversion_latency",
+    # histogram-sketch family — negative cent bins included via the value
+    # range below
+    "value_median_per_type",
+    "value_boxplot",
+    "value_gini",
+    "winsorized_mean_per_type",
+    "tail_expected_shortfall",
+    "mad_outliers",
+    # segmentation / behavioral
+    "rfm_segments",
+    "churn_counts",
+    "journey_patterns",
+    "session_conversion_rate",
+    "bounce_rate",
 ]
 
 
@@ -42,7 +56,7 @@ def random_events(seed: int, n_users: int = 40, n_events: int = 600) -> pa.Table
         "ts": pa.array(pd.to_datetime(ts, unit="us"), type=pa.timestamp("us")),
         "user_id": pa.array(users.astype(np.int64)),
         "event_type": pa.array(types),
-        "value": pa.array(np.round(rng.uniform(0, 500, size=n_events), 2)),
+        "value": pa.array(np.round(rng.uniform(-50, 500, size=n_events), 2)),
         "props": pa.array(["{}"] * n_events),
     })
 
