@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "heaps_law_fit",
     "top_parts_per_segment",
     "cohort_ltv",
+    "mixture_schedule",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7200,11 +7200,81 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_mixture_schedule(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted-interleave mixture schedule — the order a
+    training run would draw documents so each source appears proportionally
+    to its weight (weighted round-robin: doc k of source s is scheduled at
+    key k/wₛ).  Within-source ranks come from ONE global_row_number pass on
+    the packed key source·2⁴⁸ + doc_id (contiguous spans per source, rank −
+    span offset = within-source rank, same construction as RFM); the first
+    50 schedule slots come back through a distributed top-k."""
+    from ..functions.rank import global_row_number
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    # deterministic per-source weights (1, 2 or 3), mirrored in SQL
+    sizes = grouped_sums(docs.select_columns(["source"]), ["source"], {}, "n").to_pandas()
+    sizes = sizes.sort_values("source", ignore_index=True)
+    srcs = list(sizes["source"])
+    idx_of = {s: i for i, s in enumerate(srcs)}
+    weight = {s: 1.0 + (int(s[3:]) % 3) for s in srcs}  # src<N> → 1 + N%3
+    offsets = {}
+    off = 0
+    for s, n in zip(sizes["source"], sizes["n"]):
+        offsets[s] = off
+        off += int(n)
+
+    C = 1 << 48
+
+    def pack(t: pa.Table, *, idx=idx_of) -> pa.Table:
+        si = t["source"].to_pandas().map(idx).to_numpy(dtype=np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "packed": pa.array(si * C + did)})
+
+    ranked, _ = global_row_number(
+        docs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+        "packed", ["doc_id"])
+
+    def key(t: pa.Table, *, offs=offsets, w=weight) -> pa.Table:
+        src = t["source"].to_pandas()
+        rn = t["rn"].to_numpy(zero_copy_only=False) - src.map(offs).to_numpy(dtype=np.int64)
+        k = rn / src.map(w).to_numpy(dtype=np.float64)
+        return pa.table({"source": t["source"], "doc_id": t["doc_id"],
+                         "k": pa.array(np.round(k, 9))})
+
+    keyed = ranked.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    head = topk(keyed, ["k", "source", "doc_id"], [False, False, False], 50).to_pandas()
+    head = head.sort_values(["k", "source", "doc_id"], ignore_index=True)
+    head["position"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return _i64(head[["position", "source", "doc_id", "k"]], ["position", "doc_id"])
+
+
+SQL_MIXTURE_SCHEDULE = """
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+k AS (
+  SELECT source, doc_id,
+         ROUND(rn / (1.0 + CAST(substr(source, 4) AS BIGINT) % 3), 9) AS k
+  FROM r),
+top AS (SELECT * FROM k ORDER BY k, source, doc_id LIMIT 50)
+SELECT ROW_NUMBER() OVER (ORDER BY k, source, doc_id) AS position,
+       source, doc_id, k
+FROM top ORDER BY position
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "mixture_schedule": QuerySpec(
+        q_mixture_schedule,
+        SQL_MIXTURE_SCHEDULE,
+        "weighted-interleave training mixture schedule (packed-rank construction)",
+    ),
     "top_parts_per_segment": QuerySpec(
         q_top_parts_per_segment,
         SQL_TOP_PARTS_PER_SEGMENT,

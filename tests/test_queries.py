@@ -102,6 +102,7 @@ SUBSET = [
     "heaps_law_fit",
     "top_parts_per_segment",
     "cohort_ltv",
+    "mixture_schedule",
 ]
 
 
