@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "top_parts_per_segment",
     "cohort_ltv",
     "mixture_schedule",
+    "order_price_ohlc",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7265,11 +7265,78 @@ FROM top ORDER BY position
 """
 
 
+def q_order_price_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Monthly OHLC of order prices (open = earliest order's price, close =
+    latest, high/low = extremes) — the mergeable ARGMIN/ARGMAX-with-payload
+    aggregate: each batch emits one candidate row per month (first/last by
+    the (date, orderkey) tie-broken order plus min/max price); partials
+    merge associatively on the |months|-bounded driver frame."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.to_datetime(df["o_orderdate"])
+        df = df.assign(month_id=(dt.dt.year * 12 + dt.dt.month - 1).astype(np.int64),
+                       us=df["o_orderdate"].astype("int64"))
+        df = df.sort_values(["month_id", "us", "o_orderkey"], kind="stable")
+        first = df.groupby("month_id", as_index=False).first()
+        last = df.groupby("month_id", as_index=False).last()
+        ext = df.groupby("month_id", as_index=False).agg(
+            high=("o_totalprice", "max"), low=("o_totalprice", "min"),
+            n=("o_totalprice", "size"))
+        out = ext.merge(first[["month_id", "us", "o_orderkey", "o_totalprice"]].rename(
+            columns={"us": "o_us", "o_orderkey": "o_key", "o_totalprice": "open"}),
+            on="month_id").merge(
+            last[["month_id", "us", "o_orderkey", "o_totalprice"]].rename(
+                columns={"us": "c_us", "o_orderkey": "c_key", "o_totalprice": "close"}),
+            on="month_id")
+        return out
+
+    p = ds.map_batches(part, batch_format="pandas").to_pandas()
+    # associative merge of per-batch candidates
+    p = p.sort_values(["month_id", "o_us", "o_key"], kind="stable")
+    first = p.groupby("month_id", as_index=False).first()[["month_id", "open"]]
+    p2 = p.sort_values(["month_id", "c_us", "c_key"], kind="stable")
+    last = p2.groupby("month_id", as_index=False).last()[["month_id", "close"]]
+    ext = p.groupby("month_id", as_index=False).agg(
+        high=("high", "max"), low=("low", "min"), n=("n", "sum"))
+    out = ext.merge(first, on="month_id").merge(last, on="month_id")
+    for c in ("open", "high", "low", "close"):
+        out[c] = out[c].round(2)
+    out = out[["month_id", "open", "high", "low", "close", "n"]].sort_values(
+        "month_id", ignore_index=True)
+    return _i64(out, ["month_id", "n"])
+
+
+SQL_ORDER_PRICE_OHLC = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_id,
+         o_totalprice AS p, o_orderdate, o_orderkey
+  FROM orders),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY month_id ORDER BY o_orderdate, o_orderkey) AS a,
+         ROW_NUMBER() OVER (PARTITION BY month_id ORDER BY o_orderdate DESC, o_orderkey DESC) AS z
+  FROM o)
+SELECT month_id,
+       ROUND(MAX(CASE WHEN a = 1 THEN p END), 2) AS open,
+       ROUND(MAX(p), 2) AS high,
+       ROUND(MIN(p), 2) AS low,
+       ROUND(MAX(CASE WHEN z = 1 THEN p END), 2) AS close,
+       COUNT(*) AS n
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "order_price_ohlc": QuerySpec(
+        q_order_price_ohlc,
+        SQL_ORDER_PRICE_OHLC,
+        "monthly OHLC via mergeable argmin/argmax-with-payload partials",
+    ),
     "mixture_schedule": QuerySpec(
         q_mixture_schedule,
         SQL_MIXTURE_SCHEDULE,

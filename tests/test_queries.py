@@ -103,6 +103,7 @@ SUBSET = [
     "top_parts_per_segment",
     "cohort_ltv",
     "mixture_schedule",
+    "order_price_ohlc",
 ]
 
 
