@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "cohort_ltv",
     "mixture_schedule",
     "order_price_ohlc",
+    "duplicate_invoices",
+    "stale_parts_by_brand",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7327,11 +7327,132 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q_duplicate_invoices(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-invoice detection (fraud screen): pairs of orders by the
+    SAME customer in the SAME $1000 price band within a year of each
+    other.  Hash exchange on (custkey, band) — both equality keys — then a
+    within-group windowed pair scan (group sizes are bounded by how often
+    one customer repeats one price band, so the self-join cannot go
+    corpus-quadratic)."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        band = pc.divide(cents, pa.scalar(100_000, pa.int64()))
+        return pa.table({"cust": t["o_custkey"], "band": band,
+                         "key": t["o_orderkey"],
+                         "us": pc.cast(t["o_orderdate"], pa.int64())})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        W = 365 * 86_400_000_000
+        for (_, _), g in df.groupby(["cust", "band"]):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["us", "key"])
+            us = g["us"].to_numpy()
+            key = g["key"].to_numpy()
+            # for each row, matching later rows within the window
+            j = np.searchsorted(us, us + W, side="right")
+            for i in range(len(g)):
+                for m in range(i + 1, j[i]):
+                    a, b = (key[i], key[m]) if key[i] < key[m] else (key[m], key[i])
+                    out.append((a, b))
+        if not out:
+            return pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
+                                 "key_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["key_a", "key_b"]).drop_duplicates()
+
+    p = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["cust", "band"], pairs,
+    ).to_pandas().drop_duplicates()
+    out = p.sort_values(["key_a", "key_b"], ignore_index=True)
+    return _i64(out, ["key_a", "key_b"])
+
+
+SQL_DUPLICATE_INVOICES = """
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(ROUND(a.o_totalprice * 100) AS BIGINT) // 100000
+     = CAST(ROUND(b.o_totalprice * 100) AS BIGINT) // 100000
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(EPOCH_US(a.o_orderdate) - EPOCH_US(b.o_orderdate)) <= 365 * 86400000000
+ORDER BY 1, 2
+"""
+
+
+def q_stale_parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Stale-catalog audit: parts with NO shipment in the final year,
+    counted per brand — the big-big anti-join with a dimension rollup.
+    Active part keys come from a date-filtered distinct reduce; the anti is
+    the tagged-union co-group (no broadcast of either key set); the brand
+    rollup is a tiny grouped count."""
+    from ..functions.relational import bucketed_group_reduce
+
+    cutoff = pa.scalar(datetime(2001, 1, 1), pa.timestamp("us"))
+    parts = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    active = _t(sf_dir, "lineitem", ["l_partkey"],
+                filter=pads.field("l_shipdate") >= cutoff)
+
+    def p_part(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["p_partkey"], pa.int64()),
+                         "brand": t["p_brand"],
+                         "act": pa.nulls(t.num_rows, pa.int64()).fill_null(0)})
+
+    def a_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": pc.cast(t["l_partkey"], pa.int64())}).group_by(["k"]).aggregate([])
+        return pa.table({"k": g["k"],
+                         "brand": pa.nulls(g.num_rows, pa.string()),
+                         "act": pa.nulls(g.num_rows, pa.int64()).fill_null(1)})
+
+    u = parts.map_batches(p_part, batch_format="pyarrow", zero_copy_batch=True).union(
+        active.map_batches(a_part, batch_format="pyarrow", zero_copy_batch=True))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k").agg(act=("act", "sum"), brand=("brand", "first"))
+        # "first" may pick the NULL side's row — recover the brand from any
+        # non-null value in the group instead
+        brand = df.dropna(subset=["brand"]).groupby("k")["brand"].first()
+        g["brand"] = brand.reindex(g.index)
+        stale = g[(g["act"] == 0) & g["brand"].notna()]
+        return stale.reset_index()[["brand"]].groupby("brand", as_index=False).size().rename(
+            columns={"size": "n_stale"})
+
+    agg = bucketed_group_reduce(u, ["k"], anti).to_pandas()
+    out = agg.groupby("brand", as_index=False)["n_stale"].sum().sort_values(
+        "brand", ignore_index=True)
+    return _i64(out, ["n_stale"])
+
+
+SQL_STALE_PARTS_BY_BRAND = """
+SELECT p.p_brand AS brand, COUNT(*) AS n_stale
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_shipdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "duplicate_invoices": QuerySpec(
+        q_duplicate_invoices,
+        SQL_DUPLICATE_INVOICES,
+        "same-customer same-amount orders within 7 days (fraud screen)",
+    ),
+    "stale_parts_by_brand": QuerySpec(
+        q_stale_parts_by_brand,
+        SQL_STALE_PARTS_BY_BRAND,
+        "parts with no final-year shipment per brand (big-big anti co-group)",
+    ),
     "order_price_ohlc": QuerySpec(
         q_order_price_ohlc,
         SQL_ORDER_PRICE_OHLC,

@@ -104,6 +104,8 @@ SUBSET = [
     "cohort_ltv",
     "mixture_schedule",
     "order_price_ohlc",
+    "duplicate_invoices",
+    "stale_parts_by_brand",
 ]
 
 
