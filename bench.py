@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "order_price_ohlc",
     "duplicate_invoices",
     "stale_parts_by_brand",
+    "charclass_profile",
+    "purchase_value_drift",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7438,11 +7438,135 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """Character-class profile per source over the messy corpus (alpha /
+    digit / whitespace / other shares) — the encoding-health signal scrub
+    pipelines gate on.  Four vectorized RE2 count kernels per batch, scalar
+    partials reduce; shares are exact integer ratios rounded once."""
+    src = ensure_messy_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["source", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        total = pc.cast(pc.utf8_length(text), pa.int64())
+        alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64())
+        digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64())
+        space = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64())
+        g = pa.table({"source": t["source"], "total": total, "alpha": alpha,
+                      "digit": digit, "space": space}).group_by(["source"]).aggregate(
+            [("total", "sum"), ("alpha", "sum"), ("digit", "sum"), ("space", "sum")])
+        return pa.table({"source": g["source"], "total": g["total_sum"],
+                         "alpha": g["alpha_sum"], "digit": g["digit_sum"],
+                         "space": g["space_sum"]})
+
+    agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("source", as_index=False).sum()
+    for c in ("alpha", "digit", "space"):
+        out[f"{c}_share"] = (out[c] / out["total"]).round(6)
+    out["other_share"] = (
+        (out["total"] - out["alpha"] - out["digit"] - out["space"]) / out["total"]).round(6)
+    out = out[["source", "total", "alpha_share", "digit_share", "space_share", "other_share"]]
+    return _i64(out.sort_values("source", ignore_index=True), ["total"])
+
+
+SQL_CHARCLASS_PROFILE = f"""
+WITH c AS (
+  SELECT source,
+         SUM(length(text)) AS total,
+         SUM(len(regexp_extract_all(text, '[a-zA-Z]'))) AS alpha,
+         SUM(len(regexp_extract_all(text, '[0-9]'))) AS digit,
+         SUM(len(regexp_extract_all(text, '\\s'))) AS space
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/messy.parquet')
+  GROUP BY 1)
+SELECT source, CAST(total AS BIGINT) AS total,
+       ROUND(alpha / CAST(total AS DOUBLE), 6) AS alpha_share,
+       ROUND(digit / CAST(total AS DOUBLE), 6) AS digit_share,
+       ROUND(space / CAST(total AS DOUBLE), 6) AS space_share,
+       ROUND((total - alpha - digit - space) / CAST(total AS DOUBLE), 6) AS other_share
+FROM c ORDER BY 1
+"""
+
+
+def q_purchase_value_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-user purchase-value drift: value of the LAST purchase minus the
+    FIRST (argmin/argmax-with-payload at user cardinality — per-batch
+    first/last candidates, bucketed merge), then scalar drift moments; the
+    driver sees three numbers."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(us=df["ts"].astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        f = df.groupby("user_id", as_index=False).first()[["user_id", "us", "event_id", "value"]]
+        l = df.groupby("user_id", as_index=False).last()[["user_id", "us", "event_id", "value"]]
+        f.columns = ["user_id", "f_us", "f_id", "f_v"]
+        l.columns = ["user_id", "l_us", "l_id", "l_v"]
+        return f.merge(l, on="user_id")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.sort_values(["user_id", "f_us", "f_id"], kind="stable").groupby(
+            "user_id", as_index=False).first()[["user_id", "f_v"]]
+        b = df.sort_values(["user_id", "l_us", "l_id"], kind="stable").groupby(
+            "user_id", as_index=False).last()[["user_id", "l_v"]]
+        return a.merge(b, on="user_id")
+
+    per_user = bucketed_group_reduce(
+        ds.map_batches(part, batch_format="pandas"), ["user_id"], merge)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        d = ((df["l_v"] - df["f_v"]) * 100).round().astype(np.int64)
+        return pd.DataFrame({"n": [len(d)], "s": [int(d.sum())],
+                             "pos": [int((d > 0).sum())]})
+
+    p = per_user.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    out = pd.DataFrame({
+        "n_users": [n],
+        "avg_drift": [round(float(p["s"].sum()) / n / 100.0, 6)],
+        "n_increased": [int(p["pos"].sum())],
+    })
+    return _i64(out, ["n_users", "n_increased"])
+
+
+SQL_PURCHASE_VALUE_DRIFT = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS z
+  FROM p),
+u AS (
+  SELECT user_id,
+         CAST(ROUND((MAX(CASE WHEN z = 1 THEN value END)
+                     - MAX(CASE WHEN a = 1 THEN value END)) * 100) AS BIGINT) AS d_c
+  FROM r GROUP BY 1)
+SELECT COUNT(*) AS n_users,
+       ROUND(SUM(d_c) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS avg_drift,
+       SUM(CASE WHEN d_c > 0 THEN 1 ELSE 0 END) AS n_increased
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "charclass_profile": QuerySpec(
+        q_charclass_profile,
+        SQL_CHARCLASS_PROFILE,
+        "character-class share profile per source (encoding health)",
+    ),
+    "purchase_value_drift": QuerySpec(
+        q_purchase_value_drift,
+        SQL_PURCHASE_VALUE_DRIFT,
+        "first→last purchase value drift per user (argmin/argmax payload merge)",
+    ),
     "duplicate_invoices": QuerySpec(
         q_duplicate_invoices,
         SQL_DUPLICATE_INVOICES,

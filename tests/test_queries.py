@@ -106,6 +106,8 @@ SUBSET = [
     "order_price_ohlc",
     "duplicate_invoices",
     "stale_parts_by_brand",
+    "charclass_profile",
+    "purchase_value_drift",
 ]
 
 
