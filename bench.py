@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "stale_parts_by_brand",
     "charclass_profile",
     "purchase_value_drift",
+    "peak_concurrent_sessions",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7552,11 +7552,79 @@ FROM u
 """
 
 
+def q_peak_concurrent_sessions(sf_dir: str) -> pd.DataFrame:
+    """Peak session concurrency (interval stabbing): how many gap-sessions
+    were simultaneously active at the busiest minute, and the first minute
+    that peak occurs.  Per-user buckets segment sessions and emit ±1 diff
+    events at minute granularity; one day-scale grouped sum + a cumulative
+    max over the |minutes|-bounded series closes it — no per-minute
+    expansion ever materializes on the Ray side (the SQL oracle brute-
+    forces the expansion)."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    MIN_US = 60_000_000
+
+    def diffs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        u = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        new = np.r_[True, (u[1:] != u[:-1]) | (us[1:] - us[:-1] > 1_800_000_000)]
+        sess = np.cumsum(new) - 1
+        g = pd.DataFrame({"sess": sess, "us": us}).groupby("sess", as_index=False).agg(
+            lo=("us", "min"), hi=("us", "max"))
+        start = (g["lo"] // MIN_US).to_numpy(dtype=np.int64)
+        end = (g["hi"] // MIN_US).to_numpy(dtype=np.int64) + 1  # active through end minute
+        return pd.DataFrame({"minute_id": np.r_[start, end],
+                             "v": np.r_[np.ones(len(start), np.int64),
+                                        -np.ones(len(end), np.int64)]})
+
+    d = bucketed_group_reduce(ds, ["user_id"], diffs)
+    agg = grouped_sums(d, ["minute_id"], {"v": "v"}).to_pandas().sort_values(
+        "minute_id", ignore_index=True)
+    run = agg["v"].cumsum().to_numpy()
+    peak = int(run.max())
+    first = int(agg["minute_id"].to_numpy()[int(np.argmax(run))])
+    return pd.DataFrame({"peak": pd.Series([peak], dtype="int64"),
+                         "first_minute_id": pd.Series([first], dtype="int64")})
+
+
+SQL_PEAK_CONCURRENT_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR EPOCH_US(ts) - EPOCH_US(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, EPOCH_US(ts) AS us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), spans AS (
+  SELECT MIN(us) // 60000000 AS m0, MAX(us) // 60000000 AS m1
+  FROM sess GROUP BY user_id, session_id
+), minutes AS (
+  SELECT UNNEST(range(m0, m1 + 1)) AS minute_id FROM spans
+), conc AS (
+  SELECT minute_id, COUNT(*) AS c FROM minutes GROUP BY 1)
+SELECT MAX(c) AS peak,
+       CAST(MIN(minute_id) FILTER (c = (SELECT MAX(c) FROM conc)) AS BIGINT)
+         AS first_minute_id
+FROM conc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "peak_concurrent_sessions": QuerySpec(
+        q_peak_concurrent_sessions,
+        SQL_PEAK_CONCURRENT_SESSIONS,
+        "interval stabbing: peak simultaneous gap-sessions and when",
+    ),
     "charclass_profile": QuerySpec(
         q_charclass_profile,
         SQL_CHARCLASS_PROFILE,

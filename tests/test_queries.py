@@ -108,6 +108,7 @@ SUBSET = [
     "stale_parts_by_brand",
     "charclass_profile",
     "purchase_value_drift",
+    "peak_concurrent_sessions",
 ]
 
 

@@ -38,6 +38,7 @@ QUERIES = [
     "journey_patterns",
     "session_conversion_rate",
     "bounce_rate",
+    "peak_concurrent_sessions",
 ]
 
 
