@@ -5057,10 +5057,8 @@ def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
     from ..functions.rank import global_row_number, ntile_of
     from ..functions.relational import bucketed_group_reduce
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"],
-        filter=pads.field("event_type") == "purchase",
-    )
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"],
+            filter=pads.field("event_type") == "purchase")
 
     def part(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
@@ -7494,10 +7492,8 @@ def q_purchase_value_drift(sf_dir: str) -> pd.DataFrame:
     driver sees three numbers."""
     from ..functions.relational import bucketed_group_reduce
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"],
-        filter=pads.field("event_type") == "purchase",
-    )
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"],
+            filter=pads.field("event_type") == "purchase")
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(us=df["ts"].astype("int64"))
