@@ -116,7 +116,7 @@ def _run(name: str, d: str, con) -> None:
     assert not problems, problems
 
 
-@pytest.mark.parametrize("seed", [5])
+@pytest.mark.parametrize("seed", [5, 13])
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_random_documents_matches_oracle(name, seed, ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"rdoc{seed}")
@@ -126,7 +126,7 @@ def test_random_documents_matches_oracle(name, seed, ray_session, tmp_path_facto
     _run(name, str(d), con)
 
 
-@pytest.mark.parametrize("seed", [7])
+@pytest.mark.parametrize("seed", [7, 11])
 @pytest.mark.parametrize("name", REL_QUERIES)
 def test_random_relational_matches_oracle(name, seed, ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"rrel{seed}")
