@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "charclass_profile",
     "purchase_value_drift",
     "peak_concurrent_sessions",
+    "top_supplier_per_nation",
+    "balance_ks_test",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7611,11 +7611,97 @@ FROM conc
 """
 
 
+def q_top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Grouped argmax over the supplier dimension: each nation's
+    highest-balance supplier (deterministic suppkey tie-break) via the
+    per-block-pruned grouped top-k."""
+    from ..functions.relational import grouped_topk
+
+    ds = _t(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    out = grouped_topk(
+        ds, ["s_nationkey"], ["s_acctbal", "s_suppkey"], [True, False], 1
+    ).to_pandas().sort_values("s_nationkey", ignore_index=True)
+    out["s_acctbal"] = out["s_acctbal"].round(2)
+    return _i64(out[["s_nationkey", "s_suppkey", "s_name", "s_acctbal"]],
+                ["s_nationkey", "s_suppkey"])
+
+
+SQL_TOP_SUPPLIER_PER_NATION = """
+WITH r AS (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_name,
+       ROUND(s_acctbal, 2) AS s_acctbal
+FROM r WHERE rn = 1 ORDER BY 1
+"""
+
+
+def q_balance_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between supplier and customer
+    account-balance distributions — the distribution-drift test, EXACT
+    from two one-pass cent histograms: acctbal has a bounded range, so the
+    merged support is ≤ ~1.1M bins regardless of row count, and D is the
+    max |ΔCDF| over that bounded grid on the driver."""
+    def hist(table: str, col: str) -> pd.DataFrame:
+        ds = _t(sf_dir, table, [col])
+
+        def part(t: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(t[col], 100.0), 0), pa.int64())
+            g = pa.table({"bin": cents}).group_by(["bin"]).aggregate([([], "count_all")])
+            return pa.table({"bin": g["bin"], "n": pc.cast(g["count_all"], pa.int64())})
+
+        p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        return p.groupby("bin", as_index=False)["n"].sum()
+
+    a = hist("supplier", "s_acctbal")
+    b = hist("customer", "c_acctbal")
+    na, nb = int(a["n"].sum()), int(b["n"].sum())
+    grid = np.union1d(a["bin"].to_numpy(dtype=np.int64), b["bin"].to_numpy(dtype=np.int64))
+    ca = np.zeros(len(grid), dtype=np.int64)
+    cb = np.zeros(len(grid), dtype=np.int64)
+    ca[np.searchsorted(grid, a["bin"].to_numpy(dtype=np.int64))] = a["n"].to_numpy()
+    cb[np.searchsorted(grid, b["bin"].to_numpy(dtype=np.int64))] = b["n"].to_numpy()
+    d = np.abs(np.cumsum(ca) / na - np.cumsum(cb) / nb).max()
+    return pd.DataFrame({"n_supplier": pd.Series([na], dtype="int64"),
+                         "n_customer": pd.Series([nb], dtype="int64"),
+                         "ks_d": [round(float(d), 6)]})
+
+
+SQL_BALANCE_KS_TEST = """
+WITH sa AS (SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS v FROM supplier),
+sb AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+u AS (SELECT v, 1 AS a, 0 AS b FROM sa UNION ALL SELECT v, 0, 1 FROM sb),
+c AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM u),
+last AS (SELECT v, MAX(ca) AS ca, MAX(cb) AS cb FROM c GROUP BY v)
+SELECT (SELECT COUNT(*) FROM sa) AS n_supplier,
+       (SELECT COUNT(*) FROM sb) AS n_customer,
+       ROUND(MAX(ABS(ca / CAST((SELECT COUNT(*) FROM sa) AS DOUBLE)
+                   - cb / CAST((SELECT COUNT(*) FROM sb) AS DOUBLE))), 6) AS ks_d
+FROM last
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "top_supplier_per_nation": QuerySpec(
+        q_top_supplier_per_nation,
+        SQL_TOP_SUPPLIER_PER_NATION,
+        "grouped argmax: highest-balance supplier per nation",
+    ),
+    "balance_ks_test": QuerySpec(
+        q_balance_ks_test,
+        SQL_BALANCE_KS_TEST,
+        "two-sample Kolmogorov–Smirnov D between balance distributions (exact, histogram)",
+    ),
     "peak_concurrent_sessions": QuerySpec(
         q_peak_concurrent_sessions,
         SQL_PEAK_CONCURRENT_SESSIONS,

@@ -109,6 +109,8 @@ SUBSET = [
     "charclass_profile",
     "purchase_value_drift",
     "peak_concurrent_sessions",
+    "top_supplier_per_nation",
+    "balance_ks_test",
 ]
 
 
