@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "peak_concurrent_sessions",
     "top_supplier_per_nation",
     "balance_ks_test",
+    "benford_prices",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7687,11 +7687,54 @@ FROM last
 """
 
 
+def q_benford_prices(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit of order totals (the classic
+    books-cooking screen): digit shares vs log₁₀(1+1/d) expectation.
+    Leading digit falls out of integer cents (scale shifts don't change
+    it); one tiny grouped count, driver closes the expectation columns."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        s = pc.cast(cents, pa.string())
+        d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
+        g = pa.table({"digit": d}).group_by(["digit"]).aggregate([([], "count_all")])
+        return pa.table({"digit": g["digit"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    agg = grouped_sums(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["digit"], {"n": "n"}, reduce="driver",
+    ).to_pandas().sort_values("digit", ignore_index=True)
+    total = int(agg["n"].sum())
+    agg["share"] = (agg["n"] / total).round(6)
+    agg["benford"] = np.round(np.log10(1.0 + 1.0 / agg["digit"].to_numpy(dtype=np.float64)), 6)
+    return _i64(agg, ["digit", "n"])
+
+
+SQL_BENFORD_PRICES = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, n,
+       ROUND(n / CAST(t.total AS DOUBLE), 6) AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM c CROSS JOIN t ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "benford_prices": QuerySpec(
+        q_benford_prices,
+        SQL_BENFORD_PRICES,
+        "Benford first-digit audit of order totals vs log10(1+1/d)",
+    ),
     "top_supplier_per_nation": QuerySpec(
         q_top_supplier_per_nation,
         SQL_TOP_SUPPLIER_PER_NATION,

@@ -111,6 +111,7 @@ SUBSET = [
     "peak_concurrent_sessions",
     "top_supplier_per_nation",
     "balance_ks_test",
+    "benford_prices",
 ]
 
 
