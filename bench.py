@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "top_supplier_per_nation",
     "balance_ks_test",
     "benford_prices",
+    "acf_multi_lag",
+    "orders_seasonal_share",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7725,11 +7725,95 @@ FROM c CROSS JOIN t ORDER BY digit
 """
 
 
+def q_acf_multi_lag(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation function at lags 1–5 of the GLOBAL hourly event-count
+    series — the periodicity fingerprint.  One distributed hourly count;
+    the ACF over the |hours|-bounded series is driver numpy, matching the
+    SQL LAG-per-lag construction exactly (pairs are consecutive present
+    rows in hour order)."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table({"hour_id": pc.divide(pc.cast(t["ts"], pa.int64()),
+                                              pa.scalar(3_600_000_000, pa.int64()))})
+
+    agg = grouped_sums(
+        ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour_id"], {}, "n",
+    ).to_pandas().sort_values("hour_id", ignore_index=True)
+    x = agg["n"].to_numpy(dtype=np.float64)
+    rows = []
+    for lag in range(1, 6):
+        a, b = x[lag:], x[:-lag]
+        r = float(np.corrcoef(a, b)[0, 1]) if len(a) >= 2 and a.std() > 0 and b.std() > 0 else np.nan
+        rows.append((lag, round(r, 6), len(a)))
+    return _i64(pd.DataFrame(rows, columns=["lag", "acf", "n_pairs"]), ["lag", "n_pairs"])
+
+
+SQL_ACF_MULTI_LAG = """
+WITH h AS (
+  SELECT EPOCH_US(ts) // 3600000000 AS hour_id, COUNT(*) AS n
+  FROM events GROUP BY 1),
+l AS (
+  SELECT n,
+         LAG(n, 1) OVER w AS p1, LAG(n, 2) OVER w AS p2, LAG(n, 3) OVER w AS p3,
+         LAG(n, 4) OVER w AS p4, LAG(n, 5) OVER w AS p5
+  FROM h WINDOW w AS (ORDER BY hour_id))
+SELECT * FROM (
+  SELECT 1 AS lag, ROUND(corr(n, p1), 6) AS acf, COUNT(p1) AS n_pairs FROM l
+  UNION ALL SELECT 2, ROUND(corr(n, p2), 6), COUNT(p2) FROM l
+  UNION ALL SELECT 3, ROUND(corr(n, p3), 6), COUNT(p3) FROM l
+  UNION ALL SELECT 4, ROUND(corr(n, p4), 6), COUNT(p4) FROM l
+  UNION ALL SELECT 5, ROUND(corr(n, p5), 6), COUNT(p5) FROM l
+) ORDER BY lag
+"""
+
+
+def q_orders_seasonal_share(sf_dir: str) -> pd.DataFrame:
+    """Seasonality index: each calendar month's share of its year's order
+    count (percent-of-total window on the time hierarchy).  One distributed
+    (year, month) count; the share window runs on the bounded grid."""
+    ds = _t(sf_dir, "orders", ["o_orderdate"])
+
+    def ym(df: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.to_datetime(df["o_orderdate"])
+        return pd.DataFrame({"year": dt.dt.year.astype(np.int64),
+                             "month": dt.dt.month.astype(np.int64)})
+
+    agg = grouped_sums(
+        ds.map_batches(ym, batch_format="pandas"), ["year", "month"], {}, "n",
+    ).to_pandas()
+    agg["share"] = (agg["n"] / agg.groupby("year")["n"].transform("sum")).round(6)
+    return _i64(agg.sort_values(["year", "month"], ignore_index=True),
+                ["year", "month", "n"])
+
+
+SQL_ORDERS_SEASONAL_SHARE = """
+WITH c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(month(o_orderdate) AS BIGINT) AS month, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT year, month, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY year) AS DOUBLE), 6) AS share
+FROM c ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "acf_multi_lag": QuerySpec(
+        q_acf_multi_lag,
+        SQL_ACF_MULTI_LAG,
+        "ACF at lags 1-5 of the global hourly count series",
+    ),
+    "orders_seasonal_share": QuerySpec(
+        q_orders_seasonal_share,
+        SQL_ORDERS_SEASONAL_SHARE,
+        "seasonality index: month share of year order count",
+    ),
     "benford_prices": QuerySpec(
         q_benford_prices,
         SQL_BENFORD_PRICES,

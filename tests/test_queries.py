@@ -112,6 +112,8 @@ SUBSET = [
     "top_supplier_per_nation",
     "balance_ks_test",
     "benford_prices",
+    "acf_multi_lag",
+    "orders_seasonal_share",
 ]
 
 
