@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "benford_prices",
     "acf_multi_lag",
     "orders_seasonal_share",
+    "doc_length_quality_corr",
+    "priority_mix_chi2",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7799,11 +7799,112 @@ FROM c ORDER BY 1, 2
 """
 
 
+def q_doc_length_quality_corr(sf_dir: str) -> pd.DataFrame:
+    """Metric-relationship probe: Pearson correlation between document
+    length (words) and stopword rate across the corpus, from one mergeable
+    moments pass over per-doc metrics computed in-batch."""
+    from ..functions.text import n_words, stopword_hits
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        nw = pc.cast(n_words(t["text"]), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        hits = stopword_hits(t["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = hits / nw
+        return pa.table({
+            "n": pa.array([len(nw)], pa.int64()),
+            "sx": pa.array([float(nw.sum())]), "sy": pa.array([float(ratio.sum())]),
+            "sxx": pa.array([float((nw * nw).sum())]),
+            "syy": pa.array([float((ratio * ratio).sum())]),
+            "sxy": pa.array([float((nw * ratio).sum())]),
+        })
+
+    p = docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxx, syy, sxy = p["sxx"].sum(), p["syy"].sum(), p["sxy"].sum()
+    cov = sxy - sx * sy / n
+    r = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
+                         "corr_len_stopratio": [round(float(r), 6)]})
+
+
+SQL_DOC_LENGTH_QUALITY_CORR = f"""
+WITH q AS (
+  SELECT len(string_split(text, ' ')) AS nw,
+         len(regexp_extract_all(text, '{STOPWORD_PATTERN}'))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ratio
+  FROM documents)
+SELECT COUNT(*) AS n_docs, ROUND(corr(nw, ratio), 6) AS corr_len_stopratio FROM q
+"""
+
+
+def q_priority_mix_chi2(sf_dir: str) -> pd.DataFrame:
+    """Order-priority mix drift: χ² independence statistic of the
+    (year × priority) contingency table — has the priority mix changed
+    across years?  One bounded grouped count; the statistic (including
+    zero cells of the full grid) folds on the driver."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def ym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"year": pd.to_datetime(df["o_orderdate"]).dt.year.astype(np.int64),
+                             "prio": df["o_orderpriority"]})
+
+    agg = grouped_sums(
+        ds.map_batches(ym, batch_format="pandas"), ["year", "prio"], {}, "n",
+    ).to_pandas()
+    tab = agg.pivot_table(index="year", columns="prio", values="n", fill_value=0,
+                          aggfunc="sum")
+    obs = tab.to_numpy(dtype=np.float64)
+    total = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / total
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    return pd.DataFrame({
+        "n_years": pd.Series([obs.shape[0]], dtype="int64"),
+        "n_priorities": pd.Series([obs.shape[1]], dtype="int64"),
+        "chi2": [round(chi2, 6)],
+    })
+
+
+SQL_PRIORITY_MIX_CHI2 = """
+WITH c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority AS prio,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+grid AS (
+  SELECT y.year, p.prio, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT year FROM c) y
+  CROSS JOIN (SELECT DISTINCT prio FROM c) p
+  LEFT JOIN c USING (year, prio)),
+m AS (
+  SELECT year, prio, n,
+         SUM(n) OVER (PARTITION BY year) AS ry,
+         SUM(n) OVER (PARTITION BY prio) AS cp,
+         SUM(n) OVER () AS t
+  FROM grid)
+SELECT (SELECT COUNT(DISTINCT year) FROM c) AS n_years,
+       (SELECT COUNT(DISTINCT prio) FROM c) AS n_priorities,
+       ROUND(SUM(pow(n - ry * cp / CAST(t AS DOUBLE), 2) / (ry * cp / CAST(t AS DOUBLE))), 6)
+         AS chi2
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "doc_length_quality_corr": QuerySpec(
+        q_doc_length_quality_corr,
+        SQL_DOC_LENGTH_QUALITY_CORR,
+        "Pearson r between doc length and stopword rate (one moments pass)",
+    ),
+    "priority_mix_chi2": QuerySpec(
+        q_priority_mix_chi2,
+        SQL_PRIORITY_MIX_CHI2,
+        "chi2 drift of the year × priority contingency table",
+    ),
     "acf_multi_lag": QuerySpec(
         q_acf_multi_lag,
         SQL_ACF_MULTI_LAG,

@@ -114,6 +114,8 @@ SUBSET = [
     "benford_prices",
     "acf_multi_lag",
     "orders_seasonal_share",
+    "doc_length_quality_corr",
+    "priority_mix_chi2",
 ]
 
 
