@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "orders_seasonal_share",
     "doc_length_quality_corr",
     "priority_mix_chi2",
+    "balance_anova_f",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

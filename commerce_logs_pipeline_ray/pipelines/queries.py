@@ -7890,11 +7890,58 @@ FROM m
 """
 
 
+def q_balance_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F statistic: does mean account balance differ across
+    market segments?  Per-segment (n, Σx, Σx²) moment partials from one
+    pass close both the between- and within-group sums of squares on the
+    driver — the textbook decomposition, no raw value ever shuffles."""
+    ds = _t(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"seg": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+                           "x": t["c_acctbal"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("seg", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("x", lambda v: float((v * v).sum())))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    g = p.groupby("seg", as_index=False).agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"))
+    n = g["n"].to_numpy(dtype=np.float64)
+    sx = g["sx"].to_numpy()
+    sxx = g["sxx"].to_numpy()
+    N, k = n.sum(), len(g)
+    grand = sx.sum() / N
+    ssb = float((n * (sx / n - grand) ** 2).sum())
+    ssw = float((sxx - sx * sx / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame({"n_customers": pd.Series([int(N)], dtype="int64"),
+                         "n_segments": pd.Series([int(k)], dtype="int64"),
+                         "f_stat": [round(float(f), 6)]})
+
+
+SQL_BALANCE_ANOVA_F = """
+WITH s AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n, SUM(c_acctbal) AS sx,
+         SUM(c_acctbal * c_acctbal) AS sxx
+  FROM customer GROUP BY 1),
+t AS (SELECT SUM(n) AS bign, COUNT(*) AS k, SUM(sx) / SUM(n) AS grand FROM s)
+SELECT CAST(t.bign AS BIGINT) AS n_customers, CAST(t.k AS BIGINT) AS n_segments,
+       ROUND((SUM(n * pow(sx / n - t.grand, 2)) / (t.k - 1))
+             / (SUM(sxx - sx * sx / n) / (t.bign - t.k)), 6) AS f_stat
+FROM s CROSS JOIN t GROUP BY t.bign, t.k, t.grand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "balance_anova_f": QuerySpec(
+        q_balance_anova_f,
+        SQL_BALANCE_ANOVA_F,
+        "one-way ANOVA F: balance means across segments from moment partials",
+    ),
     "doc_length_quality_corr": QuerySpec(
         q_doc_length_quality_corr,
         SQL_DOC_LENGTH_QUALITY_CORR,

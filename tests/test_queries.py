@@ -116,6 +116,7 @@ SUBSET = [
     "orders_seasonal_share",
     "doc_length_quality_corr",
     "priority_mix_chi2",
+    "balance_anova_f",
 ]
 
 
