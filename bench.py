@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "doc_length_quality_corr",
     "priority_mix_chi2",
     "balance_anova_f",
+    "price_p99_exact",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

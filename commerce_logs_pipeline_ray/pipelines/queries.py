@@ -7932,11 +7932,75 @@ FROM s CROSS JOIN t GROUP BY t.bign, t.k, t.grand
 """
 
 
+def q_price_p99_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT p50/p95/p99 (discrete) of the extended price — a NEAR-UNIQUE
+    column where a one-pass value histogram would be ~|rows| on the driver
+    — via the two-phase refinement: a $100-bucket count histogram locates
+    each target quantile's bucket, then one filtered pass builds exact cent
+    counts for ONLY those buckets.  Driver state stays at
+    coarse-buckets + 3 × one-bucket-of-cents regardless of row count."""
+    Q = [0.5, 0.95, 0.99]
+    COARSE = 10_000
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+
+    def coarse_part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        g = pa.table({"cb": pc.divide(cents, pa.scalar(COARSE, pa.int64()))}).group_by(
+            ["cb"]).aggregate([([], "count_all")])
+        return pa.table({"cb": g["cb"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    coarse = ds.map_batches(coarse_part, batch_format="pyarrow", zero_copy_batch=True
+                            ).to_pandas().groupby("cb", as_index=False)["n"].sum().sort_values("cb")
+    cum = coarse["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    cbs = coarse["cb"].to_numpy(dtype=np.int64)
+    targets = {}
+    for q in Q:
+        rank = max(1, int(np.ceil(q * total)))
+        i = int(np.searchsorted(cum, rank))
+        targets[q] = (int(cbs[i]), int(cum[i - 1]) if i else 0, rank)
+    want = np.array(sorted({cb for cb, _, _ in targets.values()}), dtype=np.int64)
+
+    def fine_part(t: pa.Table, *, w=want) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.isin(cents // COARSE, w)
+        u, c = np.unique(cents[m], return_counts=True)
+        return pa.table({"bin": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    fine = ds.map_batches(fine_part, batch_format="pyarrow", zero_copy_batch=True
+                          ).to_pandas().groupby("bin", as_index=False)["n"].sum().sort_values("bin")
+    rows = []
+    for q in Q:
+        cb, before, rank = targets[q]
+        g = fine[fine["bin"] // COARSE == cb]
+        c2 = before + g["n"].cumsum().to_numpy()
+        v = int(g["bin"].to_numpy()[np.searchsorted(c2, rank)])
+        rows.append((q, round(v / 100.0, 2)))
+    out = pd.DataFrame(rows, columns=["q", "price"])
+    out["q"] = out["q"].astype(np.float64)
+    return out
+
+
+SQL_PRICE_P99_EXACT = """
+SELECT * FROM (
+  SELECT 0.5 AS q, ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS price FROM lineitem
+  UNION ALL SELECT 0.95, ROUND(quantile_disc(l_extendedprice, 0.95), 2) FROM lineitem
+  UNION ALL SELECT 0.99, ROUND(quantile_disc(l_extendedprice, 0.99), 2) FROM lineitem
+) ORDER BY q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "price_p99_exact": QuerySpec(
+        q_price_p99_exact,
+        SQL_PRICE_P99_EXACT,
+        "exact p50/p95/p99 of a near-unique column via two-phase refinement",
+    ),
     "balance_anova_f": QuerySpec(
         q_balance_anova_f,
         SQL_BALANCE_ANOVA_F,

@@ -117,6 +117,7 @@ SUBSET = [
     "doc_length_quality_corr",
     "priority_mix_chi2",
     "balance_anova_f",
+    "price_p99_exact",
 ]
 
 
