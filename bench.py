@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "priority_mix_chi2",
     "balance_anova_f",
     "price_p99_exact",
+    "return_rate_monthly",
+    "weekend_lift",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -7991,11 +7991,91 @@ SELECT * FROM (
 """
 
 
+def q_return_rate_monthly(sf_dir: str) -> pd.DataFrame:
+    """Return-rate trend: share of lineitems flagged 'R' per ship month —
+    a conditional-share time series from one bounded grouped count."""
+    ds = _t(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+
+    def part(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(micros, unit="us")
+        month = (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
+        r = (t["l_returnflag"].to_numpy(zero_copy_only=False) == "R").astype(np.int64)
+        g = pd.DataFrame({"month_id": month, "ret": r}).groupby(
+            "month_id", as_index=False).agg(n=("ret", "size"), n_returned=("ret", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("month_id", as_index=False).agg(
+        n=("n", "sum"), n_returned=("n_returned", "sum"))
+    out["return_rate"] = (out["n_returned"] / out["n"]).round(6)
+    return _i64(out.sort_values("month_id", ignore_index=True),
+                ["month_id", "n", "n_returned"])
+
+
+SQL_RETURN_RATE_MONTHLY = """
+SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS month_id,
+       COUNT(*) AS n,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weekend_lift(sf_dir: str) -> pd.DataFrame:
+    """Weekend lift per event type: observed weekend share vs the 2/7
+    uniform expectation.  Day-of-week from pure epoch-day arithmetic
+    ((days + 4) % 7, anchored on 1970-01-01 = Thursday) so both engines
+    share one convention; one bounded grouped count."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(t["ts"], pa.int64()),
+                         pa.scalar(86_400_000_000, pa.int64())).to_numpy(zero_copy_only=False)
+        dow = (days + 4) % 7  # 0=Sunday … 6=Saturday
+        wk = np.isin(dow, (0, 6)).astype(np.int64)
+        g = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                          "wk": wk}).groupby("event_type", as_index=False).agg(
+            n=("wk", "size"), n_weekend=("wk", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = agg.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_weekend=("n_weekend", "sum"))
+    out["weekend_share"] = (out["n_weekend"] / out["n"]).round(6)
+    out["lift"] = (out["n_weekend"] / out["n"] / (2.0 / 7.0)).round(6)
+    return _i64(out.sort_values("event_type", ignore_index=True), ["n", "n_weekend"])
+
+
+SQL_WEEKEND_LIFT = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN ((EPOCH_US(ts) // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS wk
+  FROM events)
+SELECT event_type, COUNT(*) AS n, SUM(wk) AS n_weekend,
+       ROUND(SUM(wk) / CAST(COUNT(*) AS DOUBLE), 6) AS weekend_share,
+       ROUND(SUM(wk) / CAST(COUNT(*) AS DOUBLE) / (2.0 / 7.0), 6) AS lift
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "return_rate_monthly": QuerySpec(
+        q_return_rate_monthly,
+        SQL_RETURN_RATE_MONTHLY,
+        "return-rate trend per ship month",
+    ),
+    "weekend_lift": QuerySpec(
+        q_weekend_lift,
+        SQL_WEEKEND_LIFT,
+        "weekend activity lift per event type (epoch-day DOW arithmetic)",
+    ),
     "price_p99_exact": QuerySpec(
         q_price_p99_exact,
         SQL_PRICE_P99_EXACT,

@@ -118,6 +118,8 @@ SUBSET = [
     "priority_mix_chi2",
     "balance_anova_f",
     "price_p99_exact",
+    "return_rate_monthly",
+    "weekend_lift",
 ]
 
 
