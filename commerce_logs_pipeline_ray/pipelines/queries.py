@@ -1083,8 +1083,8 @@ SQL_DEDUP_SURVIVORS = (
     _SQL_CLUSTER_CTE
     + """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN doc_id IN (SELECT node FROM comp WHERE node <> cluster_id)
-                THEN 0 ELSE 1 END) AS n_kept
+       CAST(SUM(CASE WHEN doc_id IN (SELECT node FROM comp WHERE node <> cluster_id)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY source
 """
 )
@@ -1400,7 +1400,7 @@ WITH tok AS (
   SELECT token FROM tok GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 100
 )
 SELECT source, COUNT(*) AS n_tokens,
-       SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
        ROUND(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
              / COUNT(*), 6) AS oov_rate
 FROM tok GROUP BY source
@@ -1474,9 +1474,9 @@ def q_chunk_stats(sf_dir: str) -> pd.DataFrame:
 
 SQL_CHUNK_STATS = f"""
 SELECT source, COUNT(*) AS n_seqs,
-       SUM(GREATEST((n_tok + 127) // 128, 1)) AS n_chunks,
-       SUM(n_tok // 128) AS n_full,
-       SUM(n_tok) AS tokens_out
+       CAST(SUM(GREATEST((n_tok + 127) // 128, 1)) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tok // 128) AS BIGINT) AS n_full,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_out
 FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
 GROUP BY source
 """
@@ -1506,8 +1506,8 @@ WITH words AS (
   FROM grams WHERE doc_id % 29 <> 0 GROUP BY doc_id, source
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS n_contaminated,
-       SUM(n_hit) AS total_hits
+       CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(n_hit) AS BIGINT) AS total_hits
 FROM hits GROUP BY source
 """
 
@@ -1533,8 +1533,8 @@ WITH words AS (
   FROM grams GROUP BY doc_id, source
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN tot > dst THEN 1 ELSE 0 END) AS n_repetitive,
-       SUM(tot) AS total_grams, SUM(dst) AS distinct_grams
+       CAST(SUM(CASE WHEN tot > dst THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(tot) AS BIGINT) AS total_grams, CAST(SUM(dst) AS BIGINT) AS distinct_grams
 FROM per_doc GROUP BY source
 """
 
@@ -1577,12 +1577,12 @@ def q_domain_mix_sample(sf_dir: str) -> pd.DataFrame:
 
 SQL_DOMAIN_MIX = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 3 THEN 1
+       CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 3 THEN 1
                 WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
                      CASE CAST(substr(source, 4) AS INT) % 4
                           WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
                           ELSE 'c0000000' END
-                THEN 1 ELSE 0 END) AS n_kept
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY source
 """
 
@@ -2177,11 +2177,11 @@ def q_events_pivot_hourly(sf_dir: str) -> pd.DataFrame:
 
 SQL_EVENTS_PIVOT_HOURLY = """
 SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """
 
@@ -4621,7 +4621,7 @@ bg AS (
   FROM d, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
 bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
 sb AS (SELECT source, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3)
-SELECT source, SUM(n) AS n_bigrams,
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
        ROUND(SUM(n * -ln((c12 + 1.0) / (c1 + v.v))) / SUM(n), 6) AS avg_nll
 FROM sb JOIN bc USING (w1, w2) JOIN uc ON sb.w1 = uc.w CROSS JOIN v
 GROUP BY source ORDER BY source
@@ -5262,7 +5262,7 @@ WITH ordered AS (
   FROM ordered
 ), agg AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
 SELECT COUNT(*) AS n_sessions,
-       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
        ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
        ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events
 FROM agg
@@ -5690,7 +5690,7 @@ t AS (SELECT DISTINCT event_type,
       FROM events)
 SELECT t.event_type AS first_type,
        COUNT(*) AS n_users,
-       SUM(CASE WHEN u.last_us < wm.watermark - 30 * 86400000000 THEN 1 ELSE 0 END) AS n_churned,
+       CAST(SUM(CASE WHEN u.last_us < wm.watermark - 30 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
        ROUND(SUM(CASE WHEN u.last_us < wm.watermark - 30 * 86400000000 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
 FROM u CROSS JOIN wm JOIN t ON u.first_p % 8 = t.tc
@@ -5894,7 +5894,7 @@ WITH ordered AS (
 ), spans AS (
   SELECT user_id, session_id, MAX(us) - MIN(us) AS span
   FROM sess GROUP BY 1, 2)
-SELECT user_id, SUM(span) // 1000000 AS active_s
+SELECT user_id, CAST(SUM(span) // 1000000 AS BIGINT) AS active_s
 FROM spans GROUP BY 1
 ORDER BY active_s DESC, user_id LIMIT 10
 """
@@ -6249,8 +6249,8 @@ WITH ordered AS (
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
   FROM sess GROUP BY 1, 2)
 SELECT COUNT(*) AS n_sessions,
-       SUM(v) AS with_view,
-       SUM(v * p) AS converted,
+       CAST(SUM(v) AS BIGINT) AS with_view,
+       CAST(SUM(v * p) AS BIGINT) AS converted,
        ROUND(SUM(v * p) / CAST(SUM(v) AS DOUBLE), 6) AS conversion_rate
 FROM f
 """
@@ -6783,7 +6783,7 @@ WITH c AS (
   FROM customer GROUP BY 1, 2)
 SELECT COUNT(*) AS n_classes,
        COUNT(*) FILTER (n < 5) AS n_risky_classes,
-       COALESCE(SUM(n) FILTER (n < 5), 0) AS n_risky_customers,
+       CAST(COALESCE(SUM(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_customers,
        MIN(n) AS min_class_size
 FROM c
 """
@@ -7543,7 +7543,7 @@ u AS (
   FROM r GROUP BY 1)
 SELECT COUNT(*) AS n_users,
        ROUND(SUM(d_c) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS avg_drift,
-       SUM(CASE WHEN d_c > 0 THEN 1 ELSE 0 END) AS n_increased
+       CAST(SUM(CASE WHEN d_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_increased
 FROM u
 """
 
@@ -8016,7 +8016,7 @@ def q_return_rate_monthly(sf_dir: str) -> pd.DataFrame:
 SQL_RETURN_RATE_MONTHLY = """
 SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS month_id,
        COUNT(*) AS n,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
        ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
 FROM lineitem GROUP BY 1 ORDER BY 1
@@ -8054,7 +8054,7 @@ WITH d AS (
          CASE WHEN ((EPOCH_US(ts) // 86400000000) + 4) % 7 IN (0, 6)
               THEN 1 ELSE 0 END AS wk
   FROM events)
-SELECT event_type, COUNT(*) AS n, SUM(wk) AS n_weekend,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(wk) AS BIGINT) AS n_weekend,
        ROUND(SUM(wk) / CAST(COUNT(*) AS DOUBLE), 6) AS weekend_share,
        ROUND(SUM(wk) / CAST(COUNT(*) AS DOUBLE) / (2.0 / 7.0), 6) AS lift
 FROM d GROUP BY 1 ORDER BY 1

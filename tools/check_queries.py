@@ -1,8 +1,21 @@
 """Local stand-in for the driver's correctness check: run every REGISTRY
 query against its DuckDB oracle on a given sf dir and compare
-(row count, column names/dtypes, order-insensitive values).
+(row count, column names, per-column dtype STRICTLY, order-insensitive
+values).
 
-Usage: python tools/check_queries.py [sf_dir] [query ...]
+Dtype strictness matters: DuckDB returns SUM(<integer>) as HUGEINT which
+pandas converts to float64 — if the Ray side emits int64 the values compare
+equal but a dtype-sensitive hash (the driver's) diverges.  This checker
+treats any int-vs-float (or other kind) dtype disagreement as a failure so
+the whole registry meets the driver's bar, not a softer local one.
+
+Usage: python tools/check_queries.py [--exact] [sf_dir] [query ...]
+
+  --exact   compare float64 columns bitwise (uint64 views; NaN==NaN) instead
+            of round-to-9-decimals.  This is the strongest possible value
+            check: it fails on any last-bit divergence (sum ordering,
+            rounding-convention mismatches) the driver's value hash would
+            also fail on.
 """
 
 from __future__ import annotations
@@ -17,38 +30,83 @@ import numpy as np
 import pandas as pd
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, exact: bool) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        if pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+            if not exact:
+                df[c] = df[c].round(9)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+def _kind(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return str(dt)
+
+
+def compare(
+    name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame, exact: bool = False
+) -> list[str]:
     problems = []
-    a, b = normalize(ray_df), normalize(sql_df)
+    a, b = normalize(ray_df, exact), normalize(sql_df, exact)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: ray={list(a.columns)} sql={list(b.columns)}")
         return problems
     if len(a) != len(b):
         problems.append(f"row count differ: ray={len(a)} sql={len(b)}")
         return problems
-    if not a.equals(b):
-        neq = (a != b) & ~(a.isna() & b.isna())
-        bad_cols = [c for c in a.columns if neq[c].any()]
-        for c in bad_cols[:3]:
-            i = int(np.nonzero(neq[c].values)[0][0])
-            problems.append(f"value mismatch col={c} row={i}: ray={a[c].iloc[i]!r} sql={b[c].iloc[i]!r}")
-    return problems
+    # strict per-column dtype check — int64 vs float64 is a FAILURE even if
+    # every value compares numerically equal (a dtype-sensitive hash differs)
+    for c in a.columns:
+        ka, kb = _kind(a[c].dtype), _kind(b[c].dtype)
+        if ka != kb:
+            problems.append(f"dtype mismatch col={c}: ray={a[c].dtype} sql={b[c].dtype}")
+    if problems:
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if _kind(av.dtype) == "float":
+            x = av.to_numpy(dtype=np.float64)
+            y = bv.to_numpy(dtype=np.float64)
+            if exact:
+                eq = x.view(np.uint64) == y.view(np.uint64)
+                eq |= np.isnan(x) & np.isnan(y)  # tolerate NaN payload diffs
+            else:
+                eq = (x == y) | (np.isnan(x) & np.isnan(y))
+            if not eq.all():
+                i = int(np.nonzero(~eq)[0][0])
+                problems.append(
+                    f"value mismatch col={c} row={i}: "
+                    f"ray={x[i]!r} ({x[i].hex()}) sql={y[i]!r} ({y[i].hex()})"
+                )
+        else:
+            neq = (av != bv) & ~(av.isna() & bv.isna())
+            if neq.any():
+                i = int(np.nonzero(neq.values)[0][0])
+                problems.append(
+                    f"value mismatch col={c} row={i}: ray={av.iloc[i]!r} sql={bv.iloc[i]!r}"
+                )
+    return problems[:4]
 
 
 def main() -> int:
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [x for x in sys.argv[1:] if x != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -64,7 +122,7 @@ def main() -> int:
     ]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    only = set(sys.argv[2:])
+    only = set(args[1:])
     failures = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
@@ -100,7 +158,7 @@ def main() -> int:
             print(f"FAIL {name}: sql error {e}")
             failures += 1
             continue
-        problems = compare(name, ray_res, sql_res)
+        problems = compare(name, ray_res, sql_res, exact=exact)
         if problems:
             failures += 1
             print(f"FAIL {name}:")
@@ -109,6 +167,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: rows={len(ray_res)}")
     ray.shutdown()
+    print(f"-- {failures} failures --")
     return 1 if failures else 0
 
 
