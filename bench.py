@@ -280,22 +280,42 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries(SF_DIR)
     ray.shutdown()
 
-    print(
-        json.dumps(
-            {
-                "metric": "flagship_e2e_seconds",
-                "value": headline["elapsed_s"],
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "num_cpus": NUM_CPUS,
-                "rows": headline["rows"],
-                "tokens": headline["tokens"],
-                "sequences_per_s": headline["sequences_per_s"],
-                "tokens_per_s": headline["tokens_per_s"],
-            }
-        )
-    )
+    # Full per-query timings go on an EARLIER stdout line + a sidecar file;
+    # the FINAL line must stay compact (the driver parses the last ~2000
+    # chars of output — BENCH_r02 had parsed:null because 122 query timings
+    # pushed the final line past that window).
+    if queries:
+        print(json.dumps({"metric": "bench_query_seconds", "queries": queries}))
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_QUERIES_LAST.json"), "w") as f:
+                json.dump({"sf": sf, "num_cpus": NUM_CPUS, "queries": queries}, f)
+        except OSError:
+            pass
+
+    final = {
+        "metric": "flagship_e2e_seconds",
+        "value": headline["elapsed_s"],
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": headline["rows"],
+        "tokens": headline["tokens"],
+        "sequences_per_s": headline["sequences_per_s"],
+        "tokens_per_s": headline["tokens_per_s"],
+        "queries_n": len(queries),
+        "queries_total_s": round(sum(queries.values()), 3),
+    }
+    # keep the slowest queries inline, as many as fit the tail window
+    slowest = sorted(queries.items(), key=lambda kv: -kv[1])
+    inline: dict[str, float] = {}
+    for name, secs in slowest:
+        inline[name] = secs
+        if len(json.dumps({**final, "queries": inline})) > 1500:
+            del inline[name]
+            break
+    final["queries"] = inline
+    print(json.dumps(final))
 
 
 def cpu_probe(lo: int, hi: int, seconds: float = 3.0) -> float:
