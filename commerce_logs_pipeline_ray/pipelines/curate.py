@@ -12,11 +12,15 @@ implements individually, ending in a partitioned Parquet sink.
 Scale shape: normalize/quality/langid are stateless Arrow kernels fused
 into the read stage; the ONLY exchange is the dedup's fingerprint-keyed
 reduce, and it moves (fp, doc_id) partials pre-collapsed per batch — never
-document text.  The survivor id set broadcasts back (``ray.put`` once) and
-a second streaming pass writes survivors; text therefore crosses the wire
-zero times.  At 100 TB swap the broadcast id set for a Bloom filter (same
-structure, bounded memory — ``relational.bloom_semi_join``) or write
-fp-partitioned survivors directly from the reduce.
+document text.  The content fingerprint is a one-pass vectorized 128-bit
+FNV pair by default (``hashing.content_fp128``); md5 is available for
+DuckDB-``md5()`` oracle parity.  Survivor filtering is size-aware: a small
+keeper set broadcasts back as an exact id array (``ray.put`` once,
+vectorized ``isin``); past ``dedup_broadcast_max`` the keeper ids never
+touch the driver — a Bloom prefilter + hash-partitioned exact verify
+(``relational.bloom_semi_join``) bounds memory at any corpus size.  Text
+crosses the wire zero times on the broadcast path and only for the ~1%
+Bloom false positives on the large path.
 
 Every stage is SQL-expressible, so the whole pipeline is oracle-checked
 end-to-end by the ``curation_pipeline`` registry query (same parquet in,
@@ -37,6 +41,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.hashing import content_fp128
 from ..functions.scrub import normalize_text
 from ..functions.text import langid_batch, md5_hex, n_words, stopword_hits
 
@@ -51,6 +56,16 @@ class CurateConfig:
     max_stop_ratio_num: int = 1
     max_stop_ratio_den: int = 2
     override_num_blocks: int | None = None
+    # content fingerprint for exact dedup: "fnv128" (vectorized one-pass
+    # 128-bit FNV pair — the scale default) or "md5" (per-row hashlib; only
+    # for DuckDB md5() oracle parity)
+    fingerprint: str = "fnv128"
+    # survivor filtering: below this keeper count the exact id array
+    # broadcasts (ray.put once, vectorized isin per batch); above it the
+    # keeper ids never materialize on the driver — a Bloom prefilter +
+    # hash-partitioned exact verify (relational.bloom_semi_join) runs
+    # instead, bounding driver memory at any corpus size
+    dedup_broadcast_max: int = 2_000_000
 
 
 @dataclass
@@ -64,12 +79,13 @@ class CurateResult:
     output_files: list = field(default_factory=list)
 
 
-def _annotate(t: pa.Table) -> pa.Table:
+def _annotate(t: pa.Table, fingerprint: str = "fnv128") -> pa.Table:
     """Fused normalize + quality + fingerprint kernel (one pass, no Python
     rows): emits the columns every later stage needs."""
     norm = normalize_text(t["text"])
     nw = pc.cast(n_words(norm), pa.int64())
     hits = stopword_hits(norm)
+    fp = md5_hex(norm) if fingerprint == "md5" else content_fp128(norm)
     return pa.table(
         {
             "doc_id": t["doc_id"],
@@ -77,7 +93,7 @@ def _annotate(t: pa.Table) -> pa.Table:
             "text": norm,
             "n_words": nw,
             "stop_hits": hits,
-            "fp": md5_hex(norm),
+            "fp": fp,
         }
     )
 
@@ -92,7 +108,12 @@ def run_curate(cfg: CurateConfig) -> CurateResult:
     ds = rd.read_parquet(cfg.input_path, columns=["doc_id", "source", "text"], **kw)
     res.rows_in = ds.count()
 
-    annotated = ds.map_batches(_annotate, batch_format="pyarrow", zero_copy_batch=True)
+    annotated = ds.map_batches(
+        _annotate,
+        fn_kwargs={"fingerprint": cfg.fingerprint},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def gate(t: pa.Table) -> pa.Table:
         ok = pc.and_(
@@ -116,20 +137,37 @@ def run_curate(cfg: CurateConfig) -> CurateResult:
             [("doc_id", "min")])
         return pa.table({"fp": g["fp"], "keeper": g["doc_id_min"]})
 
-    keepers = bucketed_group_reduce(
+    keepers_ds = bucketed_group_reduce(
         passed.map_batches(fp_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["fp"],
         lambda df: df.groupby("fp", as_index=False)["keeper"].min(),
-    ).to_pandas()
-    keep_ids = np.sort(keepers["keeper"].to_numpy(dtype=np.int64))
-    keep_ref = ray.put(keep_ids)
+    ).materialize()
+    n_keepers = keepers_ds.count()
 
-    def keep_only(t: pa.Table, *, ref=keep_ref) -> pa.Table:
-        ids = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        mask = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids, assume_unique=False)
-        return t.filter(pa.array(mask))
+    if n_keepers <= cfg.dedup_broadcast_max:
+        # small keeper set: exact id array broadcasts once, vectorized isin
+        keep_ids = np.sort(keepers_ds.to_pandas()["keeper"].to_numpy(dtype=np.int64))
+        keep_ref = ray.put(keep_ids)
 
-    survivors = passed.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
+        def keep_only(t: pa.Table, *, ref=keep_ref) -> pa.Table:
+            ids = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            mask = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids, assume_unique=False)
+            return t.filter(pa.array(mask))
+
+        survivors = passed.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # large keeper set: never materialize ids on the driver — Bloom
+        # prefilter (blobs OR-merge, ships once) + hash-partitioned exact
+        # verify against the keeper Dataset
+        from ..functions.relational import bloom_semi_join
+
+        survivors = bloom_semi_join(
+            passed, keepers_ds.select_columns(["keeper"]), on="doc_id", right_on="keeper"
+        ).map_batches(
+            lambda t: t.drop_columns([c for c in ("keeper",) if c in t.column_names]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     tagged = survivors.map_batches(
         lambda t: t.append_column("lang_guess", langid_batch(t)["lang_guess"]),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -86,3 +86,36 @@ def test_curate_deterministic(corpus, ray_session, tmp_path):
     # batch-digest file names are content-addressed → identical names
     assert [os.path.basename(p) for p in r1.output_files] == \
            [os.path.basename(p) for p in r2.output_files]
+
+
+def test_curate_bloom_path_matches_broadcast(corpus, ray_session, tmp_path):
+    """dedup_broadcast_max=0 forces the Bloom prefilter + exact-verify
+    survivor path; the survivor SET and summary must equal the broadcast
+    path's (Bloom has no false negatives; verify scrubs false positives)."""
+    _, _, path = corpus
+    bc = run_curate(CurateConfig(input_path=path, output_dir=str(tmp_path / "bc")))
+    bl = run_curate(CurateConfig(
+        input_path=path, output_dir=str(tmp_path / "bl"), dedup_broadcast_max=0))
+    assert bl.rows_out == bc.rows_out
+    assert bl.dropped_duplicate == bc.dropped_duplicate
+    assert bl.per_lang == bc.per_lang
+
+    def kept(res):
+        ids = set()
+        for f in res.output_files:
+            ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return ids
+
+    assert kept(bl) == kept(bc)
+
+
+def test_curate_md5_fingerprint_matches_fnv(corpus, ray_session, tmp_path):
+    """Fingerprint choice must not change dedup semantics (both injective
+    on the corpus): md5 (oracle-parity) and fnv128 (scale default) agree."""
+    _, _, path = corpus
+    fnv = run_curate(CurateConfig(input_path=path, output_dir=str(tmp_path / "f")))
+    md5 = run_curate(CurateConfig(
+        input_path=path, output_dir=str(tmp_path / "m"), fingerprint="md5"))
+    assert md5.per_lang == fnv.per_lang
+    assert md5.rows_out == fnv.rows_out
+    assert md5.dropped_duplicate == fnv.dropped_duplicate
