@@ -99,6 +99,16 @@ class PipelineConfig:
     # (docs/trace-model.md:130-145, traces-{sub}-{env}-yyyy.MM.dd) expressed
     # as partition dirs, so downstream reads prune whole directories.
     partition_by: list[str] | None = None
+    # Checkpoint granularity INSIDE a shard.  "shard" (default): an
+    # incomplete shard is wiped and redone whole.  "rowgroup": the shard is
+    # planned as row-group-range units (state/units.py) and an interrupted
+    # run resumes from its last COMMITTED unit — the reference's byte-offset
+    # mid-blob resume (processor.go:91-116, worker.go:376-385): a 100-GB hot
+    # file no longer re-runs from zero.  Routed files gain a trailing
+    # unit=<id> directory level (below partition dirs, so pruned reads are
+    # unaffected — routed_files globs recursively).
+    resume_granularity: str = "shard"          # "shard" | "rowgroup"
+    unit_target_bytes: int = 128 << 20         # unit packing size (compressed bytes)
 
     # config fields that change WHAT is computed (outputs), as opposed to
     # execution tuning (batch sizes, concurrency, agg strategy) which only
@@ -108,7 +118,7 @@ class PipelineConfig:
     # semantic: it is the on-disk layout contract readers prune against.
     SEMANTIC_FIELDS = (
         "sources", "bucket_width", "num_logical_partitions", "validate", "write_routed",
-        "partition_by",
+        "partition_by", "resume_granularity",
     )
 
     def lineage_repr(self) -> str:
@@ -163,6 +173,7 @@ def write_routed_batch(
     write_routed: bool,
     compression: str = "snappy",
     partition_by: list[str] | None = None,
+    unit_tag: str | None = None,
 ) -> pa.Table:
     """Fused sink-writer + aggregation combiner (runs inside map_batches).
 
@@ -204,6 +215,10 @@ def write_routed_batch(
             sinks_col.combine_chunks() if isinstance(sinks_col, pa.ChunkedArray) else sinks_col
         ).to_pylist()
         def _write_one(sub: pa.Table, rel_dir: str) -> None:
+            if unit_tag is not None:
+                # unit level sits BELOW the partition dirs so partition-pruned
+                # globs (routed_files, recursive **) are unaffected
+                rel_dir = os.path.join(rel_dir, f"unit={unit_tag}")
             os.makedirs(rel_dir, exist_ok=True)
             path = os.path.join(rel_dir, f"part-{int(batch_digest):016x}.parquet")
             tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -244,6 +259,80 @@ def write_routed_batch(
                 )
 
     return partial_agg(t, keys=AGG_KEYS, bucket_width=bucket_width, salt_mod=salt_mod)
+
+
+def _process_unit_batch(
+    batch: pa.Table,
+    *,
+    cfg: "PipelineConfig",
+    lookup_ref,
+    shard_id: int,
+    lineage: str,
+    udir: str,
+    uagg_dir: str,
+) -> pa.Table:
+    """One sub-shard checkpoint UNIT end-to-end, inside a Ray task: read its
+    row-group range (column-pruned), run the full parse→enrich→route→write
+    chain per read batch, persist the unit's aggregate partial, then COMMIT
+    the unit marker (the write order is the exactly-once argument: marker
+    last, everything before it deterministic and overwrite-idempotent).
+
+    Reference analogue: one blob segment produce + BlobCompletionEvent
+    (processor.go:263-306) at row-group-range granularity."""
+    from ..state import units as ustate
+
+    out: list[pa.Table] = []
+    for row in batch.to_pylist():
+        pf = pq.ParquetFile(row["file"])
+        parts: list[pa.Table] = []
+        for rb in pf.iter_batches(
+            batch_size=cfg.batch_size,
+            row_groups=list(range(row["rg_lo"], row["rg_hi"] + 1)),
+            columns=list(SEQUENCES_SCHEMA.names),
+        ):
+            t = pa.Table.from_batches([rb])
+            t = parse_batch(t, num_partitions=cfg.num_logical_partitions)
+            if cfg.validate:
+                from ..stages.validate import validate_batch
+
+                t = validate_batch(t)
+            t = _enrich_task(t, ref=lookup_ref)
+            t = route_batch(t)
+            parts.append(
+                write_routed_batch(
+                    t,
+                    out_dir=cfg.output_dir,
+                    shard_id=shard_id,
+                    lineage=lineage,
+                    bucket_width=cfg.bucket_width,
+                    salt_mod=0,  # unit partial collapses in-task; no exchange
+                    write_routed=cfg.write_routed,
+                    compression=cfg.write_compression,
+                    partition_by=cfg.partition_by,
+                    unit_tag=row["unit_id"],
+                )
+            )
+        from ..stages.aggregate import _combine_partials
+
+        upart = _combine_partials(pa.concat_tables(parts), group_keys=list(AGG_KEYS))
+        upath = os.path.join(uagg_dir, f"unit-{row['unit_id']}.parquet")
+        tmp = upath + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(upart, tmp)
+        os.replace(tmp, upath)
+        ustate.write_unit_marker(
+            udir,
+            {
+                "unit_id": row["unit_id"],
+                "lineage_id": lineage,
+                "file": row["file"],
+                "rg_lo": row["rg_lo"],
+                "rg_hi": row["rg_hi"],
+                "rows_in": row["n_rows"],
+                "bytes": row["bytes"],
+            },
+        )
+        out.append(upart)
+    return pa.concat_tables(out)
 
 
 def preflight(cfg: PipelineConfig, files: list[str] | None = None) -> list[str]:
@@ -455,6 +544,123 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
         }
         mstate.write_shard_record(manifest_dir, record)
         return record
+
+    def _process_shard_rowgroup(shard_id: int, shard_files: list[str], lineage: str) -> dict:
+        """Row-group-granular variant of ``_process_shard``: plan units, skip
+        committed ones, run the rest as one streaming task pool (each unit is
+        a single fused read→parse→enrich→route→write task), then merge unit
+        aggregate partials into the shard partial + manifest record."""
+        from ..state import units as ustate
+
+        udir = ustate.unit_dir(manifest_dir, shard_id)
+        uagg_dir = os.path.join(agg_dir, f"shard-{shard_id:05d}-units")
+        units = ustate.plan_units(shard_files, cfg.unit_target_bytes)
+        done = ustate.load_complete_units(udir, lineage)
+        done = {uid: m for uid, m in done.items() if uid in {u["unit_id"] for u in units}}
+
+        if not done:
+            # no resumable progress (fresh shard or semantic change): same
+            # wipe as shard mode so foreign-layout leftovers can't linger
+            for stale_dir in glob.glob(
+                os.path.join(cfg.output_dir, "routed", "*", f"shard={shard_id:05d}")
+            ):
+                shutil.rmtree(stale_dir, ignore_errors=True)
+            shutil.rmtree(udir, ignore_errors=True)
+            shutil.rmtree(uagg_dir, ignore_errors=True)
+        agg_path = os.path.join(agg_dir, f"shard-{shard_id:05d}.parquet")
+        if os.path.exists(agg_path):
+            os.remove(agg_path)
+        os.makedirs(uagg_dir, exist_ok=True)
+
+        pending_units = [u for u in units if u["unit_id"] not in done]
+        # wipe PENDING units' previous partial output (an interrupted attempt
+        # may have used different batch boundaries — non-semantic config — so
+        # its file digests need not match this run's; completed units are
+        # untouched, which is the whole point)
+        for u in pending_units:
+            for d in glob.glob(
+                os.path.join(
+                    cfg.output_dir, "routed", "*", f"shard={shard_id:05d}",
+                    "**", f"unit={u['unit_id']}",
+                ),
+                recursive=True,
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+            p = os.path.join(uagg_dir, f"unit-{u['unit_id']}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+
+        t_shard = time.perf_counter()
+        op_walls: dict[str, float] = {}
+        if pending_units:
+            partial_stream = rd.from_items(pending_units).map_batches(
+                _process_unit_batch,
+                fn_kwargs={
+                    "cfg": cfg,
+                    "lookup_ref": lookup_ref,
+                    "shard_id": shard_id,
+                    "lineage": lineage,
+                    "udir": udir,
+                    "uagg_dir": uagg_dir,
+                },
+                batch_size=1,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()  # drives the execution; partial rows are KBs
+            try:
+                op_walls = _stats_summary(partial_stream.stats())
+            except Exception:
+                op_walls = {}
+
+        # shard partial = merge of ALL unit partials (resumed + fresh)
+        unit_tables = [
+            pq.read_table(os.path.join(uagg_dir, f"unit-{u['unit_id']}.parquet"))
+            for u in units
+        ]
+        from ..stages.aggregate import _combine_partials
+
+        agg_table = _combine_partials(
+            pa.concat_tables(unit_tables) if unit_tables else AGG_SCHEMA.empty_table(),
+            group_keys=list(AGG_KEYS),
+        )
+        agg_table = agg_table.select(AGG_SCHEMA.names).cast(AGG_SCHEMA)
+        pq.write_table(agg_table, agg_path)
+
+        rows_in = int(pc.sum(agg_table["row_count"]).as_py() or 0)
+        per_sink: dict[str, int] = {}
+        sink_counts = agg_table.group_by("sink").aggregate([("row_count", "sum")])
+        for sink, cnt in zip(
+            sink_counts["sink"].to_pylist(), sink_counts["row_count_sum"].to_pylist()
+        ):
+            per_sink[sink] = int(cnt)
+        wall = time.perf_counter() - t_shard
+        bytes_skipped = sum(int(m.get("bytes", 0)) for m in done.values())
+        bytes_read = sum(int(u["bytes"]) for u in pending_units)
+        record = {
+            "partition_id": shard_id,
+            "lineage_id": lineage,
+            "input_files": shard_files,
+            "rows_in": rows_in,
+            "rows_out_per_sink": per_sink,
+            "agg_partial_path": agg_path,
+            "metrics": {
+                "wall_s": round(wall, 4),
+                "rows_per_s": round(rows_in / wall, 2) if wall > 0 else 0.0,
+                "operator_wall_s": op_walls,
+                "hot_sources": detect_hot_keys(agg_table),
+                "units_total": len(units),
+                "units_resumed": len(done),
+                "units_run": len(pending_units),
+                "bytes_read": bytes_read,
+                "bytes_skipped": bytes_skipped,
+            },
+            "status": mstate.STATUS_COMPLETE,
+        }
+        mstate.write_shard_record(manifest_dir, record)
+        return record
+
+    if cfg.resume_granularity == "rowgroup":
+        _process_shard = _process_shard_rowgroup  # noqa: F811 — same contract
 
     # run the pending shards — sequentially, or overlapped via a bounded
     # thread pool (each thread drives its own streaming execution; per-shard
