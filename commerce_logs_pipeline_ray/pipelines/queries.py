@@ -8061,11 +8061,60 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def ensure_media_parquet(sf_dir: str) -> str:
+    """Materialize the real-payload media corpus (sources/media.py: genuine
+    PNG/WAV/VID0 bytes + ground-truth stats) in the oracle-artifact dir."""
+    import os as _os
+
+    from ..sources.media import build_media_table
+
+    sf = _sf_of(sf_dir)
+    n = max(48, min(4800, int(4800 * sf)))
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "media.parquet"),
+        lambda: build_media_table(n),
+    )
+
+
+def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode through the actor pool: payloads are genuine
+    PNG / WAV / VID0 bytes; MediaProbe (stages/multimodal.py) binds the
+    stdlib codecs once per actor and re-derives width/height/duration and
+    exact integer pixel/sample sums by decoding.  The oracle is the ground
+    truth persisted at synthesis time — a decode bug cannot cancel out.
+    Reference pattern being matched: ST2 stateful stage (service.go:284-309)."""
+    from ..stages.multimodal import MediaProbe
+
+    src = ensure_media_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload", "media_type"])
+    probed = ds.map_batches(
+        MediaProbe,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+    out = probed.to_pandas().sort_values("media_id", ignore_index=True)
+    return _i64(out, ["width", "height", "duration_ms", "px_sum", "sample_sum", "n_frames"])
+
+
+SQL_MEDIA_DECODE_REAL = f"""
+SELECT media_id, media_type, width, height, duration_ms, px_sum, sample_sum, n_frames
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media.parquet')
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
+    "media_decode_real": QuerySpec(
+        q_media_decode_real,
+        SQL_MEDIA_DECODE_REAL,
+        "real PNG/WAV/VID0 decode via actor pool vs synthesis-time ground truth",
+    ),
     "return_rate_monthly": QuerySpec(
         q_return_rate_monthly,
         SQL_RETURN_RATE_MONTHLY,
@@ -8806,3 +8855,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_derived_parquet(sf_dir)
     ensure_packing_artifact(sf_dir)
     ensure_simhash_parquet(sf_dir)
+    ensure_media_parquet(sf_dir)
+    ensure_curation_parquet(sf_dir)

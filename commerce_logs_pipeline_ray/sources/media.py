@@ -1,0 +1,90 @@
+"""Real-payload media corpus: deterministic PNG images, WAV audio clips and
+VID0 frame containers with ground-truth stats persisted alongside.
+
+The ground-truth columns (width/height/duration_ms/px_sum/sample_sum/
+n_frames) are computed from the SOURCE arrays at synthesis time; the
+``media_decode_real`` query re-derives them by actually DECODING the
+payloads through the multimodal actor pool — the oracle is the stored
+truth, so a decode bug cannot cancel itself out.
+
+Sentinel convention: stats that do not apply to a media type are -1 (not
+NULL) so every column stays non-null int64 on both the Ray and DuckDB
+sides (NULL BIGINT becomes float64+NaN in pandas — a dtype-hash hazard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.media_codecs import encode_png, encode_video, encode_wav
+
+AUDIO_RATE = 8000
+VIDEO_FPS = 10
+
+
+def build_media_table(n: int, seed: int = 42) -> pa.Table:
+    """n media rows cycling image → audio → video, all really encoded."""
+    rng = np.random.default_rng(seed)
+    media_id, payload, media_type = [], [], []
+    width, height, duration_ms = [], [], []
+    px_sum, sample_sum, n_frames = [], [], []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        media_id.append(f"m{i:06d}")
+        media_type.append(kind)
+        if kind == "image":
+            w, h = 16 + i % 17, 12 + i % 13
+            img = (
+                np.add.outer(np.arange(h), np.arange(w))[..., None] * [3, 5, 7]
+                + rng.integers(0, 64, size=(h, w, 3))
+            ).astype(np.uint8)
+            payload.append(encode_png(img))
+            width.append(w)
+            height.append(h)
+            duration_ms.append(-1)
+            px_sum.append(int(img.astype(np.int64).sum()))
+            sample_sum.append(-1)
+            n_frames.append(-1)
+        elif kind == "audio":
+            k = 800 + (i * 13) % 4000
+            t = np.arange(k, dtype=np.float64)
+            samples = (
+                3000 * np.sin(2 * np.pi * (220 + i) * t / AUDIO_RATE)
+                + rng.integers(-500, 500, size=k)
+            ).astype(np.int16)
+            payload.append(encode_wav(samples, AUDIO_RATE))
+            width.append(-1)
+            height.append(-1)
+            duration_ms.append(k * 1000 // AUDIO_RATE)
+            px_sum.append(-1)
+            sample_sum.append(int(samples.astype(np.int64).sum()))
+            n_frames.append(-1)
+        else:
+            k = 2 + i % 3
+            w, h = 8 + i % 5, 6 + i % 4
+            frames = [
+                (np.add.outer(np.arange(h), np.arange(w))[..., None] * [2, 4, 6] + fi * 11)
+                .astype(np.uint8)
+                for fi in range(k)
+            ]
+            payload.append(encode_video(frames, VIDEO_FPS))
+            width.append(w)
+            height.append(h)
+            duration_ms.append(k * 1000 // VIDEO_FPS)
+            px_sum.append(int(sum(f.astype(np.int64).sum() for f in frames)))
+            sample_sum.append(-1)
+            n_frames.append(k)
+    return pa.table(
+        {
+            "media_id": pa.array(media_id, pa.string()),
+            "payload": pa.array(payload, pa.binary()),
+            "media_type": pa.array(media_type, pa.string()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+            "duration_ms": pa.array(duration_ms, pa.int64()),
+            "px_sum": pa.array(px_sum, pa.int64()),
+            "sample_sum": pa.array(sample_sum, pa.int64()),
+            "n_frames": pa.array(n_frames, pa.int64()),
+        }
+    )

@@ -6,11 +6,13 @@ Decode / feature-extract / resize / frame-sample are **actor-pool
 map_batches stages** (codec/model state loads once per actor in
 ``__init__``; SURVEY §2.5 ST2 pattern).
 
-The actual codec calls are STUBBED in this environment (no Pillow/ffmpeg in
-the container): each stage ships a deterministic fake implementation used by
-default so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested, and raises ``NotImplementedError`` from
-the clearly-marked ``_decode_real`` hooks where a codec would slot in.
+The REAL decode path uses the dependency-free codecs in
+``functions/media_codecs.py``: PNG (zlib inflate + scanline unfilter), WAV
+PCM (RIFF parse), and the documented VID0 frame container over real PNG
+frames — ``use_stub=False`` genuinely decodes.  Heavyweight codecs that
+need native libraries absent from this container (JPEG, H.264, MP3) keep
+the clearly-marked ``NotImplementedError`` hooks; the deterministic stub
+implementations remain for plumbing tests on opaque payloads.
 
 Batch-size guidance (memory-aware): binary payloads are large — size
 ``batch_size`` so ``batch_bytes × concurrency`` fits the worker heap; e.g.
@@ -71,13 +73,34 @@ class ImageDecoder:
 
     @staticmethod
     def _load_real_codec():
+        """Loaded ONCE per actor (ST2 pattern).  PNG decodes for real via
+        the stdlib-only codec; JPEG would need a native library."""
+        from ..functions.media_codecs import decode_png
+
+        return decode_png
+
+    @staticmethod
+    def _load_jpeg_codec():
         raise NotImplementedError(
-            "real image codec not available in this container; "
-            "slot PIL/torchvision in here (loaded once per actor)"
+            "JPEG needs a native codec (libjpeg/PIL) not present in this "
+            "container; slot it in here (loaded once per actor)"
         )
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError("real decode path — requires a codec library")
+        """payload → FEATURE_DIM float32 vector from REAL pixels: grayscale
+        4×4 block means (a deterministic, resolution-independent pooling)."""
+        img = self._codec(payload)
+        gray = img.astype(np.float32) if img.ndim == 2 else img.astype(np.float32).mean(axis=2)
+        h, w = gray.shape
+        ys = np.linspace(0, h, 5, dtype=np.int64)
+        xs = np.linspace(0, w, 5, dtype=np.int64)
+        out = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+        for yi in range(4):
+            for xi in range(4):
+                block = gray[ys[yi] : max(ys[yi + 1], ys[yi] + 1),
+                             xs[xi] : max(xs[xi + 1], xs[xi] + 1)]
+                out[yi * 4 + xi] = float(block.mean()) / 255.0
+        return out
 
     def _decode_stub(self, payloads: list[bytes]) -> np.ndarray:
         # deterministic fake: FNV64 of 16 byte-stripes → scaled floats
@@ -90,7 +113,22 @@ class ImageDecoder:
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.use_stub:
+            # real mode decodes PNG — keep only image rows (other media
+            # types have their own probes)
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t["media_type"], "image"))
         payloads = t["payload"].to_pylist()
+        if not self.use_stub and not payloads:
+            flat0 = pa.array([], pa.float32())
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "media_type": t["media_type"],
+                    "feature": pa.ListArray.from_arrays(pa.array([0], pa.int32()), flat0),
+                }
+            )
         feats = (
             self._decode_stub(payloads)
             if self.use_stub
@@ -108,15 +146,36 @@ class ImageDecoder:
 
 
 class FrameSampler:
-    """Actor-pool stage: video payload → K deterministic 'frame' payloads.
+    """Actor-pool stage: video payload → up to K sampled frame payloads.
 
-    Real implementation would ffmpeg-seek; the stub slices the byte stream
-    at K evenly-spaced offsets (schema/fan-out semantics identical)."""
+    ``use_stub=False`` parses the real VID0 container (media_codecs) and
+    emits GENUINE PNG frame payloads at K evenly-spaced frame indices —
+    each downstream-decodable by ``ImageDecoder(use_stub=False)``.  An
+    H.264 bitstream would need ffmpeg (``_load_ffmpeg`` hook below); the
+    stub slices the opaque byte stream (schema/fan-out semantics identical).
+    """
 
     def __init__(self, k_frames: int = 4, use_stub: bool = True):
         self.k = k_frames
+        self.use_stub = use_stub
         if not use_stub:
-            raise NotImplementedError("real frame sampling requires ffmpeg")
+            from ..functions.media_codecs import video_frame_payloads
+
+            self._parse = video_frame_payloads  # loaded once per actor
+
+    @staticmethod
+    def _load_ffmpeg():
+        raise NotImplementedError(
+            "H.264/containerized video needs ffmpeg, absent from this "
+            "container; slot it in here (loaded once per actor)"
+        )
+
+    def _sample_real(self, payload: bytes) -> list[tuple[int, bytes]]:
+        _fps, frames = self._parse(payload)
+        if len(frames) <= self.k:
+            return list(enumerate(frames))
+        picks = np.linspace(0, len(frames) - 1, self.k, dtype=np.int64)
+        return [(int(i), frames[int(i)]) for i in picks]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, indices = [], [], []
@@ -125,16 +184,78 @@ class FrameSampler:
         ):
             if mtype != "video":
                 continue
-            step = max(1, len(payload) // self.k)
-            for fi in range(self.k):
-                ids.append(mid)
-                indices.append(fi)
-                frames.append(payload[fi * step : fi * step + 64])
+            if self.use_stub:
+                step = max(1, len(payload) // self.k)
+                for fi in range(self.k):
+                    ids.append(mid)
+                    indices.append(fi)
+                    frames.append(payload[fi * step : fi * step + 64])
+            else:
+                for fi, png in self._sample_real(payload):
+                    ids.append(mid)
+                    indices.append(fi)
+                    frames.append(png)
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.string()),
                 "frame_index": pa.array(indices, type=pa.int32()),
                 "frame_payload": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+class MediaProbe:
+    """Actor-pool stage: REAL decode of every payload → typed stats.
+
+    image → PNG decode: width/height and exact integer pixel sum;
+    audio → WAV parse: duration (n·1000//rate) and exact sample sum;
+    video → VID0 parse + per-frame PNG decode: dims, duration, pixel sum,
+    frame count.  Inapplicable stats are -1 (never NULL — keeps every
+    column non-null int64 on both the Ray and oracle sides).
+
+    Codecs bind once per actor in ``__init__`` (ST2 pattern; reference
+    analogue service.go:284-309)."""
+
+    def __init__(self):
+        from ..functions.media_codecs import decode_png, decode_video, decode_wav
+
+        self._png, self._wav, self._vid = decode_png, decode_wav, decode_video
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        width = np.full(n, -1, np.int64)
+        height = np.full(n, -1, np.int64)
+        duration = np.full(n, -1, np.int64)
+        px_sum = np.full(n, -1, np.int64)
+        sample_sum = np.full(n, -1, np.int64)
+        n_frames = np.full(n, -1, np.int64)
+        for i, (payload, mtype) in enumerate(
+            zip(t["payload"].to_pylist(), t["media_type"].to_pylist())
+        ):
+            if mtype == "image":
+                img = self._png(payload)
+                height[i], width[i] = img.shape[0], img.shape[1]
+                px_sum[i] = int(img.astype(np.int64).sum())
+            elif mtype == "audio":
+                rate, samples = self._wav(payload)
+                duration[i] = len(samples) * 1000 // rate
+                sample_sum[i] = int(samples.astype(np.int64).sum())
+            elif mtype == "video":
+                fps, frames = self._vid(payload)
+                n_frames[i] = len(frames)
+                duration[i] = len(frames) * 1000 // fps
+                height[i], width[i] = frames[0].shape[0], frames[0].shape[1]
+                px_sum[i] = int(sum(f.astype(np.int64).sum() for f in frames))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "duration_ms": pa.array(duration),
+                "px_sum": pa.array(px_sum),
+                "sample_sum": pa.array(sample_sum),
+                "n_frames": pa.array(n_frames),
             }
         )
 

@@ -41,11 +41,47 @@ def test_decoder_actor_pool_pipeline(ray_session):
     assert set(out["media_type"]) == {"image", "audio", "video"}
 
 
-def test_real_codec_path_is_marked_unimplemented():
+def test_unavailable_native_codecs_are_marked_unimplemented():
+    # PNG/WAV/VID0 decode for real now; the hooks that NEED native libs
+    # (JPEG, ffmpeg/H.264) stay clearly marked
     with pytest.raises(NotImplementedError):
-        ImageDecoder(use_stub=False)
+        ImageDecoder._load_jpeg_codec()
     with pytest.raises(NotImplementedError):
-        FrameSampler(use_stub=False)
+        FrameSampler._load_ffmpeg()
+
+
+def test_real_decode_roundtrip():
+    """Real path end-to-end: encode → ImageDecoder(use_stub=False) features
+    from true pixels; FrameSampler(use_stub=False) yields decodable PNGs."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.media_codecs import decode_png
+    from commerce_logs_pipeline_ray.sources.media import build_media_table
+
+    t = build_media_table(18)
+    dec = ImageDecoder(use_stub=False)
+    feats = dec(t)
+    # only image rows survive; features are real pixel block means in [0,1]
+    assert feats.num_rows == sum(1 for x in t["media_type"].to_pylist() if x == "image")
+    for row in feats["feature"].to_pylist():
+        assert len(row) == ImageDecoder.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in row)
+
+    frames = FrameSampler(k_frames=2, use_stub=False)(t)
+    assert frames.num_rows > 0
+    for p in frames["frame_payload"].to_pylist():
+        img = decode_png(p)  # genuine PNG frames
+        assert img.ndim == 3 and img.dtype == np.uint8
+
+
+def test_media_probe_matches_ground_truth(ray_session):
+    from commerce_logs_pipeline_ray.sources.media import build_media_table
+    from commerce_logs_pipeline_ray.stages.multimodal import MediaProbe
+
+    t = build_media_table(24)
+    got = MediaProbe()(t.select(["media_id", "payload", "media_type"]))
+    for col in ("width", "height", "duration_ms", "px_sum", "sample_sum", "n_frames"):
+        assert got[col].to_pylist() == t[col].to_pylist(), col
 
 
 def test_frame_sampler_fanout():
