@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
@@ -490,6 +491,18 @@ def detect_hot_keys(
     return hot.reset_index(drop=True)
 
 
+def _tile_join_task(lt: pa.Table, rt: pa.Table, on: str, rkey: str, out_cols: list, schema):
+    """One tile of the both-sides-hot join: inner-merge exactly two blocks.
+
+    Per-task memory is bounded by the two input blocks plus the tile's own
+    output — the pair explosion is distributed across A×B independent
+    tiles instead of landing on one exchange partition."""
+    m = lt.to_pandas().merge(
+        rt.to_pandas(), left_on=on, right_on=rkey, how="inner", suffixes=("", "__r")
+    )
+    return pa.Table.from_pandas(m[out_cols], schema=schema, preserve_index=False)
+
+
 def skew_join(
     left: Dataset,
     right: Dataset,
@@ -499,26 +512,27 @@ def skew_join(
     sample_mod: int = 64,
     num_partitions: int = 16,
     hot_keys: list | None = None,
+    right_hot_threshold: int | None = None,
+    tile_rows: int = 1_000_000,
 ) -> Dataset:
     """Skew-aware inner join: the cure for the one-hot-key aggregator that
     ``hash_join`` documents as its failure mode.
 
-    Plan: (1) estimate left-side key counts from a deterministic hash
-    sample (:func:`detect_hot_keys` — no full groupby); (2) rows with hot
-    keys join against the broadcast of the right side's MATCHING rows only
-    (a per-batch pandas m:n merge — true inner semantics under duplicate
-    right keys, unlike the lookup-join broadcast path); (3) the cold
-    remainder takes the normal hash-partitioned exchange with the hot keys
-    REMOVED from both sides, so no partition ever receives a hot key's row
-    flood.  Result is the union; row multiset equals ``hash_join``'s for
-    any split, so hot-key detection misses degrade throughput, never
-    results.
-
-    Broadcast-side contract: Σ right rows of hot keys must fit in a worker
-    heap (dimension-ish right sides — the common skew-join case).  A hot
-    key that is ALSO heavy on the right needs pair-explosion control
-    (salting both sides) — out of scope here and asserted against via the
-    documented threshold.
+    Plan: (1) estimate per-key row counts on BOTH sides from deterministic
+    stride samples (:func:`detect_hot_keys` — no full groupby); (2) keys
+    hot on the left but small on the right join against the broadcast of
+    the right side's MATCHING rows only (a per-batch pandas m:n merge —
+    true inner semantics under duplicate right keys, unlike the
+    lookup-join broadcast path); (3) keys hot on BOTH sides take
+    pair-explosion control: each side's hot rows are re-blocked to
+    ~``tile_rows`` rows and every (left block, right block) pair joins as
+    its own Ray task — the fragment-replicate tiling; per-task memory is
+    two blocks, never Σ(hot rows), and the O(|L_k|·|R_k|) output is spread
+    over A×B independent tiles; (4) the cold remainder takes the normal
+    hash-partitioned exchange with all hot keys REMOVED from both sides,
+    so no partition ever receives a hot key's row flood.  Result is the
+    union; the row multiset equals ``hash_join``'s for any split, so
+    hot-key detection misses degrade throughput, never results.
     """
     rkey = right_on or on
     if hot_keys is None:
@@ -529,44 +543,87 @@ def skew_join(
 
     import ray
 
-    hot_arr = pa.array(hot_keys)
     right = right.materialize()
-    right_hot_df = right.map_batches(
-        lambda t: t.filter(pc.is_in(t[rkey], value_set=hot_arr)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    right_hot_ref = ray.put(right_hot_df)
+    # keys heavy on the right TOO cannot be broadcast — route them to tiles
+    rh = detect_hot_keys(right, rkey, right_hot_threshold or hot_threshold, sample_mod)
+    both_hot = sorted(set(hot_keys) & set(rh[rkey].tolist()))
+    bcast_hot = [k for k in hot_keys if k not in set(both_hot)]
+    hot_arr = pa.array(hot_keys)
 
-    # canonical output column order shared by both paths:
+    # canonical output column order shared by all paths:
     # left columns, then right columns minus the (renamed-away) join key
     left_cols = left.schema().names
     right_payload = [c for c in right.schema().names if c != rkey]
     out_cols = list(left_cols) + right_payload
 
-    def bcast_merge(df: pd.DataFrame, *, ref=right_hot_ref) -> pd.DataFrame:
-        dim = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
-        m = df.merge(dim, left_on=on, right_on=rkey, how="inner", suffixes=("", "__r"))
-        return m[out_cols]
+    def split(t: pa.Table, keys: pa.Array, want: bool) -> pa.Table:
+        mask = pc.is_in(t[on], value_set=keys)
+        return t.filter(mask if want else pc.invert(mask))
 
-    def split(t: pa.Table, want_hot: bool) -> pa.Table:
-        mask = pc.is_in(t[on], value_set=hot_arr)
-        return t.filter(mask if want_hot else pc.invert(mask))
+    pieces: list[Dataset] = []
 
-    left_hot = left.map_batches(
-        lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
-    )
+    if bcast_hot:
+        bcast_arr = pa.array(bcast_hot)
+        right_hot_df = right.map_batches(
+            lambda t: t.filter(pc.is_in(t[rkey], value_set=bcast_arr)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        right_hot_ref = ray.put(right_hot_df)
+
+        def bcast_merge(df: pd.DataFrame, *, ref=right_hot_ref) -> pd.DataFrame:
+            dim = ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref
+            m = df.merge(dim, left_on=on, right_on=rkey, how="inner", suffixes=("", "__r"))
+            return m[out_cols]
+
+        left_bcast_hot = left.map_batches(
+            lambda t: split(t, bcast_arr, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        pieces.append(left_bcast_hot.map_batches(bcast_merge, batch_format="pandas"))
+
+    if both_hot:
+        both_arr = pa.array(both_hot)
+        lb = left.map_batches(
+            lambda t: split(t, both_arr, True), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        rb = right.map_batches(
+            lambda t: t.filter(pc.is_in(t[rkey], value_set=both_arr)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        la = max(1, -(-lb.count() // tile_rows))
+        rbn = max(1, -(-rb.count() // tile_rows))
+        lrefs = lb.repartition(la).to_arrow_refs()
+        rrefs = rb.repartition(rbn).to_arrow_refs()
+        # target schema fixed on the driver so empty tiles keep exact types
+        lschema = pa.concat_tables([ray.get(lrefs[0])]).schema if lrefs else None
+        rschema = pa.concat_tables([ray.get(rrefs[0])]).schema if rrefs else None
+        if lrefs and rrefs:
+            fields = [lschema.field(c) for c in left_cols] + [
+                rschema.field(c) for c in right_payload
+            ]
+            tile_schema = pa.schema(fields)
+            tile_fn = ray.remote(_tile_join_task)
+            tiles = [
+                tile_fn.remote(lr, rr, on, rkey, out_cols, tile_schema)
+                for lr in lrefs
+                for rr in rrefs
+            ]
+            pieces.append(rd.from_arrow_refs(tiles))
+
     left_cold = left.map_batches(
-        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+        lambda t: split(t, hot_arr, False), batch_format="pyarrow", zero_copy_batch=True
     )
     right_cold = right.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(t[rkey], value_set=hot_arr))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    hot_joined = left_hot.map_batches(bcast_merge, batch_format="pandas")
     cold_joined = hash_join(left_cold, right_cold, on, right_on, "inner", num_partitions)
     cold_joined = cold_joined.map_batches(
         lambda df: df[out_cols], batch_format="pandas"
     )
-    return hot_joined.union(cold_joined)
+    out = pieces[0] if pieces else cold_joined
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out.union(cold_joined) if pieces else out

@@ -82,6 +82,70 @@ def test_skew_join_duplicate_right_keys_mn_semantics(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_skew_join_both_sides_hot_takes_tile_path(ray_session):
+    """A key heavy on BOTH sides must not broadcast Σ(right hot rows):
+    skew_join routes it through the block-pair tile path (bounded per-task
+    memory) and the row multiset still equals the plain merge."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import skew_join
+
+    rng = np.random.default_rng(11)
+    # key 7: 3000 left rows AND 400 right rows → 1.2M pairs if mishandled;
+    # here scaled so the expected output is checkable (3000×400 = 1.2M rows
+    # is fine at test scale with small tiles forcing multiple tasks)
+    lk = np.concatenate([np.full(3000, 7), rng.integers(100, 150, 2000)])
+    rk = np.concatenate([np.full(400, 7), np.arange(100, 150)])
+    left = pd.DataFrame({"k": lk, "x": np.arange(len(lk))})
+    right = pd.DataFrame({"rk": rk, "payload": np.arange(len(rk)) * 10})
+
+    got = (
+        skew_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+            hot_threshold=500, sample_mod=1,       # exact detection
+            right_hot_threshold=100, tile_rows=800,  # force ≥2×1 tiles
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "x", "payload"]]
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    assert len(want) > 1_000_000  # the pair explosion is real
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_skew_join_mixed_hot_classes(ray_session):
+    """bcast-hot, both-hot and cold keys in ONE join — all three paths
+    active at once, union equals the plain merge."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import skew_join
+
+    left = pd.DataFrame({
+        "k": [1] * 500 + [2] * 500 + [3, 4, 5] * 10,
+        "x": np.arange(1030),
+    })
+    right = pd.DataFrame({
+        "rk": [1] * 2 + [2] * 300 + [3, 4, 5, 6],   # 1: bcast-hot, 2: both-hot
+        "payload": np.arange(306) * 7,
+    })
+    got = (
+        skew_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+            hot_threshold=100, sample_mod=1, right_hot_threshold=100, tile_rows=200,
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "x", "payload"]]
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_detect_hot_keys_finds_planted_hot_key(ray_session):
     import ray.data as rd
 
