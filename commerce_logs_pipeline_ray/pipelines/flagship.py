@@ -383,13 +383,30 @@ def _stats_summary(stats: str) -> dict[str, float]:
     return out
 
 
-def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None) -> RunResult:
+def run_flagship(
+    cfg: PipelineConfig,
+    shard_files: list[list[str]] | None = None,
+    shard_ids: list[int] | None = None,
+    retain_shard_ids: list[int] | None = None,
+) -> RunResult:
     """Run (or resume) the full pipeline.  Ray must already be initialised.
 
     ``shard_files``: explicit shard layout (list of file lists) overriding
     the default sorted-glob + ``num_shards`` chunking — used by
     :func:`watch_flagship` to keep shard ids stable by ARRIVAL order so
-    late-arriving files that sort early never shift completed shards."""
+    late-arriving files that sort early never shift completed shards.
+
+    ``shard_ids``: explicit shard id per ``shard_files`` entry (defaults to
+    positions) — lets the watcher key shards by FILE IDENTITY in its
+    persisted order, so deleting a mid-list input file never renumbers the
+    shards after it.
+
+    ``retain_shard_ids``: completed shards whose input files are GONE this
+    cycle (mid-watch deletion): they are not re-run, but their manifest
+    rows, routed outputs and aggregate partials are KEPT and merged into
+    the final aggregate — already-ingested data stays ingested (reference
+    semantics: a deleted blob's completion event survives in the compacted
+    state topic)."""
     t0 = time.perf_counter()
     files = preflight(cfg, [f for s in shard_files for f in s] if shard_files else None)
 
@@ -403,30 +420,40 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
     lookup_ref = ray.put(build_source_dict(cfg.sources))
 
     shards = shard_files if shard_files is not None else _chunk(files, cfg.num_shards)
+    ids = list(shard_ids) if shard_ids is not None else list(range(len(shards)))
+    if len(ids) != len(shards):
+        raise ValueError(f"shard_ids length {len(ids)} != shard count {len(shards)}")
+    retained = [
+        sid for sid in (retain_shard_ids or [])
+        if sid in manifest and manifest[sid].get("status") == mstate.STATUS_COMPLETE
+    ]
+    keep_ids = set(ids) | set(retained)
 
     # drop leftovers from a previous run with a DIFFERENT shard layout:
-    # stale manifest rows, agg partials and routed dirs beyond the current
-    # shard count would otherwise be merged into the final aggregate
+    # stale manifest rows, agg partials and routed dirs outside the current
+    # shard-id set would otherwise be merged into the final aggregate
     # (double-counting) or linger as duplicate routed rows.
     for rec_name in os.listdir(manifest_dir) if os.path.isdir(manifest_dir) else []:
         if rec_name.startswith("shard-") and rec_name.endswith(".json"):
             sid = int(rec_name[6:11])
-            if sid >= len(shards):
+            if sid not in keep_ids:
                 os.remove(os.path.join(manifest_dir, rec_name))
                 manifest.pop(sid, None)
     for stale in glob.glob(os.path.join(agg_dir, "shard-*.parquet")):
         sid = int(os.path.basename(stale)[6:11])
-        if sid >= len(shards):
+        if sid not in keep_ids:
             os.remove(stale)
     for sink_dir in glob.glob(os.path.join(cfg.output_dir, "routed", "*", "shard=*")):
         sid = int(os.path.basename(sink_dir).split("=")[1])
-        if sid >= len(shards):
+        if sid not in keep_ids:
             shutil.rmtree(sink_dir, ignore_errors=True)
 
     rows_in_total, shards_run, shards_skipped = 0, 0, 0
+    for sid in retained:
+        rows_in_total += int(manifest[sid]["rows_in"])
 
     pending: list[tuple[int, list[str], str]] = []
-    for shard_id, sfiles in enumerate(shards):
+    for shard_id, sfiles in zip(ids, shards):
         lineage = mstate.lineage_id(sfiles, cfg.lineage_repr())
         if mstate.is_complete(manifest, shard_id, lineage):
             shards_skipped += 1
@@ -706,11 +733,17 @@ def run_flagship(cfg: PipelineConfig, shard_files: list[list[str]] | None = None
 
     # final combine across shard partials (tiny, driver-side) — exactly the
     # current run's shard set, never whatever else is lying in the directory
-    partial_paths = [
-        os.path.join(agg_dir, f"shard-{sid:05d}.parquet") for sid in range(len(shards))
-    ]
-    tables = [pq.read_table(p) for p in partial_paths]
-    merged = pa.concat_tables(tables)
+    # retained (deleted-input) shards keep contributing their partials; a
+    # retained partial missing on disk (output pruned by hand) is skipped,
+    # but a CURRENT shard's missing partial is a real error — fail loudly
+    tables = []
+    retained_set = set(retained)
+    for sid in sorted(keep_ids):
+        p = os.path.join(agg_dir, f"shard-{sid:05d}.parquet")
+        if sid in retained_set and not os.path.exists(p):
+            continue
+        tables.append(pq.read_table(p))
+    merged = pa.concat_tables(tables) if tables else AGG_SCHEMA.empty_table()
     final = merged.group_by(AGG_KEYS).aggregate([("row_count", "sum"), ("token_count", "sum")])
     final = pa.table(
         {
@@ -750,8 +783,13 @@ def watch_flagship(
     late-arriving file that sorts lexicographically before existing ones is
     appended as a NEW shard — completed shard ids never shift, nothing
     completed is reprocessed, and the registry survives watcher restarts.
-    (Deleting an input file mid-watch shifts the positions after it —
-    affected shards are safely re-run; don't delete from a watched dir.)
+    Shards are keyed by FILE IDENTITY (the file's position in the persisted
+    order is its shard id forever), so deleting an input file mid-watch
+    never renumbers or re-runs the shards after it: the deleted file's
+    completed shard is RETAINED (outputs + manifest row + aggregate
+    contribution — already-ingested data stays ingested), an incomplete
+    deleted shard is simply dropped from the cycle, and if the file
+    reappears its old shard id and checkpoint still apply.
 
     A failed cycle (e.g. a producer's partially-copied file racing the poll)
     is logged and retried next cycle; ``max_consecutive_errors`` in a row
@@ -785,11 +823,20 @@ def watch_flagship(
             with open(tmp, "w") as f:
                 json.dump(order, f)
             os.replace(tmp, order_path)
-        present = [f for f in order if f in on_disk]
+        present, ids, gone_complete = [], [], []
+        manifest_now = mstate.load_manifest(os.path.join(cfg.output_dir, "manifest"))
+        for idx, f in enumerate(order):
+            if f in on_disk:
+                present.append([f])
+                ids.append(idx)
+            elif mstate.is_complete(manifest_now, idx, mstate.lineage_id([f], cfg.lineage_repr())):
+                gone_complete.append(idx)
         if present:
             try:
                 res = run_flagship(_replace(cfg, num_shards=len(present)),
-                                   shard_files=[[f] for f in present])
+                                   shard_files=present,
+                                   shard_ids=ids,
+                                   retain_shard_ids=gone_complete)
                 errors = 0
                 results.append(res)
                 idle = idle + 1 if res.shards_run == 0 else 0

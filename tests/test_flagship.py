@@ -407,6 +407,62 @@ def test_watch_out_of_order_arrival_does_not_reprocess(tmp_path, ray_session):
     assert total == 1200
 
 
+def test_watch_mid_list_deletion_no_reprocess_no_loss(tmp_path, ray_session):
+    """Deleting a MID-LIST input file between cycles must not renumber or
+    re-run any completed shard; the deleted file's already-ingested data is
+    retained in the aggregate (file-identity shard keying)."""
+    from commerce_logs_pipeline_ray.datagen import generate_file
+    from commerce_logs_pipeline_ray.pipelines.flagship import watch_flagship
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        pq.write_table(generate_file(i, 400, seed=42), str(in_dir / f"part-{i:05d}.parquet"))
+
+    calls = {"n": 0}
+
+    def fake_clock(_s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            os.remove(str(in_dir / "part-00001.parquet"))  # delete the MIDDLE file
+            pq.write_table(generate_file(7, 400, seed=42), str(in_dir / "part-00007.parquet"))
+
+    cfg = PipelineConfig(input_dir=str(in_dir), output_dir=str(tmp_path / "out"))
+    results = watch_flagship(cfg, poll_interval_s=0, idle_cycles_to_stop=2,
+                             max_cycles=10, clock=fake_clock)
+    runs = [(r.shards_run, r.shards_skipped) for r in results]
+    assert runs[0] == (3, 0)
+    # after the deletion + one arrival: ONLY the new file runs; the two
+    # surviving completed shards are skipped (ids unshifted, no wipe)
+    assert (1, 2) in runs
+    # the deleted file's 400 rows remain ingested: every aggregate still
+    # counts all 1600 rows exactly once
+    total = sum(r["row_count"] for r in results[-1].aggregates.to_pylist())
+    assert total == 1600
+    assert results[-1].rows_in == 1600
+    # shard ids 0..3 all have manifest rows; id 1 belongs to the deleted
+    # file (retained), id 3 to the late arrival
+    recs = results[-1].manifest
+    assert sorted(recs) == [0, 1, 2, 3]
+    assert recs[1]["input_files"] == [str(in_dir / "part-00001.parquet")]
+    assert recs[3]["input_files"] == [str(in_dir / "part-00007.parquet")]
+    # routed rows = input rows exactly once (multiset: the corpus plants
+    # duplicate doc_ids by design, so compare counts per id, not a set)
+    import glob as _glob
+    from collections import Counter
+
+    got = Counter()
+    for f in _glob.glob(os.path.join(str(tmp_path / "out"), "routed", "*", "**", "*.parquet"),
+                        recursive=True):
+        got.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    want = Counter()
+    for i in range(3):
+        want.update(generate_file(i, 400, seed=42)["doc_id"].to_pylist())
+    want.update(generate_file(7, 400, seed=42)["doc_id"].to_pylist())
+    assert got == want
+    assert sum(got.values()) == 1600
+
+
 def test_agg_modes_bit_equal(small_sequences, tmp_path_factory, ray_session):
     """driver (partials merged driver-side, default), tree (coalesce) and
     shuffle (salted hash-exchange) final reduces produce identical tables."""
