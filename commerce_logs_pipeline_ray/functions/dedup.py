@@ -30,6 +30,7 @@ import ray
 from ray.data import Dataset
 
 from .hashing import fnv1a64, fnv1a64_single
+from .rounding import round_like_duckdb as _rd
 
 MERSENNE_61 = (1 << 61) - 1
 
@@ -453,7 +454,7 @@ def minhash_lsh_pairs(
                 outs.append(pd.DataFrame({
                     "doc_a": ids[s2[keep]],
                     "doc_b": ids[s2[keep] + 1],
-                    "est_jaccard": np.round(est2[keep], 6),
+                    "est_jaccard": _rd(est2[keep], 6),
                 }))
         for s, m in zip(starts[sizes > 2], sizes[sizes > 2]):
             gs = sig_mat[s : s + m]
@@ -468,7 +469,7 @@ def minhash_lsh_pairs(
             if len(ii):
                 outs.append(pd.DataFrame({
                     "doc_a": gids[ii], "doc_b": gids[jj],
-                    "est_jaccard": np.round(est[ii, jj], 6),
+                    "est_jaccard": _rd(est[ii, jj], 6),
                 }))
         if not outs:
             return empty
@@ -503,7 +504,7 @@ def minhash_lsh_pairs(
         hits = docs.map_batches(shingle_rows, batch_format="pyarrow").to_pandas()
         sh = {d: np.asarray(v, dtype=np.uint64) for d, v in zip(hits["doc_id"], hits["shingles"])}
         pairs = pairs.assign(
-            jaccard=np.round(
+            jaccard=_rd(
                 [jaccard(sh[a], sh[b]) for a, b in zip(pairs["doc_a"], pairs["doc_b"])], 6
             )
         )
@@ -680,7 +681,7 @@ def _block_pair_cosine(ta: pa.Table, tb: pa.Table, threshold: float, same: bool)
         {
             "vec_a": pa.array(lo, type=pa.int64()),
             "vec_b": pa.array(hi, type=pa.int64()),
-            "cos": pa.array(np.round(cos[ii, jj], 6)),
+            "cos": pa.array(_rd(cos[ii, jj], 6)),
         }
     )
 
@@ -781,7 +782,7 @@ def embedding_neardup_lsh(
                 continue
             a, b = ids[ii], ids[jj]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
-            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": np.round(cos[ii, jj], 6)}))
+            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": _rd(cos[ii, jj], 6)}))
         if not outs:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                  "vec_b": pd.Series(dtype="int64"),

@@ -26,6 +26,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from .relational import grouped_sums, topk
+from .rounding import round_like_duckdb as _rd
 
 
 def group_counts(ds: Dataset, column: str, k: int = 10) -> pd.DataFrame:
@@ -156,7 +157,7 @@ def analyze_columns(ds: Dataset, columns: list[str]) -> pd.DataFrame:
     out = base.reset_index()
     out["n_distinct"] = out["col_name"].map(ndv)
     out = out[["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]]
-    out[["min_v", "max_v"]] = out[["min_v", "max_v"]].round(6)
+    out[["min_v", "max_v"]] = out[["min_v", "max_v"]].apply(_rd)
     return out.sort_values("col_name", ignore_index=True).astype(
         {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"}
     )

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
+from .rounding import round_like_duckdb as _rd
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -169,7 +170,7 @@ def bm25_search(
     scored = cands.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
     per_doc = grouped_sums(scored, [id_col], {"score": "c"})
     out = topk(per_doc, ["score", id_col], [True, False], k).to_pandas()
-    out["score"] = out["score"].round(6)
+    out["score"] = out["score"].pipe(_rd)
     return out[[id_col, "score"]]
 
 

@@ -25,6 +25,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
+from .rounding import round_like_duckdb as _rd
 
 
 def _to_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -126,7 +127,7 @@ def _brute_topk(ids: np.ndarray, mat: np.ndarray, q: np.ndarray, k: int, id_col:
     Both index paths use THIS so tie-break/rounding can never diverge."""
     norms = np.sqrt((mat * mat).sum(axis=1))
     cos = (mat @ q) / (norms * np.sqrt((q * q).sum()))
-    out = pd.DataFrame({id_col: ids, "cos": np.round(cos, 6)})
+    out = pd.DataFrame({id_col: ids, "cos": _rd(cos, 6)})
     return out.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
 
 

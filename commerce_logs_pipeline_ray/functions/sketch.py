@@ -236,7 +236,7 @@ def grouped_histogram_fixedpoint(
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t[value_col]
-        bins = pc.cast(pc.round(pc.multiply(vals, float(scale)), 0), pa.int64())
+        bins = pc.cast(pc.round(pc.multiply(vals, float(scale)), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         flat = pa.table({key: t[key], "bin": bins})
         g = flat.group_by([key, "bin"]).aggregate([([], "count_all")])
         return pa.table(

@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .rounding import round_like_duckdb as _rd
 
 # RE2-safe; identical semantics in Python re and DuckDB regexp_extract_all
 STOPWORD_PATTERN = r"\b(?:the|a|of|and|to)\b"
@@ -44,7 +45,7 @@ def quality_batch(t: pa.Table) -> pa.Table:
     """doc_id, n_words, stop_hits, stop_ratio (rounded 6)."""
     nw = pc.cast(n_words(t["text"]), pa.int64())
     hits = stopword_hits(t["text"])
-    ratio = pc.round(pc.divide(pc.cast(hits, pa.float64()), pc.cast(nw, pa.float64())), 6)
+    ratio = pa.array(_rd(pc.divide(pc.cast(hits, pa.float64()), pc.cast(nw, pa.float64())).to_numpy(zero_copy_only=False), 6))
     return pa.table(
         {"doc_id": t["doc_id"], "n_words": nw, "stop_hits": hits, "stop_ratio": ratio}
     )

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
+from .rounding import round_like_duckdb as _rd
 
 
 def _flat_tokens(t: pa.Table, col: str = "tokens") -> tuple[np.ndarray, np.ndarray]:
@@ -147,7 +148,7 @@ def pmi_topk(ds: Dataset, k: int = 20, min_count: int = 5) -> pd.DataFrame:
         {"token_a": a, "token_b": b, "count": cand["count"].astype("int64").to_numpy(), "pmi": pmi}
     )
     out = out.sort_values(["pmi", "token_a", "token_b"], ascending=[False, True, True]).head(k)
-    out["pmi"] = out["pmi"].round(6)
+    out["pmi"] = out["pmi"].pipe(_rd)
     return out.reset_index(drop=True)
 
 
@@ -396,7 +397,7 @@ def surprisal_stats(
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = parts.groupby(group_col, as_index=False).sum()
-    out["avg_surprisal"] = (out["surp_sum"] / out["n_seqs"]).round(6)
+    out["avg_surprisal"] = (out["surp_sum"] / out["n_seqs"]).pipe(_rd)
     out["n_seqs"] = out["n_seqs"].astype("int64")
     return out[[group_col, "n_seqs", "avg_surprisal"]].sort_values(group_col, ignore_index=True)
 

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
+from .rounding import round_like_duckdb as _rd
 
 
 def sessionize(
@@ -194,8 +195,8 @@ def lag_gap_stats(
     agg = partials.groupby(type_col, as_index=False).agg(
         n_gaps=("n", "sum"), sum_us=("sum_us", "sum"), max_us=("max_us", "max")
     )
-    agg["avg_gap_s"] = (agg["sum_us"] / 1_000_000.0 / agg["n_gaps"]).round(6)
-    agg["max_gap_s"] = (agg["max_us"] / 1_000_000.0).round(6)
+    agg["avg_gap_s"] = (agg["sum_us"] / 1_000_000.0 / agg["n_gaps"]).pipe(_rd)
+    agg["max_gap_s"] = (agg["max_us"] / 1_000_000.0).pipe(_rd)
     out = agg[[type_col, "n_gaps", "avg_gap_s", "max_gap_s"]].sort_values(type_col)
     return out.astype({"n_gaps": "int64"}).reset_index(drop=True)
 
@@ -231,7 +232,7 @@ def transition_matrix(
 
     partials = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
     out = partials.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
-    out["p"] = (out["n"] / out.groupby("prev_type")["n"].transform("sum")).round(9)
+    out["p"] = (out["n"] / out.groupby("prev_type")["n"].transform("sum")).pipe(_rd, 9)
     out = out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
     return out.astype({"n": "int64"})
 

@@ -80,6 +80,9 @@ def _i64(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return df
 
 
+from ..functions.rounding import round_like_duckdb as _rd
+
+
 # ---------------------------------------------------------------------------
 # Aggregations over the events stream (A1/A2/A5)
 # ---------------------------------------------------------------------------
@@ -87,7 +90,7 @@ def _i64(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 def q_events_by_type(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "events", ["event_type", "value"])
     out = grouped_sums(ds, ["event_type"], {"total_value": "value"}, "n", reduce="driver").to_pandas()
-    out["total_value"] = out["total_value"].round(2)
+    out["total_value"] = out["total_value"].pipe(_rd, 2)
     return _i64(out, ["n"])
 
 
@@ -120,7 +123,7 @@ def q_top_users_by_value(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "events", ["user_id", "value"])
     totals = grouped_sums(ds, ["user_id"], {"total_value": "value"}, "n")
     out = topk(totals, ["total_value", "user_id"], [True, False], 10).to_pandas()
-    out["total_value"] = out["total_value"].round(2)
+    out["total_value"] = out["total_value"].pipe(_rd, 2)
     return _i64(out, ["user_id", "n"])
 
 
@@ -166,7 +169,7 @@ def q_parse_props(sf_dir: str) -> pd.DataFrame:
 
     ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_sums(ds, ["k_mod"], {"total_value": "value"}, "n", reduce="driver").to_pandas()
-    out["total_value"] = out["total_value"].round(2)
+    out["total_value"] = out["total_value"].pipe(_rd, 2)
     return _i64(out, ["k_mod", "n"])
 
 
@@ -202,7 +205,7 @@ def q_orders_by_region(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = auto_join(ds, cust, on="o_custkey", right_on="c_custkey")
     out = grouped_sums(joined, ["r_name"], {"total_price": "o_totalprice"}, "n_orders", reduce="driver").to_pandas()
-    out["total_price"] = out["total_price"].round(2)
+    out["total_price"] = out["total_price"].pipe(_rd, 2)
     return _i64(out, ["n_orders"])
 
 
@@ -253,7 +256,7 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         reduce="driver",
     ).to_pandas()
     for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
-        out[c] = out[c].round(2)
+        out[c] = out[c].pipe(_rd, 2)
     return _i64(out, ["count_order"])
 
 
@@ -303,7 +306,7 @@ def q_lineitem_topk(sf_dir: str) -> pd.DataFrame:
     out = topk(
         ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], [True, False, False], 10
     ).to_pandas()
-    out["price"] = out.pop("l_extendedprice").round(2)
+    out["price"] = out.pop("l_extendedprice").pipe(_rd, 2)
     return _i64(out, ["l_orderkey", "l_linenumber"])
 
 
@@ -430,7 +433,7 @@ def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
 
     scored = ds.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
     out = topk(scored, ["cos", "vec_id"], [True, False], 10).to_pandas()
-    out["cos"] = out["cos"].round(6)
+    out["cos"] = out["cos"].pipe(_rd)
     return _i64(out, ["vec_id"])
 
 
@@ -649,7 +652,7 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
     out = topk(joined, ["revenue", "l_orderkey"], [True, False], 10).to_pandas()
     out = out.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "o_custkey", "revenue"]]
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     return _i64(out, ["o_orderkey", "o_custkey"])
 
 
@@ -763,7 +766,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
     joined = auto_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
     out = grouped_sums(joined, ["n_name"], {"revenue": "revenue"}, "n_orders", reduce="driver").to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     return _i64(out, ["n_orders"])
 
 
@@ -805,7 +808,7 @@ def q_error_prior_purchase(sf_dir: str) -> pd.DataFrame:
             "event_id": joined["event_id"].astype("int64"),
             "user_id": joined["user_id"].astype("int64"),
             "prior_purchase_id": joined["event_id_right"].astype("int64"),
-            "prior_value": joined["value_right"].astype("float64").round(2),
+            "prior_value": joined["value_right"].astype("float64").pipe(_rd, 2),
         }
     )
     return out
@@ -866,7 +869,7 @@ def q_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
         base.groupby("event_type")["n"]
         .rolling(3, min_periods=1)
         .mean()
-        .round(6)
+        .pipe(_rd)
         .reset_index(level=0, drop=True)
     )
     return base.reset_index(drop=True)
@@ -1259,7 +1262,7 @@ def q_packing_stats(sf_dir: str) -> pd.DataFrame:
             "n_packs": [n_packs],
             "total_tokens": [tt],
             "total_docs": [td],
-            "mean_fill": [round(tt / n_packs / 512, 6)],
+            "mean_fill": [_rd(tt / n_packs / 512, 6)],
         }
     )
     return _i64(out, ["n_packs", "total_tokens", "total_docs"])
@@ -1388,7 +1391,7 @@ def q_oov_rate(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("source", as_index=False).agg(
         n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum")
     )
-    out["oov_rate"] = (out["n_oov"] / out["n_tokens"]).round(6)
+    out["oov_rate"] = (out["n_oov"] / out["n_tokens"]).pipe(_rd)
     return _i64(out, ["n_tokens", "n_oov"])
 
 
@@ -1616,7 +1619,7 @@ def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
     for label, g in parts.groupby("label"):
         n = int(g["n"].sum())
         s = np.sum(np.stack([np.asarray(x) for x in g["sums"]]), axis=0)
-        cent = np.round(s / n, 6)
+        cent = _rd(s / n, 6)
         rows.extend(
             {"label": int(label), "dim": d, "n": n, "centroid": float(v)}
             for d, v in enumerate(cent)
@@ -1666,7 +1669,7 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     cov = (g.reshape(d, d) - np.outer(s, s) / n) / (n - 1)
     ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
     out = pd.DataFrame(
-        {"i": ii.ravel(), "j": jj.ravel(), "cov": np.round(cov.ravel(), 8)}
+        {"i": ii.ravel(), "j": jj.ravel(), "cov": _rd(cov.ravel(), 8)}
     )
     return _i64(out, ["i", "j"])
 
@@ -1766,7 +1769,7 @@ def q_nation_hhi(sf_dir: str) -> pd.DataFrame:
         cr.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
         ["k"], {"sr": "sr", "sr2": "sr2", "nc": "nc"}, reduce="driver"
     ).to_pandas()
-    m["hhi"] = (m["sr2"] / (m["sr"] * m["sr"])).round(9)
+    m["hhi"] = (m["sr2"] / (m["sr"] * m["sr"])).pipe(_rd, 9)
     out = m.rename(columns={"k": "c_nationkey", "nc": "n_customers"})
     out = out[["c_nationkey", "hhi", "n_customers"]].sort_values("c_nationkey", ignore_index=True)
     return _i64(out, ["c_nationkey", "n_customers"])
@@ -1841,7 +1844,7 @@ def q_type_hour_chi2(sf_dir: str) -> pd.DataFrame:
     e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
     chi2 = float(((o - e) ** 2 / e).sum())
     return pd.DataFrame(
-        {"chi2": [round(chi2, 6)],
+        {"chi2": [_rd(chi2, 6)],
          "n_cells": np.array([o.size], dtype="int64"),
          "dof": np.array([(o.shape[0] - 1) * (o.shape[1] - 1)], dtype="int64")}
     )
@@ -1907,7 +1910,7 @@ def q_source_kl(sf_dir: str) -> pd.DataFrame:
         .groupby("source", as_index=False)["term"].sum()
         .rename(columns={"term": "kl"})
     )
-    out["kl"] = out["kl"].round(6)
+    out["kl"] = out["kl"].pipe(_rd)
     return out.sort_values("source", ignore_index=True)
 
 
@@ -1971,7 +1974,7 @@ def q_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     ns = st.groupby("source")["c"].transform("sum")
     df_t = st.groupby("token")["source"].transform("size")
     S = st["source"].nunique()
-    st = st.assign(tfidf=np.round((st["c"] / ns) * np.log(S / df_t), 6))
+    st = st.assign(tfidf=_rd((st["c"] / ns) * np.log(S / df_t), 6))
     out = (
         st.sort_values(["source", "tfidf", "token"], ascending=[True, False, True])
         .groupby("source", sort=False)
@@ -2090,7 +2093,7 @@ def q_order_price_deciles(sf_dir: str) -> pd.DataFrame:
 
     dec = ranked.map_batches(add_decile, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_sums(dec, ["decile"], {"sum_price": "o_totalprice"}, "n", reduce="driver").to_pandas()
-    out["avg_price"] = (out["sum_price"] / out["n"]).round(2)
+    out["avg_price"] = (out["sum_price"] / out["n"]).pipe(_rd, 2)
     out = out.drop(columns=["sum_price"])
     return _i64(out, ["decile", "n"])
 
@@ -2138,7 +2141,7 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
         ["r_name", "n_name", "revenue", "n_orders"]
     ]
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     return _i64(out, ["n_orders"])
 
 
@@ -2196,7 +2199,7 @@ def q_lang_entropy_per_source(sf_dir: str) -> pd.DataFrame:
     p = counts["n"] / tot
     counts["h"] = -p * np.log(p)
     out = counts.groupby("source", as_index=False).agg(n_docs=("n", "sum"), entropy=("h", "sum"))
-    out["entropy"] = out["entropy"].round(6)
+    out["entropy"] = out["entropy"].pipe(_rd)
     return _i64(out, ["n_docs"])
 
 
@@ -2246,7 +2249,7 @@ def q_token_pagerank(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(ensure_token_edges_parquet(sf_dir), override_num_blocks=4)
     pr = pagerank(ds, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
-    pr["rank"] = pr["rank"].round(9)
+    pr["rank"] = pr["rank"].pipe(_rd, 9)
     out = pr.sort_values(["rank", "node"], ascending=[False, True]).head(20)
     out = out.rename(columns={"node": "token"}).reset_index(drop=True)
     return _i64(out, ["token"])
@@ -2342,7 +2345,7 @@ def q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     norms = np.sqrt((C * C).sum(axis=1))
     out = pd.DataFrame({"cluster": np.arange(KMEANS_K, dtype="int64")})
     out = out.merge(counts, on="cluster", how="left").fillna({"n": 0})
-    out["cent_norm"] = np.round(norms, 5)
+    out["cent_norm"] = _rd(norms, 5)
     return _i64(out, ["cluster", "n"])
 
 
@@ -2529,8 +2532,8 @@ def q_value_trend_per_type(sf_dir: str) -> pd.DataFrame:
         ["event_type"], {"sxy": "sxy", "sxx": "sxx", "syy": "syy"}, reduce="driver",
     ).to_pandas()
     out = mom.merge(means[["event_type", "n"]], on="event_type")
-    out["slope"] = (out["sxy"] / out["sxx"]).round(6)
-    out["corr_xy"] = (out["sxy"] / np.sqrt(out["sxx"] * out["syy"])).round(6)
+    out["slope"] = (out["sxy"] / out["sxx"]).pipe(_rd)
+    out["corr_xy"] = (out["sxy"] / np.sqrt(out["sxx"] * out["syy"])).pipe(_rd)
     out = out[["event_type", "n", "slope", "corr_xy"]]
     return _i64(out, ["n"])
 
@@ -2665,7 +2668,7 @@ def q_skew_join_nation_value(sf_dir: str) -> pd.DataFrame:
         ev, cust, on="user_id", right_on="c_custkey", hot_threshold=100, num_partitions=2
     )
     agg = grouped_sums(joined, ["c_nationkey"], {"total_value": "value"}, "n").to_pandas()
-    agg["total_value"] = agg["total_value"].round(2)
+    agg["total_value"] = agg["total_value"].pipe(_rd, 2)
     out = agg.sort_values("c_nationkey", ignore_index=True)
     return _i64(out, ["c_nationkey", "n"])
 
@@ -2697,7 +2700,7 @@ def q_peak_rolling_value(sf_dir: str) -> pd.DataFrame:
         peak = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "__ma": ma}).groupby(
             "user_id", as_index=False
         )["__ma"].max()
-        peak["peak_ma5_value"] = (peak["__ma"] / 100.0).round(6)
+        peak["peak_ma5_value"] = (peak["__ma"] / 100.0).pipe(_rd)
         return peak[["user_id", "peak_ma5_value"]]
 
     out = bucketed_group_reduce(ds, ["user_id"], per_bucket).to_pandas()
@@ -3113,7 +3116,7 @@ def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
     out = partials.groupby("media_type", as_index=False).agg(
         n=("n", "sum"), mean_feature_sum=("fsum", "sum")
     )
-    out["mean_feature_sum"] = (out["mean_feature_sum"] / out["n"]).round(6)
+    out["mean_feature_sum"] = (out["mean_feature_sum"] / out["n"]).pipe(_rd)
     return _i64(out, ["n"])
 
 
@@ -3218,7 +3221,7 @@ def q_span_assembly(sf_dir: str) -> pd.DataFrame:
         count_name="n_updates",
     ).to_pandas()
     out = out.drop(columns=["event_id"])
-    out["val"] = out["val"].astype("float64").round(2)
+    out["val"] = out["val"].astype("float64").pipe(_rd, 2)
     return _i64(out, ["trace_id", "span_id", "n_updates", "ts_us"])
 
 
@@ -3293,7 +3296,7 @@ def q_top_events_per_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_topk(
         ds, ["event_type"], ["value", "event_id"], [True, False], 3
     ).to_pandas()
-    out["value"] = out["value"].round(2)
+    out["value"] = out["value"].pipe(_rd, 2)
     return _i64(out, ["event_id"])
 
 
@@ -3355,7 +3358,7 @@ def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
     out = topk(keyed, ["es_key", "doc_id"], [True, False], 100).to_pandas()
-    out["es_key"] = out["es_key"].round(9)
+    out["es_key"] = out["es_key"].pipe(_rd, 9)
     return _i64(out, ["n_tok"])[["doc_id", "n_tok", "source", "es_key"]]
 
 
@@ -3379,7 +3382,7 @@ def q_value_p95_per_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_quantile_fixedpoint(
         ds, "event_type", "value", q=0.95, scale=100, out_name="p95_value"
     )
-    out["p95_value"] = out["p95_value"].round(6)
+    out["p95_value"] = out["p95_value"].pipe(_rd)
     return out
 
 
@@ -3451,7 +3454,7 @@ def q_value_median_per_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_quantile_fixedpoint(
         ds, "event_type", "value", q=0.5, scale=100, out_name="median_value"
     )
-    out["median_value"] = out["median_value"].round(6)
+    out["median_value"] = out["median_value"].pipe(_rd)
     return out
 
 
@@ -3480,7 +3483,7 @@ def q_approx_users_per_type(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
     out = grouped_approx_distinct(ds, ["event_type"], "user_id", p=12)
-    out["approx_distinct"] = out["approx_distinct"].round(0).astype("int64")
+    out["approx_distinct"] = out["approx_distinct"].pipe(_rd, 0).astype("int64")
     return out
 
 
@@ -3663,8 +3666,8 @@ def q_zscore_outliers(sf_dir: str) -> pd.DataFrame:
         ["event_type"], {"n_outliers": "n_outliers"}, reduce="driver",
     ).to_pandas()
     out = out.merge(stats[["event_type", "mean", "std"]], on="event_type")
-    out["mean"] = out["mean"].round(6)
-    out["std"] = out["std"].round(6)
+    out["mean"] = out["mean"].pipe(_rd)
+    out["std"] = out["std"].pipe(_rd)
     return _i64(out, ["n_outliers"])
 
 
@@ -3818,7 +3821,7 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
         mad_hc = quantile_from_counts(fold["d"].to_numpy(), fold["n"].to_numpy(), 0.5)
         mad_qc = int(round(mad_hc * 2))  # quarter-cents, exact
         n_out = int(fold["n"][2 * fold["d"] > 3 * mad_qc].sum())
-        rows.append((et, round(med_hc / 200.0, 6), round(mad_qc / 400.0, 6), n_out))
+        rows.append((et, _rd(med_hc / 200.0, 6), _rd(mad_qc / 400.0, 6), n_out))
     return pd.DataFrame(rows, columns=["event_type", "median_value", "mad", "n_outliers"])
 
 
@@ -3971,7 +3974,7 @@ def q_ewma_user_value(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(
         ["decayed_value", "user_id"], ascending=[False, True], ignore_index=True
     ).head(25)
-    out["decayed_value"] = out["decayed_value"].round(6)
+    out["decayed_value"] = out["decayed_value"].pipe(_rd)
     return _i64(out, ["user_id"])
 
 
@@ -4177,7 +4180,7 @@ def q_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     both["w"] = 1.0 / (60.0 + both["r"])
     out = both.groupby("doc_id", as_index=False)["w"].sum().rename(columns={"w": "rrf"})
     out = out.sort_values(["rrf", "doc_id"], ascending=[False, True], ignore_index=True).head(20)
-    out["rrf"] = out["rrf"].round(6)
+    out["rrf"] = out["rrf"].pipe(_rd)
     return _i64(out, ["doc_id"])
 
 
@@ -4363,7 +4366,7 @@ def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
             r = float(np.corrcoef(cur, prev)[0, 1])
         else:
             r = np.nan
-        rows.append((etype, round(r, 6), len(cur)))
+        rows.append((etype, _rd(r, 6), len(cur)))
     out = pd.DataFrame(rows, columns=["event_type", "autocorr", "n_pairs"])
     return _i64(out, ["n_pairs"])
 
@@ -4422,7 +4425,7 @@ def q_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
         for b in srcs[i + 1:]:
             inter = int(cnts[((mask_vals & bit_of[a]) != 0) & ((mask_vals & bit_of[b]) != 0)].sum())
             uni = size[a] + size[b] - inter
-            rows.append((a, b, inter, round(inter / uni, 6) if uni else np.nan))
+            rows.append((a, b, inter, _rd(inter / uni, 6) if uni else np.nan))
     out = pd.DataFrame(rows, columns=["source_a", "source_b", "inter", "jaccard"])
     return _i64(out, ["inter"])
 
@@ -4603,7 +4606,7 @@ def q_bigram_lm_nll(sf_dir: str) -> pd.DataFrame:
     parts = bucketed_group_reduce(bg.union(un), ["w1"], fold).to_pandas()
     out = parts.groupby("source", as_index=False).agg(
         nll=("nll", "sum"), n_bigrams=("n", "sum"))
-    out["avg_nll"] = (out["nll"] / out["n_bigrams"]).round(6)
+    out["avg_nll"] = (out["nll"] / out["n_bigrams"]).pipe(_rd)
     out = out.drop(columns=["nll"]).sort_values("source", ignore_index=True)
     return _i64(out, ["n_bigrams"])
 
@@ -4656,8 +4659,8 @@ def q_value_boxplot(sf_dir: str) -> pd.DataFrame:
         iqr = q75 - q25
         lo2, hi2 = 2 * q25 - 3 * iqr, 2 * q75 + 3 * iqr  # half-cent units
         n_out = int(c[(2 * b < lo2) | (2 * b > hi2)].sum())
-        rows.append((etype, round(q25 / 100.0, 2), round(q50 / 100.0, 2),
-                     round(q75 / 100.0, 2), n, n_out))
+        rows.append((etype, _rd(q25 / 100.0, 2), _rd(q50 / 100.0, 2),
+                     _rd(q75 / 100.0, 2), n, n_out))
     out = pd.DataFrame(rows, columns=["event_type", "p25", "p50", "p75", "n", "n_outliers"])
     return _i64(out, ["n", "n_outliers"])
 
@@ -4702,8 +4705,8 @@ def q_nation_revenue_share(sf_dir: str) -> pd.DataFrame:
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     out = per_nation.merge(dim, left_on="nationkey", right_on="n_nationkey")
-    out["share"] = (out["revenue"] / out.groupby("r_regionkey")["revenue"].transform("sum")).round(6)
-    out["revenue"] = out["revenue"].round(2)
+    out["share"] = (out["revenue"] / out.groupby("r_regionkey")["revenue"].transform("sum")).pipe(_rd)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     out = out.rename(columns={"r_name": "region", "n_name": "nation"})
     return out[["region", "nation", "revenue", "share"]].sort_values(
         ["region", "nation"], ignore_index=True)
@@ -4762,7 +4765,7 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     )
     j = auto_join(li_rev, o_seg, on="o_orderkey")
     out = topk(j, ["revenue", "o_orderkey"], [True, False], 10).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     out = out.rename(columns={"o_orderkey": "l_orderkey"})
     return _i64(out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]], ["l_orderkey"])
 
@@ -4892,7 +4895,7 @@ def q_conversion_latency(sf_dir: str) -> pd.DataFrame:
     n = int(parts["n"].sum())
     out = pd.DataFrame({
         "n_users": [n],
-        "avg_latency_s": [round(float(parts["s"].sum()) / n / 1e6, 3) if n else np.nan],
+        "avg_latency_s": [_rd(float(parts["s"].sum()) / n / 1e6, 3) if n else np.nan],
         "min_latency_s": [int(parts["mn"].min() // 1_000_000)],
         "max_latency_s": [int(parts["mx"].max() // 1_000_000)],
     })
@@ -4937,7 +4940,7 @@ def q_value_gini(sf_dir: str) -> pd.DataFrame:
         s = int((b * c).sum())
         si = int((b * (c * start + c * (c - 1) // 2)).sum())
         gini = 2.0 * si / (n * s) - (n + 1.0) / n if n and s else np.nan
-        rows.append((etype, round(gini, 6), n))
+        rows.append((etype, _rd(gini, 6), n))
     out = pd.DataFrame(rows, columns=["event_type", "gini", "n"])
     return _i64(out, ["n"])
 
@@ -5029,7 +5032,7 @@ def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
 
     parts = j.map_batches(keep, batch_format="pyarrow").to_pandas()
     out = pd.DataFrame({
-        "revenue": [round(float(parts["revenue"].sum()), 2)],
+        "revenue": [_rd(float(parts["revenue"].sum()), 2)],
         "n_rows": [int(parts["n_rows"].sum())],
     })
     return _i64(out, ["n_rows"])
@@ -5062,7 +5065,7 @@ def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
 
     def part(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         g = pa.table({"user_id": t["user_id"], "us": us, "c": cents}).group_by(
             ["user_id"]).aggregate([("us", "max"), ("c", "sum"), ([], "count_all")])
         return pa.table({"user_id": g["user_id"], "last_us": g["us_max"],
@@ -5243,8 +5246,8 @@ def q_bounce_rate(sf_dir: str) -> pd.DataFrame:
     sessions, bounces, events = int(p["sessions"].sum()), int(p["bounces"].sum()), int(p["events"].sum())
     out = pd.DataFrame({
         "n_sessions": [sessions], "n_bounces": [bounces],
-        "bounce_rate": [round(bounces / sessions, 6)],
-        "avg_events": [round(events / sessions, 6)],
+        "bounce_rate": [_rd(bounces / sessions, 6)],
+        "avg_events": [_rd(events / sessions, 6)],
     })
     return _i64(out, ["n_sessions", "n_bounces"])
 
@@ -5324,8 +5327,8 @@ def q_centroid_separation(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("label", as_index=False).agg(
         n=("n", "sum"), so=("so", "sum"), sn=("sn", "sum"))
-    out["avg_own"] = (out["so"] / out["n"]).round(6)
-    out["avg_other"] = (out["sn"] / out["n"]).round(6)
+    out["avg_own"] = (out["so"] / out["n"]).pipe(_rd)
+    out["avg_other"] = (out["sn"] / out["n"]).pipe(_rd)
     out = out.drop(columns=["so", "sn"]).sort_values("label", ignore_index=True)
     return _i64(out, ["label", "n"])
 
@@ -5430,7 +5433,7 @@ def q_orders_growth_wow(sf_dir: str) -> pd.DataFrame:
         ["week_id"], {}, "n",
     ).to_pandas().sort_values("week_id", ignore_index=True)
     prev = agg["n"].shift(1)
-    agg["growth"] = ((agg["n"] - prev) / prev).round(6)
+    agg["growth"] = ((agg["n"] - prev) / prev).pipe(_rd)
     return _i64(agg, ["week_id", "n"])
 
 
@@ -5496,7 +5499,7 @@ def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
     xc, yc = x - x.mean(), y - y.mean()
     slope = float((xc * yc).sum() / (xc * xc).sum())
     return pd.DataFrame({"n_ranks": pd.Series([len(top)], dtype="int64"),
-                         "zipf_slope": [round(slope, 6)]})
+                         "zipf_slope": [_rd(slope, 6)]})
 
 
 SQL_ZIPF_SLOPE = """
@@ -5522,7 +5525,7 @@ def q_revenue_pareto(sf_dir: str) -> pd.DataFrame:
     o = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"o_custkey": t["o_custkey"], "rev_c": c})
 
     per_cust = grouped_sums(
@@ -5546,7 +5549,7 @@ def q_revenue_pareto(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_customers": pd.Series([total], dtype="int64"),
         "top_n": pd.Series([k], dtype="int64"),
-        "top_share": [round(top_c / all_c, 6)],
+        "top_share": [_rd(top_c / all_c, 6)],
     })
 
 
@@ -5672,7 +5675,7 @@ def q_churn_counts(sf_dir: str) -> pd.DataFrame:
     agg = per_user.map_batches(fold, batch_format="pandas").to_pandas()
     out = agg.groupby("first_type", as_index=False).agg(
         n_users=("n_users", "sum"), n_churned=("n_churned", "sum"))
-    out["churn_rate"] = (out["n_churned"] / out["n_users"]).round(6)
+    out["churn_rate"] = (out["n_churned"] / out["n_users"]).pipe(_rd)
     return _i64(out.sort_values("first_type", ignore_index=True), ["n_users", "n_churned"])
 
 
@@ -5745,7 +5748,7 @@ def q_skyline_orders(sf_dir: str) -> pd.DataFrame:
     sky = skyline_core(parts)
     out = pd.DataFrame({
         "o_orderkey": sky["o_orderkey"].to_numpy(),
-        "o_totalprice": (sky["price_c"] / 100.0).round(2),
+        "o_totalprice": (sky["price_c"] / 100.0).pipe(_rd, 2),
         "o_orderdate": pd.to_datetime(sky["date_us"], unit="us"),
     }).sort_values("o_orderkey", ignore_index=True)
     return _i64(out, ["o_orderkey"])
@@ -5922,7 +5925,7 @@ def q_winsorized_mean_per_type(sf_dir: str) -> pd.DataFrame:
         lo = quantile_disc_from_counts(b, c, 0.05)
         hi = quantile_disc_from_counts(b, c, 0.95)
         clipped = np.clip(b, lo, hi)
-        wmean = round(float((clipped * c).sum()) / n / 100.0, 6)
+        wmean = _rd(float((clipped * c).sum()) / n / 100.0, 6)
         rows.append((etype, wmean, n))
     out = pd.DataFrame(rows, columns=["event_type", "wmean", "n"])
     return _i64(out, ["n"])
@@ -6026,7 +6029,7 @@ def q_embedding_quantization_error(sf_dir: str) -> pd.DataFrame:
         y = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
         scale = np.abs(X).max(axis=1)
         safe = np.where(scale == 0, 1.0, scale)
-        q = np.round(X * (127.0 / safe[:, None]))
+        q = _rd(X * (127.0 / safe[:, None]), 0)
         recon = q * (safe[:, None] / 127.0)
         mse = ((X - recon) ** 2).mean(axis=1)
         df = pd.DataFrame({"label": y, "mse": mse, "scale": scale}).groupby(
@@ -6037,8 +6040,8 @@ def q_embedding_quantization_error(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("label", as_index=False).agg(
         n=("n", "sum"), sm=("sm", "sum"), ss=("ss", "sum"))
-    out["mean_mse"] = (out["sm"] / out["n"]).round(9)
-    out["mean_scale"] = (out["ss"] / out["n"]).round(6)
+    out["mean_mse"] = (out["sm"] / out["n"]).pipe(_rd, 9)
+    out["mean_scale"] = (out["ss"] / out["n"]).pipe(_rd)
     out = out.drop(columns=["sm", "ss"]).sort_values("label", ignore_index=True)
     return _i64(out, ["label", "n"])
 
@@ -6083,7 +6086,7 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
     # (keys × cents within ONE bucket)
 
     def coarse_part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         cb = pc.divide(cents, pa.scalar(COARSE, pa.int64()))
         g = pa.table({"k": t["l_returnflag"], "cb": cb,
                       "w": pc.cast(t["l_quantity"], pa.int64())}).group_by(
@@ -6110,7 +6113,7 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
 
     # phase 2: exact cent histogram of ONLY each key's target bucket
     def fine_part(t: pa.Table, *, tgt=target) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         df = pd.DataFrame({"k": t["l_returnflag"].to_numpy(zero_copy_only=False),
                            "bin": cents.to_numpy(zero_copy_only=False),
                            "w": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)})
@@ -6129,7 +6132,7 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
         cum = before + g["w"].cumsum().to_numpy()
         half = (total + 1) // 2
         med = int(g["bin"].to_numpy()[np.searchsorted(cum, half)])
-        rows.append((k, round(med / 100.0, 2), total))
+        rows.append((k, _rd(med / 100.0, 2), total))
     out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_price", "total_qty"])
     return _i64(out, ["total_qty"])
 
@@ -6178,7 +6181,7 @@ def q_ttr_per_source(sf_dir: str) -> pd.DataFrame:
 
     agg = docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("source", as_index=False).agg(s=("s", "sum"), n_docs=("n_docs", "sum"))
-    out["avg_ttr"] = (out["s"] / out["n_docs"]).round(6)
+    out["avg_ttr"] = (out["s"] / out["n_docs"]).pipe(_rd)
     out = out.drop(columns=["s"]).sort_values("source", ignore_index=True)
     return _i64(out, ["n_docs"])
 
@@ -6226,7 +6229,7 @@ def q_session_conversion_rate(sf_dir: str) -> pd.DataFrame:
     n, wv, cv = int(p["n_sessions"].sum()), int(p["with_view"].sum()), int(p["converted"].sum())
     out = pd.DataFrame({
         "n_sessions": [n], "with_view": [wv], "converted": [cv],
-        "conversion_rate": [round(cv / wv, 6) if wv else np.nan],
+        "conversion_rate": [_rd(cv / wv, 6) if wv else np.nan],
     })
     return _i64(out, ["n_sessions", "with_view", "converted"])
 
@@ -6275,7 +6278,7 @@ def q_forecast_revenue_change(sf_dir: str) -> pd.DataFrame:
         return pa.table({"r": [float(rev)], "n": [t.num_rows]})
 
     p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
-    return _i64(pd.DataFrame({"revenue": [round(float(p["r"].sum()), 2)],
+    return _i64(pd.DataFrame({"revenue": [_rd(float(p["r"].sum()), 2)],
                               "n_rows": [int(p["n"].sum())]}), ["n_rows"])
 
 
@@ -6366,7 +6369,7 @@ def q_tail_expected_shortfall(sf_dir: str) -> pd.DataFrame:
         p99 = quantile_disc_from_counts(b, c, 0.99)
         tail = b >= p99
         es = float((b[tail] * c[tail]).sum()) / int(c[tail].sum())
-        rows.append((etype, round(p99 / 100.0, 2), round(es / 100.0, 6), int(c[tail].sum())))
+        rows.append((etype, _rd(p99 / 100.0, 2), _rd(es / 100.0, 6), int(c[tail].sum())))
     out = pd.DataFrame(rows, columns=["event_type", "p99", "expected_shortfall", "n_tail"])
     return _i64(out, ["n_tail"])
 
@@ -6422,7 +6425,7 @@ def q_returned_item_customers(sf_dir: str) -> pd.DataFrame:
     out = topk(auto_join(per_cust, cust, on="o_custkey", right_on="c_custkey"),
                ["revenue", "o_custkey"], [True, False], 20).to_pandas()
     out = out.rename(columns={"o_custkey": "c_custkey", "n_name": "nation"})
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"].pipe(_rd, 2)
     return _i64(out[["c_custkey", "c_name", "nation", "revenue"]], ["c_custkey"])
 
 
@@ -6458,7 +6461,7 @@ def q_new_vs_returning_revenue(sf_dir: str) -> pd.DataFrame:
         # use year*12+month from the timestamp instead
         dt = pd.to_datetime(micros, unit="us")
         month = (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
                            "month_id": month, "rev_c": cents})
@@ -6485,8 +6488,8 @@ def q_new_vs_returning_revenue(sf_dir: str) -> pd.DataFrame:
             wide[c] = 0
     out = pd.DataFrame({
         "month_id": wide["month_id"],
-        "revenue_new": (wide["new_c"] / 100.0).round(2),
-        "revenue_returning": (wide["returning_c"] / 100.0).round(2),
+        "revenue_new": (wide["new_c"] / 100.0).pipe(_rd, 2),
+        "revenue_returning": (wide["returning_c"] / 100.0).pipe(_rd, 2),
     }).sort_values("month_id", ignore_index=True)
     return _i64(out, ["month_id"])
 
@@ -6598,9 +6601,9 @@ def q_basket_lift(sf_dir: str) -> pd.DataFrame:
     cnt = dict(zip(counts["part"], counts["cnt"]))
     n_orders = int(grouped_sums(
         ds.select_columns(["l_orderkey"]), ["l_orderkey"], {}, "c").count())
-    top["confidence"] = (top["n"] / top["part_a"].map(cnt)).round(6)
+    top["confidence"] = (top["n"] / top["part_a"].map(cnt)).pipe(_rd)
     top["lift"] = (top["n"] * n_orders /
-                   (top["part_a"].map(cnt) * top["part_b"].map(cnt))).round(6)
+                   (top["part_a"].map(cnt) * top["part_b"].map(cnt))).pipe(_rd)
     return _i64(top[["part_a", "part_b", "n", "confidence", "lift"]],
                 ["part_a", "part_b", "n"])
 
@@ -6656,7 +6659,7 @@ def q_user_survival_curve(sf_dir: str) -> pd.DataFrame:
     ks = np.arange(0, 31, dtype=np.int64)
     alive = np.array([int(h.loc[h["span_days"] >= k, "n"].sum()) for k in ks])
     out = pd.DataFrame({"k_days": ks, "n_surviving": alive,
-                        "survival": (alive / total).round(6)})
+                        "survival": _rd(alive / total)})
     return _i64(out, ["k_days", "n_surviving"])
 
 
@@ -6704,7 +6707,7 @@ def q_lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
     for i, a in enumerate(cols):
         for j, b in enumerate(cols):
             if i < j:
-                rows.append((a, b, round(float(corr[i, j]), 6)))
+                rows.append((a, b, _rd(float(corr[i, j]), 6)))
     return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
 
 
@@ -6972,7 +6975,7 @@ def q_quality_gate_sweep(sf_dir: str) -> pd.DataFrame:
 
     p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = p.groupby("min_words", as_index=False).sum()
-    out["drop_rate"] = (out["n_dropped"] / out["n_total"]).round(6)
+    out["drop_rate"] = (out["n_dropped"] / out["n_total"]).pipe(_rd)
     return _i64(out, ["min_words", "n_dropped", "n_total"])
 
 
@@ -7020,7 +7023,7 @@ def q_wau_retention(sf_dir: str) -> pd.DataFrame:
     parts = bucketed_group_reduce(pairs, ["user_id"], flags).to_pandas()
     out = parts.groupby("week_id", as_index=False).agg(
         active=("active", "sum"), retained=("retained", "sum"))
-    out["retention"] = (out["retained"] / out["active"]).round(6)
+    out["retention"] = (out["retained"] / out["active"]).pipe(_rd)
     return _i64(out.sort_values("week_id", ignore_index=True),
                 ["week_id", "active", "retained"])
 
@@ -7063,7 +7066,7 @@ def q_heaps_law_fit(sf_dir: str) -> pd.DataFrame:
     xc, yc = x - x.mean(), y - y.mean()
     beta = float((xc * yc).sum() / (xc * xc).sum())
     return pd.DataFrame({"n_sources": pd.Series([len(m)], dtype="int64"),
-                         "heaps_beta": [round(beta, 6)]})
+                         "heaps_beta": [_rd(beta, 6)]})
 
 
 SQL_HEAPS_LAW_FIT = """
@@ -7137,7 +7140,7 @@ def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
         micros = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
         dt = pd.to_datetime(micros, unit="us")
         month = (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0),
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
                            "month_id": month, "rev_c": cents})
@@ -7170,7 +7173,7 @@ def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
         by_age = dict(zip(g["age"], g["rev_c"]))
         for a in range(4):
             cum += int(by_age.get(a, 0))
-            rows.append((int(c), a, round(cum / n / 100.0, 6)))
+            rows.append((int(c), a, _rd(cum / n / 100.0, 6)))
     out = pd.DataFrame(rows, columns=["cohort", "age", "avg_cum_revenue"])
     return _i64(out, ["cohort", "age"])
 
@@ -7238,7 +7241,7 @@ def q_mixture_schedule(sf_dir: str) -> pd.DataFrame:
         rn = t["rn"].to_numpy(zero_copy_only=False) - src.map(offs).to_numpy(dtype=np.int64)
         k = rn / src.map(w).to_numpy(dtype=np.float64)
         return pa.table({"source": t["source"], "doc_id": t["doc_id"],
-                         "k": pa.array(np.round(k, 9))})
+                         "k": pa.array(_rd(k, 9))})
 
     keyed = ranked.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
     head = topk(keyed, ["k", "source", "doc_id"], [False, False, False], 50).to_pandas()
@@ -7299,7 +7302,7 @@ def q_order_price_ohlc(sf_dir: str) -> pd.DataFrame:
         high=("high", "max"), low=("low", "min"), n=("n", "sum"))
     out = ext.merge(first, on="month_id").merge(last, on="month_id")
     for c in ("open", "high", "low", "close"):
-        out[c] = out[c].round(2)
+        out[c] = out[c].pipe(_rd, 2)
     out = out[["month_id", "open", "high", "low", "close", "n"]].sort_values(
         "month_id", ignore_index=True)
     return _i64(out, ["month_id", "n"])
@@ -7337,7 +7340,7 @@ def q_duplicate_invoices(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
 
     def part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         band = pc.divide(cents, pa.scalar(100_000, pa.int64()))
         return pa.table({"cust": t["o_custkey"], "band": band,
                          "key": t["o_orderkey"],
@@ -7460,9 +7463,9 @@ def q_charclass_profile(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("source", as_index=False).sum()
     for c in ("alpha", "digit", "space"):
-        out[f"{c}_share"] = (out[c] / out["total"]).round(6)
+        out[f"{c}_share"] = (out[c] / out["total"]).pipe(_rd)
     out["other_share"] = (
-        (out["total"] - out["alpha"] - out["digit"] - out["space"]) / out["total"]).round(6)
+        (out["total"] - out["alpha"] - out["digit"] - out["space"]) / out["total"]).pipe(_rd)
     out = out[["source", "total", "alpha_share", "digit_share", "space_share", "other_share"]]
     return _i64(out.sort_values("source", ignore_index=True), ["total"])
 
@@ -7523,7 +7526,7 @@ def q_purchase_value_drift(sf_dir: str) -> pd.DataFrame:
     n = int(p["n"].sum())
     out = pd.DataFrame({
         "n_users": [n],
-        "avg_drift": [round(float(p["s"].sum()) / n / 100.0, 6)],
+        "avg_drift": [_rd(float(p["s"].sum()) / n / 100.0, 6)],
         "n_increased": [int(p["pos"].sum())],
     })
     return _i64(out, ["n_users", "n_increased"])
@@ -7621,7 +7624,7 @@ def q_top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
     out = grouped_topk(
         ds, ["s_nationkey"], ["s_acctbal", "s_suppkey"], [True, False], 1
     ).to_pandas().sort_values("s_nationkey", ignore_index=True)
-    out["s_acctbal"] = out["s_acctbal"].round(2)
+    out["s_acctbal"] = out["s_acctbal"].pipe(_rd, 2)
     return _i64(out[["s_nationkey", "s_suppkey", "s_name", "s_acctbal"]],
                 ["s_nationkey", "s_suppkey"])
 
@@ -7648,7 +7651,7 @@ def q_balance_ks_test(sf_dir: str) -> pd.DataFrame:
         ds = _t(sf_dir, table, [col])
 
         def part(t: pa.Table) -> pa.Table:
-            cents = pc.cast(pc.round(pc.multiply(t[col], 100.0), 0), pa.int64())
+            cents = pc.cast(pc.round(pc.multiply(t[col], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
             g = pa.table({"bin": cents}).group_by(["bin"]).aggregate([([], "count_all")])
             return pa.table({"bin": g["bin"], "n": pc.cast(g["count_all"], pa.int64())})
 
@@ -7666,7 +7669,7 @@ def q_balance_ks_test(sf_dir: str) -> pd.DataFrame:
     d = np.abs(np.cumsum(ca) / na - np.cumsum(cb) / nb).max()
     return pd.DataFrame({"n_supplier": pd.Series([na], dtype="int64"),
                          "n_customer": pd.Series([nb], dtype="int64"),
-                         "ks_d": [round(float(d), 6)]})
+                         "ks_d": [_rd(float(d), 6)]})
 
 
 SQL_BALANCE_KS_TEST = """
@@ -7695,7 +7698,7 @@ def q_benford_prices(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "orders", ["o_totalprice"])
 
     def part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         s = pc.cast(cents, pa.string())
         d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
         g = pa.table({"digit": d}).group_by(["digit"]).aggregate([([], "count_all")])
@@ -7706,8 +7709,8 @@ def q_benford_prices(sf_dir: str) -> pd.DataFrame:
         ["digit"], {"n": "n"}, reduce="driver",
     ).to_pandas().sort_values("digit", ignore_index=True)
     total = int(agg["n"].sum())
-    agg["share"] = (agg["n"] / total).round(6)
-    agg["benford"] = np.round(np.log10(1.0 + 1.0 / agg["digit"].to_numpy(dtype=np.float64)), 6)
+    agg["share"] = (agg["n"] / total).pipe(_rd)
+    agg["benford"] = _rd(np.log10(1.0 + 1.0 / agg["digit"].to_numpy(dtype=np.float64)), 6)
     return _i64(agg, ["digit", "n"])
 
 
@@ -7746,7 +7749,7 @@ def q_acf_multi_lag(sf_dir: str) -> pd.DataFrame:
     for lag in range(1, 6):
         a, b = x[lag:], x[:-lag]
         r = float(np.corrcoef(a, b)[0, 1]) if len(a) >= 2 and a.std() > 0 and b.std() > 0 else np.nan
-        rows.append((lag, round(r, 6), len(a)))
+        rows.append((lag, _rd(r, 6), len(a)))
     return _i64(pd.DataFrame(rows, columns=["lag", "acf", "n_pairs"]), ["lag", "n_pairs"])
 
 
@@ -7783,7 +7786,7 @@ def q_orders_seasonal_share(sf_dir: str) -> pd.DataFrame:
     agg = grouped_sums(
         ds.map_batches(ym, batch_format="pandas"), ["year", "month"], {}, "n",
     ).to_pandas()
-    agg["share"] = (agg["n"] / agg.groupby("year")["n"].transform("sum")).round(6)
+    agg["share"] = (agg["n"] / agg.groupby("year")["n"].transform("sum")).pipe(_rd)
     return _i64(agg.sort_values(["year", "month"], ignore_index=True),
                 ["year", "month", "n"])
 
@@ -7826,7 +7829,7 @@ def q_doc_length_quality_corr(sf_dir: str) -> pd.DataFrame:
     cov = sxy - sx * sy / n
     r = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
     return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
-                         "corr_len_stopratio": [round(float(r), 6)]})
+                         "corr_len_stopratio": [_rd(float(r), 6)]})
 
 
 SQL_DOC_LENGTH_QUALITY_CORR = f"""
@@ -7862,7 +7865,7 @@ def q_priority_mix_chi2(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_years": pd.Series([obs.shape[0]], dtype="int64"),
         "n_priorities": pd.Series([obs.shape[1]], dtype="int64"),
-        "chi2": [round(chi2, 6)],
+        "chi2": [_rd(chi2, 6)],
     })
 
 
@@ -7916,7 +7919,7 @@ def q_balance_anova_f(sf_dir: str) -> pd.DataFrame:
     f = (ssb / (k - 1)) / (ssw / (N - k))
     return pd.DataFrame({"n_customers": pd.Series([int(N)], dtype="int64"),
                          "n_segments": pd.Series([int(k)], dtype="int64"),
-                         "f_stat": [round(float(f), 6)]})
+                         "f_stat": [_rd(float(f), 6)]})
 
 
 SQL_BALANCE_ANOVA_F = """
@@ -7944,7 +7947,7 @@ def q_price_p99_exact(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
 
     def coarse_part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64())
         g = pa.table({"cb": pc.divide(cents, pa.scalar(COARSE, pa.int64()))}).group_by(
             ["cb"]).aggregate([([], "count_all")])
         return pa.table({"cb": g["cb"], "n": pc.cast(g["count_all"], pa.int64())})
@@ -7962,7 +7965,7 @@ def q_price_p99_exact(sf_dir: str) -> pd.DataFrame:
     want = np.array(sorted({cb for cb, _, _ in targets.values()}), dtype=np.int64)
 
     def fine_part(t: pa.Table, *, w=want) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0),
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), ndigits=0, round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy(zero_copy_only=False)
         m = np.isin(cents // COARSE, w)
         u, c = np.unique(cents[m], return_counts=True)
@@ -7976,7 +7979,7 @@ def q_price_p99_exact(sf_dir: str) -> pd.DataFrame:
         g = fine[fine["bin"] // COARSE == cb]
         c2 = before + g["n"].cumsum().to_numpy()
         v = int(g["bin"].to_numpy()[np.searchsorted(c2, rank)])
-        rows.append((q, round(v / 100.0, 2)))
+        rows.append((q, _rd(v / 100.0, 2)))
     out = pd.DataFrame(rows, columns=["q", "price"])
     out["q"] = out["q"].astype(np.float64)
     return out
@@ -8008,7 +8011,7 @@ def q_return_rate_monthly(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("month_id", as_index=False).agg(
         n=("n", "sum"), n_returned=("n_returned", "sum"))
-    out["return_rate"] = (out["n_returned"] / out["n"]).round(6)
+    out["return_rate"] = (out["n_returned"] / out["n"]).pipe(_rd)
     return _i64(out.sort_values("month_id", ignore_index=True),
                 ["month_id", "n", "n_returned"])
 
@@ -8043,8 +8046,8 @@ def q_weekend_lift(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = agg.groupby("event_type", as_index=False).agg(
         n=("n", "sum"), n_weekend=("n_weekend", "sum"))
-    out["weekend_share"] = (out["n_weekend"] / out["n"]).round(6)
-    out["lift"] = (out["n_weekend"] / out["n"] / (2.0 / 7.0)).round(6)
+    out["weekend_share"] = (out["n_weekend"] / out["n"]).pipe(_rd)
+    out["lift"] = (out["n_weekend"] / out["n"] / (2.0 / 7.0)).pipe(_rd)
     return _i64(out.sort_values("event_type", ignore_index=True), ["n", "n_weekend"])
 
 
