@@ -48,7 +48,8 @@ def brute_force_topk(
         mat = _to_matrix(t)
         norms = np.sqrt((mat * mat).sum(axis=1))
         cos = (mat @ qq) / (norms * qnorm)
-        block_ids = np.asarray(t[id_col].to_pylist())
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        block_ids = ids.to_numpy(zero_copy_only=False)
         order = np.lexsort((block_ids, -cos))[:k]  # tie-break: id asc, like the global merge
         return pa.table(
             {
