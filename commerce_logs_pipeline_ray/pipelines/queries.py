@@ -8069,13 +8069,17 @@ def ensure_media_parquet(sf_dir: str) -> str:
     PNG/WAV/VID0 bytes + ground-truth stats) in the oracle-artifact dir."""
     import os as _os
 
-    from ..sources.media import build_media_table
+    from ..sources.media import build_media_tables
 
     sf = _sf_of(sf_dir)
     n = max(48, min(4800, int(4800 * sf)))
+    _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "media_frames.parquet"),
+        lambda: build_media_tables(n)[1],
+    )
     return _ensure_artifact(
         _os.path.join(_corpus_dir(sf_dir), "media.parquet"),
-        lambda: build_media_table(n),
+        lambda: build_media_tables(n)[0],
     )
 
 
@@ -8098,13 +8102,59 @@ def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
         zero_copy_batch=True,
     )
     out = probed.to_pandas().sort_values("media_id", ignore_index=True)
-    return _i64(out, ["width", "height", "duration_ms", "px_sum", "sample_sum", "n_frames"])
+    return _i64(out, ["width", "height", "duration_ms", "px_sum", "sample_sum",
+                      "sample_sq_sum", "n_frames"])
 
 
 SQL_MEDIA_DECODE_REAL = f"""
-SELECT media_id, media_type, width, height, duration_ms, px_sum, sample_sum, n_frames
+SELECT media_id, media_type, width, height, duration_ms, px_sum, sample_sum,
+       sample_sq_sum, n_frames
 FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media.parquet')
 ORDER BY media_id
+"""
+
+
+def q_video_frame_decode(sf_dir: str) -> pd.DataFrame:
+    """Frame-sample → per-frame decode, the video feature-extraction chain
+    run for real: FrameSampler(use_stub=False) parses the VID0 container and
+    emits genuine PNG frame payloads; a second actor stage decodes each frame
+    and reports its exact integer pixel sum.  Oracle = the per-frame ground
+    truth persisted at synthesis time (media_frames.parquet) — k_frames=4 ≥
+    every container's frame count, so sampling keeps ALL frames and the two
+    sides must agree row-for-row."""
+    from ..stages.multimodal import FrameSampler
+
+    src = ensure_media_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload", "media_type"])
+    frames = ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k_frames": 4, "use_stub": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+    def decode_frame(t: pa.Table) -> pa.Table:
+        from ..functions.media_codecs import decode_png
+
+        sums = [int(decode_png(p).astype(np.int64).sum()) for p in t["frame_payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_index": pc.cast(t["frame_index"], pa.int64()),
+                "frame_px_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    out = frames.map_batches(decode_frame, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values(["media_id", "frame_index"], ignore_index=True)
+
+
+SQL_VIDEO_FRAME_DECODE = f"""
+SELECT media_id, frame_index, frame_px_sum
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media_frames.parquet')
+ORDER BY media_id, frame_index
 """
 
 
@@ -8117,6 +8167,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_media_decode_real,
         SQL_MEDIA_DECODE_REAL,
         "real PNG/WAV/VID0 decode via actor pool vs synthesis-time ground truth",
+    ),
+    "video_frame_decode": QuerySpec(
+        q_video_frame_decode,
+        SQL_VIDEO_FRAME_DECODE,
+        "frame-sample + per-frame PNG decode vs persisted per-frame truth",
     ),
     "return_rate_monthly": QuerySpec(
         q_return_rate_monthly,

@@ -23,12 +23,16 @@ AUDIO_RATE = 8000
 VIDEO_FPS = 10
 
 
-def build_media_table(n: int, seed: int = 42) -> pa.Table:
-    """n media rows cycling image → audio → video, all really encoded."""
+def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """(media, frames): n media rows cycling image → audio → video, all
+    really encoded, plus a per-frame ground-truth sidecar for the videos
+    (media_id, frame_index, frame_px_sum) — the oracle for frame-sampled
+    decode."""
     rng = np.random.default_rng(seed)
     media_id, payload, media_type = [], [], []
     width, height, duration_ms = [], [], []
-    px_sum, sample_sum, n_frames = [], [], []
+    px_sum, sample_sum, sample_sq_sum, n_frames = [], [], [], []
+    f_mid, f_idx, f_px = [], [], []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         media_id.append(f"m{i:06d}")
@@ -45,6 +49,7 @@ def build_media_table(n: int, seed: int = 42) -> pa.Table:
             duration_ms.append(-1)
             px_sum.append(int(img.astype(np.int64).sum()))
             sample_sum.append(-1)
+            sample_sq_sum.append(-1)
             n_frames.append(-1)
         elif kind == "audio":
             k = 800 + (i * 13) % 4000
@@ -58,7 +63,9 @@ def build_media_table(n: int, seed: int = 42) -> pa.Table:
             height.append(-1)
             duration_ms.append(k * 1000 // AUDIO_RATE)
             px_sum.append(-1)
-            sample_sum.append(int(samples.astype(np.int64).sum()))
+            s64 = samples.astype(np.int64)
+            sample_sum.append(int(s64.sum()))
+            sample_sq_sum.append(int((s64 * s64).sum()))
             n_frames.append(-1)
         else:
             k = 2 + i % 3
@@ -74,8 +81,13 @@ def build_media_table(n: int, seed: int = 42) -> pa.Table:
             duration_ms.append(k * 1000 // VIDEO_FPS)
             px_sum.append(int(sum(f.astype(np.int64).sum() for f in frames)))
             sample_sum.append(-1)
+            sample_sq_sum.append(-1)
             n_frames.append(k)
-    return pa.table(
+            for fi, fr in enumerate(frames):
+                f_mid.append(f"m{i:06d}")
+                f_idx.append(fi)
+                f_px.append(int(fr.astype(np.int64).sum()))
+    media = pa.table(
         {
             "media_id": pa.array(media_id, pa.string()),
             "payload": pa.array(payload, pa.binary()),
@@ -85,6 +97,19 @@ def build_media_table(n: int, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array(duration_ms, pa.int64()),
             "px_sum": pa.array(px_sum, pa.int64()),
             "sample_sum": pa.array(sample_sum, pa.int64()),
+            "sample_sq_sum": pa.array(sample_sq_sum, pa.int64()),
             "n_frames": pa.array(n_frames, pa.int64()),
         }
     )
+    frames_t = pa.table(
+        {
+            "media_id": pa.array(f_mid, pa.string()),
+            "frame_index": pa.array(f_idx, pa.int64()),
+            "frame_px_sum": pa.array(f_px, pa.int64()),
+        }
+    )
+    return media, frames_t
+
+
+def build_media_table(n: int, seed: int = 42) -> pa.Table:
+    return build_media_tables(n, seed)[0]

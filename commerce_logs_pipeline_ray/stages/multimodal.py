@@ -228,6 +228,7 @@ class MediaProbe:
         duration = np.full(n, -1, np.int64)
         px_sum = np.full(n, -1, np.int64)
         sample_sum = np.full(n, -1, np.int64)
+        sample_sq_sum = np.full(n, -1, np.int64)
         n_frames = np.full(n, -1, np.int64)
         for i, (payload, mtype) in enumerate(
             zip(t["payload"].to_pylist(), t["media_type"].to_pylist())
@@ -239,7 +240,9 @@ class MediaProbe:
             elif mtype == "audio":
                 rate, samples = self._wav(payload)
                 duration[i] = len(samples) * 1000 // rate
-                sample_sum[i] = int(samples.astype(np.int64).sum())
+                s64 = samples.astype(np.int64)
+                sample_sum[i] = int(s64.sum())
+                sample_sq_sum[i] = int((s64 * s64).sum())  # energy, exact
             elif mtype == "video":
                 fps, frames = self._vid(payload)
                 n_frames[i] = len(frames)
@@ -255,6 +258,7 @@ class MediaProbe:
                 "duration_ms": pa.array(duration),
                 "px_sum": pa.array(px_sum),
                 "sample_sum": pa.array(sample_sum),
+                "sample_sq_sum": pa.array(sample_sq_sum),
                 "n_frames": pa.array(n_frames),
             }
         )
