@@ -108,7 +108,12 @@ def main() -> int:
     exact = "--exact" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
