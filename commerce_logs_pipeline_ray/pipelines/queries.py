@@ -2349,7 +2349,9 @@ def q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["cluster", "n"])
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_cte_parts(k: int, iters: int) -> list:
+    """The shared deterministic Lloyd chain (x, c0, a_i, c_{i+1} CTEs) —
+    reused by the k-means and semantic-dedup oracles."""
     parts = [
         "WITH x AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
         f"""c0 AS MATERIALIZED (
@@ -2378,6 +2380,11 @@ def _kmeans_sql(k: int, iters: int) -> str:
     ) GROUP BY 1
   ) n ON n.cluster = c.cluster)"""
         )
+    return parts
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    parts = _kmeans_cte_parts(k, iters)
     parts.append(
         f"""fin AS (
   SELECT cluster, COUNT(*) AS n FROM (
@@ -2400,6 +2407,94 @@ def _kmeans_sql(k: int, iters: int) -> str:
 
 
 SQL_EMBEDDING_KMEANS = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+
+SEMDEDUP_TAU = 0.5
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then within each cluster drop any
+    vector having a LOWER-id neighbor at cosine ≥ τ (keep-min-id — the
+    same survivor convention as exact dedup).  Clustering makes the
+    near-dup scan local: candidate pairs never cross clusters, so the
+    only exchange is the cluster-keyed co-group.
+
+    Scale shape: centroids broadcast (k·d floats); assignment is one
+    vectorized pass; the per-cluster all-pairs is O((N/k)²·d) per group —
+    at 100 TB raise k so clusters fit a worker and tile the in-cluster
+    scan with the block-pair tasks from ``embedding_neardup_pairs``.
+    Oracle: the SAME unrolled Lloyd chain as ``embedding_kmeans`` plus a
+    correlated EXISTS over in-cluster lower-id cosine neighbors."""
+    import ray
+
+    from ..functions.sim import _to_matrix, lloyd_kmeans
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, _counts = lloyd_kmeans(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+        mat = _to_matrix(t, "embedding")
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)  # ties → lowest cluster, like the SQL rn=1
+        return pa.table(
+            {"vec_id": t["vec_id"], "cluster": pa.array(cl.astype(np.int64)),
+             "embedding": t["embedding"]}
+        )
+
+    asg = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def in_cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id", ignore_index=True)
+        M = np.stack(df["embedding"].to_numpy())
+        norms = np.sqrt((M * M).sum(axis=1))
+        cos = (M @ M.T) / np.outer(norms, norms)
+        dropped = np.tril(cos >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"cluster": [int(df["cluster"].iloc[0])], "n": [len(df)],
+             "n_dropped": [int(dropped.sum())]}
+        )
+
+    out = asg.groupby("cluster").map_groups(in_cluster_dedup, batch_format="pandas").to_pandas()
+    out = out.sort_values("cluster", ignore_index=True)
+    return _i64(out, ["cluster", "n", "n_dropped"])
+
+
+def _semantic_dedup_sql(k: int, iters: int, tau: float) -> str:
+    parts = _kmeans_cte_parts(k, iters)
+    parts.append(
+        f"""asg AS MATERIALIZED (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT x.vec_id, x.emb, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id ORDER BY list_distance(x.emb, c.cent), c.cluster
+           ) AS rn
+    FROM x CROSS JOIN c{iters} c
+  ) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""drops AS (
+  SELECT a.cluster, a.vec_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM asg b
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND list_inner_product(a.emb, b.emb)
+                 / (sqrt(list_inner_product(a.emb, a.emb))
+                    * sqrt(list_inner_product(b.emb, b.emb))) >= {tau}
+         ) THEN 1 ELSE 0 END AS dropped
+  FROM asg a)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT cluster, COUNT(*) AS n, CAST(SUM(dropped) AS BIGINT) AS n_dropped\n"
+        f"FROM drops GROUP BY 1 ORDER BY 1"
+    )
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
 
 
 def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
@@ -8167,6 +8262,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_media_decode_real,
         SQL_MEDIA_DECODE_REAL,
         "real PNG/WAV/VID0 decode via actor pool vs synthesis-time ground truth",
+    ),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        SQL_SEMANTIC_DEDUP,
+        "SemDeDup: kmeans clusters, in-cluster cosine near-dup keep-min",
     ),
     "video_frame_decode": QuerySpec(
         q_video_frame_decode,

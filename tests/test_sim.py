@@ -193,3 +193,42 @@ def test_lloyd_kmeans_deterministic_across_partitionings(ray_session):
     pd.testing.assert_frame_equal(
         n1.sort_values("cluster", ignore_index=True), n2.sort_values("cluster", ignore_index=True)
     )
+
+
+def test_semantic_dedup_planted_truth(ray_session, tmp_path):
+    """SemDeDup composition on a planted corpus: two tight clusters, each
+    holding exact near-duplicate groups — in-cluster keep-min must drop
+    exactly the planted copies and never a cross-cluster neighbor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(5)
+    dim = 64
+    vecs, ids = [], []
+    vid = 0
+    for c in range(2):
+        for g in range(5):
+            # each group rides its own basis axis (+ a small shared cluster
+            # component): same-group copies have cos ≈ 1, different groups
+            # cos ≈ 0.2 — far below τ on both sides of the boundary
+            proto = np.zeros(dim)
+            proto[c] = 0.5
+            proto[10 + c * 5 + g] = 1.0
+            for copy in range(3):  # 3 EXACT copies per group (cos = 1.0,
+                # identical vectors always co-assign — split-proof)
+                vecs.append(proto.copy())
+                ids.append(vid); vid += 1
+    t = pa.table({
+        "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    d = tmp_path / "sd"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = REGISTRY["semantic_dedup"].fn(str(d))
+    # every group keeps exactly its min-id member: 30 vectors, 10 groups
+    assert int(out["n"].sum()) == 30
+    assert int(out["n_dropped"].sum()) == 20
