@@ -76,3 +76,48 @@ def test_random_corpus_matches_oracle(name, seed, ray_session, tmp_path_factory)
     want = con.execute(spec.sql).df()
     problems = compare(name, got, want)
     assert not problems, problems
+
+
+def test_half_boundary_ratio_corpus(ray_session, tmp_path_factory):
+    """Adversarial rounding corpus: group counts are powers of two with odd
+    numerators, so every emitted ratio lands EXACTLY on a 6-decimal half
+    boundary (1/128 = 0.0078125).  numpy half-to-even vs DuckDB half-away
+    diverges here unless both sides share the rounding convention
+    (functions/rounding.py) — this is the end-to-end regression for it."""
+    d = tmp_path_factory.mktemp("halfb")
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    # type 'a': 128 events, exactly 1 on a weekend → weekend_share = 1/128
+    # type 'b': 256 events, 3 on weekends → 3/256 (another exact boundary)
+    for etype, n, n_wk in (("a", 128, 1), ("b", 256, 3)):
+        for i in range(n):
+            # epoch day 3 is a Sunday under the (days+4)%7 convention
+            day = 3 if i < n_wk else 4 + (i % 5)  # weekday otherwise
+            rows.append((eid, day * day_us + i * 1_000_000, 1 + (i % 7), etype))
+            eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows], unit="us"),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(d / "events.parquet"))
+
+    spec = REGISTRY["weekend_lift"]
+    got = spec.fn(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.execute(spec.sql).df()
+    # the planted boundary is live: DuckDB's answer differs from naive pandas
+    naive = (got["n_weekend"] / got["n"]).round(6)
+    assert float(naive.iloc[0]) != float(want["weekend_share"].iloc[0])
+    # ...and the engine agrees with DuckDB bitwise
+    x = got.sort_values("event_type")["weekend_share"].to_numpy()
+    y = want.sort_values("event_type")["weekend_share"].to_numpy()
+    assert (x.view(np.uint64) == y.view(np.uint64)).all()
+    problems = compare("weekend_lift", got, want)
+    assert not problems, problems
