@@ -139,3 +139,37 @@ def test_completed_shard_skips_whole(rg_input, tmp_path_factory, ray_session):
     again = run_flagship(cfg)
     assert again.shards_run == 0
     assert again.shards_skipped == 2
+
+
+def test_rowgroup_with_partition_by_pruned_reads(rg_input, tmp_path_factory, ray_session):
+    """unit=<id> dirs sit BELOW the partition dirs, so Hive-filtered reads
+    keep pruning whole date directories in rowgroup mode."""
+    from commerce_logs_pipeline_ray.pipelines.flagship import read_routed, routed_files
+
+    files, _ = rg_input
+    out = tmp_path_factory.mktemp("rgpart") / "out"
+    cfg = _cfg(rg_input, out, partition_by=["date"])
+    run_flagship(cfg)
+
+    all_files = routed_files(str(out), "application")
+    assert all_files and all("/unit=" in f for f in all_files)
+    dates = sorted({f.split("/date=")[1].split("/")[0] for f in all_files})
+    assert len(dates) >= 2
+    pick = dates[0]
+    picked = routed_files(str(out), "application", {"date": pick})
+    assert picked and all(f"/date={pick}/" in f for f in picked)
+    assert len(picked) < len(all_files)
+
+    pruned = read_routed(str(out), "application", {"date": pick}).to_pandas()
+    full = read_routed(str(out), "application").to_pandas()
+    assert set(pruned["date"]) == {pick}
+    assert len(pruned) == int((full["date"] == pick).sum())
+
+    # row set equals the shard-mode layout's
+    flat_out = tmp_path_factory.mktemp("rgflat") / "out"
+    run_flagship(PipelineConfig(
+        input_dir=os.path.dirname(files[0]), output_dir=str(flat_out),
+        num_shards=2, batch_size=512, partition_by=["date"],
+    ))
+    flat = read_routed(str(flat_out), "application").to_pandas()
+    assert sorted(full["doc_id"]) == sorted(flat["doc_id"])
