@@ -29,7 +29,6 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ROWS_PER_SF = 6_000_000  # sf0.1 → 600k sequences (lineitem-scale parity)
 
 BENCH_QUERIES = [
-    "skew_join_nation_value",
     "video_frame_decode",
     "media_decode_real",
     "semantic_dedup",
