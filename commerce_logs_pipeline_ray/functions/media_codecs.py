@@ -202,3 +202,13 @@ def video_frame_payloads(data: bytes) -> tuple[int, list[bytes]]:
 def decode_video(data: bytes) -> tuple[int, list[np.ndarray]]:
     fps, payloads = video_frame_payloads(data)
     return fps, [decode_png(p) for p in payloads]
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy, deterministic): source pixel of
+    output (y, x) is (floor(y·H/out_h), floor(x·W/out_w)) — the classic
+    integer-map convention, reproducible anywhere without an image library."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys][:, xs]

@@ -8253,6 +8253,38 @@ ORDER BY media_id, frame_index
 """
 
 
+def q_media_resize_stats(sf_dir: str) -> pd.DataFrame:
+    """Image preprocessing hop run for real: decode PNG → nearest-neighbor
+    resize to 8×8 → re-encode; the emitted pixel sum of the RESIZED image is
+    checked against the truth computed from the source array at synthesis
+    time, and the output payload is itself a decodable PNG (round-trip
+    asserted in tests/test_multimodal.py)."""
+    from ..stages.multimodal import ImageResizer
+
+    src = ensure_media_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload", "media_type"])
+    resized = ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+    out = resized.select_columns(["media_id", "width", "height", "resized_px_sum"]) \
+        .to_pandas().sort_values("media_id", ignore_index=True)
+    return _i64(out, ["width", "height", "resized_px_sum"])
+
+
+SQL_MEDIA_RESIZE_STATS = f"""
+SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       resized_px_sum
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media.parquet')
+WHERE media_type = 'image'
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8267,6 +8299,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_semantic_dedup,
         SQL_SEMANTIC_DEDUP,
         "SemDeDup: kmeans clusters, in-cluster cosine near-dup keep-min",
+    ),
+    "media_resize_stats": QuerySpec(
+        q_media_resize_stats,
+        SQL_MEDIA_RESIZE_STATS,
+        "decode → nearest-neighbor resize → re-encode vs synthesis-time truth",
     ),
     "video_frame_decode": QuerySpec(
         q_video_frame_decode,

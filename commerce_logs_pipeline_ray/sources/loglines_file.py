@@ -93,7 +93,7 @@ def read_logline_corpus(out_dir: str, **read_kwargs) -> rd.Dataset:
 # bump whenever ANY artifact generator changes semantics (synth_log_lines,
 # derive_sequences, pack_batch, SimHasher) — a stale /tmp surviving across
 # builds must never be compared against newer code
-ARTIFACT_VERSION = 4
+ARTIFACT_VERSION = 5
 
 
 def corpus_dir(sf_dir: str, base: str = "/tmp/cpr_oracle") -> str:

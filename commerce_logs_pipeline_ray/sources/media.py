@@ -17,10 +17,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.media_codecs import encode_png, encode_video, encode_wav
+from ..functions.media_codecs import encode_png, encode_video, encode_wav, resize_nearest
 
 AUDIO_RATE = 8000
 VIDEO_FPS = 10
+RESIZE_H, RESIZE_W = 8, 8
 
 
 def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
@@ -32,6 +33,7 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     media_id, payload, media_type = [], [], []
     width, height, duration_ms = [], [], []
     px_sum, sample_sum, sample_sq_sum, n_frames = [], [], [], []
+    resized_px_sum = []
     f_mid, f_idx, f_px = [], [], []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -51,6 +53,8 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             sample_sum.append(-1)
             sample_sq_sum.append(-1)
             n_frames.append(-1)
+            resized_px_sum.append(
+                int(resize_nearest(img, RESIZE_H, RESIZE_W).astype(np.int64).sum()))
         elif kind == "audio":
             k = 800 + (i * 13) % 4000
             t = np.arange(k, dtype=np.float64)
@@ -67,6 +71,7 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             sample_sum.append(int(s64.sum()))
             sample_sq_sum.append(int((s64 * s64).sum()))
             n_frames.append(-1)
+            resized_px_sum.append(-1)
         else:
             k = 2 + i % 3
             w, h = 8 + i % 5, 6 + i % 4
@@ -83,6 +88,7 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             sample_sum.append(-1)
             sample_sq_sum.append(-1)
             n_frames.append(k)
+            resized_px_sum.append(-1)
             for fi, fr in enumerate(frames):
                 f_mid.append(f"m{i:06d}")
                 f_idx.append(fi)
@@ -99,6 +105,7 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             "sample_sum": pa.array(sample_sum, pa.int64()),
             "sample_sq_sum": pa.array(sample_sq_sum, pa.int64()),
             "n_frames": pa.array(n_frames, pa.int64()),
+            "resized_px_sum": pa.array(resized_px_sum, pa.int64()),
         }
     )
     frames_t = pa.table(

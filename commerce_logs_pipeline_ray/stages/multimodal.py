@@ -204,6 +204,41 @@ class FrameSampler:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: REAL decode → nearest-neighbor resize → re-encode.
+
+    The full image-preprocessing hop a training pipeline runs at scale:
+    payload in, payload out (PNG), with typed size metadata — downstream
+    stages keep consuming a plain binary column.  Codec + kernel bind once
+    per actor (ST2 pattern)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        from ..functions.media_codecs import decode_png, encode_png, resize_nearest
+
+        self.out_h, self.out_w = out_h, out_w
+        self._decode, self._encode, self._resize = decode_png, encode_png, resize_nearest
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["media_type"], "image"))
+        out_payload, px_sums = [], []
+        for payload in t["payload"].to_pylist():
+            small = self._resize(self._decode(payload), self.out_h, self.out_w)
+            out_payload.append(self._encode(small))
+            px_sums.append(int(small.astype(np.int64).sum()))
+        n = len(out_payload)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(np.full(n, self.out_w, np.int64)),
+                "height": pa.array(np.full(n, self.out_h, np.int64)),
+                "resized_px_sum": pa.array(px_sums, pa.int64()),
+            }
+        )
+
+
 class MediaProbe:
     """Actor-pool stage: REAL decode of every payload → typed stats.
 

@@ -91,3 +91,27 @@ def test_frame_sampler_fanout():
     assert out.num_rows == n_videos * 4
     assert out.schema.field("frame_payload").type == pa.binary()
     assert set(out["frame_index"].to_pylist()) == {0, 1, 2, 3}
+
+
+def test_image_resizer_roundtrip_and_truth(ray_session):
+    """Resize output is a real decodable PNG of the target size, and its
+    pixel sum equals the truth computed from the source array."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.media_codecs import decode_png, resize_nearest
+    from commerce_logs_pipeline_ray.sources.media import RESIZE_H, RESIZE_W, build_media_tables
+    from commerce_logs_pipeline_ray.stages.multimodal import ImageResizer
+
+    media, _ = build_media_tables(18)
+    out = ImageResizer(out_h=RESIZE_H, out_w=RESIZE_W)(
+        media.select(["media_id", "payload", "media_type"]))
+    truth = {m: s for m, s, t in zip(media["media_id"].to_pylist(),
+                                     media["resized_px_sum"].to_pylist(),
+                                     media["media_type"].to_pylist()) if t == "image"}
+    assert out.num_rows == len(truth)
+    for mid, payload, got in zip(out["media_id"].to_pylist(),
+                                 out["payload"].to_pylist(),
+                                 out["resized_px_sum"].to_pylist()):
+        img = decode_png(payload)
+        assert img.shape[:2] == (RESIZE_H, RESIZE_W)
+        assert int(img.astype(np.int64).sum()) == got == truth[mid]
