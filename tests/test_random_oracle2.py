@@ -138,3 +138,36 @@ def test_random_relational_matches_oracle(name, seed, ray_session, tmp_path_fact
     for t in ("orders", "lineitem", "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
     _run(name, str(d), con)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_semantic_dedup_random_embeddings(seed, ray_session, tmp_path_factory):
+    """semantic_dedup vs its unrolled-Lloyd + EXISTS oracle on RANDOM
+    embeddings with planted duplicate pairs — exercises kmeans tie-breaks
+    and cosine comparisons on data the fixed corpus never shows."""
+    rng = np.random.default_rng(seed)
+    n, dim = 160, 64
+    M = rng.normal(size=(n, dim))
+    # plant exact duplicates (cos = 1.0, assignment-invariant)
+    for a, b in ((3, 77), (10, 41), (100, 150)):
+        M[b] = M[a]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in M],
+                              type=pa.list_(pa.float32())),
+    })
+    d = tmp_path_factory.mktemp(f"sd{seed}")
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+    from tools.check_queries import compare
+
+    spec = REGISTRY["semantic_dedup"]
+    got = spec.fn(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')")
+    want = con.execute(spec.sql).df()
+    problems = compare("semantic_dedup", got, want, exact=True)
+    assert not problems, problems
+    assert int(got["n_dropped"].sum()) >= 3  # the planted duplicates dropped
