@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--no-write-routed", action="store_true")
     f.add_argument("--partition-by", default=None,
                    help="comma-separated Hive partition cols under each sink (e.g. date,tenant)")
+    f.add_argument("--resume-granularity", choices=["shard", "rowgroup"], default="shard",
+                   help="rowgroup: mid-shard resume from the last committed row-group unit")
+    f.add_argument("--unit-target-bytes", type=int, default=128 << 20,
+                   help="rowgroup-mode unit packing size (compressed bytes)")
 
     w = sub.add_parser("watch", help="polling ingestion loop (blob-monitor analogue)")
     w.add_argument("--input", required=True)
@@ -79,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--input", required=True, help="parquet with (doc_id, source, text)")
     c.add_argument("--output", required=True)
     c.add_argument("--min-words", type=int, default=5)
+    c.add_argument("--fingerprint", choices=["fnv128", "md5"], default="fnv128",
+                   help="content fingerprint (fnv128 = one-pass vectorized scale default)")
+    c.add_argument("--dedup-broadcast-max", type=int, default=2_000_000,
+                   help="keeper-id count above which the Bloom survivor path runs")
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
@@ -130,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
                 validate=args.validate,
                 write_routed=not args.no_write_routed,
                 partition_by=args.partition_by.split(",") if args.partition_by else None,
+                resume_granularity=args.resume_granularity,
+                unit_target_bytes=args.unit_target_bytes,
             )
             res = run_flagship(cfg)
             print(
@@ -151,7 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.curate import CurateConfig, run_curate
 
             res = run_curate(CurateConfig(
-                input_path=args.input, output_dir=args.output, min_words=args.min_words))
+                input_path=args.input, output_dir=args.output, min_words=args.min_words,
+                fingerprint=args.fingerprint, dedup_broadcast_max=args.dedup_broadcast_max))
             print(
                 json.dumps(
                     {
