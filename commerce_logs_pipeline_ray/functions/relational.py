@@ -373,7 +373,13 @@ def _key_hashes(col: pa.Array | pa.ChunkedArray) -> "np.ndarray":
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+    if (
+        pa.types.is_string(col.type)
+        or pa.types.is_large_string(col.type)
+        or pa.types.is_binary(col.type)
+        or pa.types.is_large_binary(col.type)
+        or pa.types.is_fixed_size_binary(col.type)
+    ):
         return fnv1a64(col)
     return np.asarray(pc.cast(col, pa.int64())).astype(np.int64).astype(np.uint64)
 
@@ -450,6 +456,93 @@ def bloom_semi_join(
         zero_copy_batch=True,
     ).groupby(rkey).count().drop_columns(["count()"])
     return hash_join(survivors, uniq, on, rkey, "inner", num_partitions)
+
+
+def bloom_anti_join(
+    big: Dataset,
+    small: Dataset,
+    on: str,
+    right_on: str | None = None,
+    bits_per_key: int = 10,
+    num_partitions: int = 16,
+) -> Dataset:
+    """EXACT anti join (rows of ``big`` whose key is NOT in ``small``) for a
+    key set too large to broadcast — the Bloom dual of ``bloom_semi_join``:
+
+    1. the merged filter ships once; rows FAILING it are *definitely new*
+       (no false negatives) and pass through with zero further work — at a
+       typical 99%+ novelty rate almost everything short-circuits here;
+    2. rows passing the filter (true members + ~1% false positives) take a
+       hash-partitioned LEFT OUTER join against the deduped key column and
+       only right-null rows survive — false positives are scrubbed exactly.
+    """
+    from .sketch import BloomFilter
+
+    rkey = right_on or on
+    keys = small.select_columns([rkey]).materialize()
+    n_keys = max(64, keys.count())
+    proto = BloomFilter.for_capacity(n_keys, bits_per_key)
+    n_bits, n_hashes = proto.n_bits, proto.k
+
+    def build(t: pa.Table) -> pa.Table:
+        b = BloomFilter(n_bits, n_hashes)
+        col = t[rkey]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
+        if len(col):
+            b.add_hashes(_key_hashes(col))
+        return pa.table({"blob": pa.array([b.serialize()], type=pa.binary())})
+
+    merged = BloomFilter(n_bits, n_hashes)
+    for batch in keys.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["blob"].to_pylist():
+            merged = merged.merge(BloomFilter.deserialize(blob, n_bits, n_hashes))
+    words_ref = ray.put(merged.words)
+
+    def split(t: pa.Table, want_member: bool) -> pa.Table:
+        from .sketch import BloomFilter as BF
+
+        if len(t) == 0:
+            return t
+        words = ray.get(words_ref) if isinstance(words_ref, ray.ObjectRef) else words_ref
+        b = BF(n_bits, n_hashes)
+        b.words = words
+        col = t[on]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        member = pa.array(b.contains_hashes(_key_hashes(pc.fill_null(col, col[0]))))
+        member = pc.and_(member, pc.is_valid(col))  # null keys are never members
+        return t.filter(member if want_member else pc.invert(member))
+
+    definitely_new = big.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    candidates = big.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    uniq = keys.map_batches(
+        lambda t: pa.table(
+            {rkey: pc.unique(
+                t[rkey].combine_chunks() if isinstance(t[rkey], pa.ChunkedArray) else t[rkey]
+            ).drop_null(),
+             "__hit": pa.array([1] * len(pc.unique(
+                 t[rkey].combine_chunks() if isinstance(t[rkey], pa.ChunkedArray) else t[rkey]
+             ).drop_null()), pa.int8())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby(rkey).max("__hit")
+    joined = hash_join(candidates, uniq, on, rkey, "left_outer", num_partitions)
+    hit_col = "max(__hit)"
+    scrubbed = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t[hit_col])).drop_columns(
+            [c for c in (hit_col, rkey) if c in t.column_names and c != on]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return definitely_new.union(scrubbed)
 
 
 def detect_hot_keys(

@@ -29,7 +29,9 @@ same summary out).
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -66,6 +68,14 @@ class CurateConfig:
     # hash-partitioned exact verify (relational.bloom_semi_join) runs
     # instead, bounding driver memory at any corpus size
     dedup_broadcast_max: int = 2_000_000
+    # cross-run incremental dedup: when set, fingerprints of every kept doc
+    # persist under state_dir/<fingerprint>/run-*/; subsequent runs ANTI-join
+    # new keepers against the accumulated state (broadcast below
+    # dedup_broadcast_max prior fps, Bloom-prefiltered exact anti join above
+    # it — relational.bloom_anti_join), so a re-ingested document is never
+    # curated twice.  The reference analogue is the compacted blob-state
+    # skip (worker.go:354-364) applied to CONTENT identity.
+    state_dir: str | None = None
 
 
 @dataclass
@@ -75,6 +85,7 @@ class CurateResult:
     rows_out: int = 0
     dropped_quality: int = 0
     dropped_duplicate: int = 0
+    keepers_dropped_prior: int = 0  # content seen in an earlier run's state
     per_lang: dict = field(default_factory=dict)
     output_files: list = field(default_factory=list)
 
@@ -143,6 +154,50 @@ def run_curate(cfg: CurateConfig) -> CurateResult:
         lambda df: df.groupby("fp", as_index=False)["keeper"].min(),
     ).materialize()
     n_keepers = keepers_ds.count()
+
+    # cross-run dedup: drop keepers whose CONTENT was already curated by an
+    # earlier run (state is fingerprint-convention-specific).  This run's
+    # OWN state dir (deterministic id from input identity) is excluded so an
+    # idempotent re-run never anti-joins against itself.
+    import hashlib
+
+    state_base = (
+        os.path.join(cfg.state_dir, cfg.fingerprint) if cfg.state_dir else None
+    )
+    run_id = hashlib.sha256(
+        f"{os.path.abspath(cfg.input_path)}|{cfg.min_words}|"
+        f"{cfg.max_stop_ratio_num}/{cfg.max_stop_ratio_den}".encode()
+    ).hexdigest()[:16]
+    prior_files = [
+        f for f in (
+            sorted(glob.glob(os.path.join(state_base, "run-*", "*.parquet")))
+            if state_base else []
+        )
+        if f"run-{run_id}" not in f
+    ]
+    if prior_files:
+        from ..functions.relational import bloom_anti_join, semi_join_broadcast
+
+        prior = rd.read_parquet(prior_files, columns=["fp"])
+        n_prior = prior.count()
+        if n_prior <= cfg.dedup_broadcast_max:
+            prior_fps = pa.Table.from_pandas(prior.to_pandas(), preserve_index=False)
+            keepers_ds = semi_join_broadcast(keepers_ds, prior_fps, "fp", anti=True)
+        else:
+            keepers_ds = bloom_anti_join(keepers_ds, prior, on="fp")
+        keepers_ds = keepers_ds.materialize()
+        n_new = keepers_ds.count()
+        res.keepers_dropped_prior = n_keepers - n_new
+        n_keepers = n_new
+
+    if state_base:
+        # persist THIS run's new keeper fingerprints (deterministic run dir
+        # keyed by input identity — an idempotent re-run overwrites itself
+        # instead of double-registering)
+        run_dir = os.path.join(state_base, f"run-{run_id}")
+        shutil.rmtree(run_dir, ignore_errors=True)
+        if n_keepers:
+            keepers_ds.select_columns(["fp"]).write_parquet(run_dir)
 
     if n_keepers <= cfg.dedup_broadcast_max:
         # small keeper set: exact id array broadcasts once, vectorized isin

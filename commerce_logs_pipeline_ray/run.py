@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="content fingerprint (fnv128 = one-pass vectorized scale default)")
     c.add_argument("--dedup-broadcast-max", type=int, default=2_000_000,
                    help="keeper-id count above which the Bloom survivor path runs")
+    c.add_argument("--state-dir", default=None,
+                   help="cross-run dedup state: kept-content fingerprints persist here; "
+                        "later runs skip already-curated content")
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
@@ -162,7 +165,8 @@ def main(argv: list[str] | None = None) -> int:
 
             res = run_curate(CurateConfig(
                 input_path=args.input, output_dir=args.output, min_words=args.min_words,
-                fingerprint=args.fingerprint, dedup_broadcast_max=args.dedup_broadcast_max))
+                fingerprint=args.fingerprint, dedup_broadcast_max=args.dedup_broadcast_max,
+                state_dir=args.state_dir))
             print(
                 json.dumps(
                     {
@@ -170,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
                         "dropped_quality": res.dropped_quality,
                         "dropped_duplicate": res.dropped_duplicate,
                         "rows_out": res.rows_out,
+                        "keepers_dropped_prior": res.keepers_dropped_prior,
                         "per_lang": {k: list(v) for k, v in res.per_lang.items()},
                         "n_files": len(res.output_files),
                     }

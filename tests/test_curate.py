@@ -119,3 +119,53 @@ def test_curate_md5_fingerprint_matches_fnv(corpus, ray_session, tmp_path):
     assert md5.per_lang == fnv.per_lang
     assert md5.rows_out == fnv.rows_out
     assert md5.dropped_duplicate == fnv.dropped_duplicate
+
+
+def test_incremental_curation_cross_run_dedup(corpus, ray_session, tmp_path):
+    """Two-batch ingestion with shared content: batch 2 must not re-curate
+    docs whose CONTENT batch 1 already kept; re-running either batch is
+    idempotent (a run never anti-joins against its own state)."""
+    import pyarrow as pa
+
+    docs, _, _ = corpus
+    n = docs.num_rows
+    half = n // 2
+    b1 = docs.slice(0, half)
+    # batch 2 = second half + the FIRST 10 docs re-ingested under new ids
+    dup = docs.slice(0, 10)
+    dup = dup.set_column(0, "doc_id",
+                         pa.array([int(x) + 10_000_000 for x in dup["doc_id"].to_pylist()],
+                                  pa.int64()))
+    b2 = pa.concat_tables([docs.slice(half, n - half), dup])
+    p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    pq.write_table(b1, p1)
+    pq.write_table(b2, p2)
+    state = str(tmp_path / "state")
+
+    r1 = run_curate(CurateConfig(input_path=p1, output_dir=str(tmp_path / "o1"),
+                                 state_dir=state))
+    assert r1.keepers_dropped_prior == 0
+    r2 = run_curate(CurateConfig(input_path=p2, output_dir=str(tmp_path / "o2"),
+                                 state_dir=state))
+    # every re-ingested doc's content is already in the state → dropped
+    assert r2.keepers_dropped_prior == 10
+    kept2 = set()
+    for f in r2.output_files:
+        kept2.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert not any(i >= 10_000_000 for i in kept2)
+
+    # idempotent re-run of batch 2: its own state is excluded, so the same
+    # outputs reproduce (not an empty run)
+    import shutil as _sh
+    _sh.rmtree(str(tmp_path / "o2"))
+    r2b = run_curate(CurateConfig(input_path=p2, output_dir=str(tmp_path / "o2"),
+                                  state_dir=state))
+    assert r2b.rows_out == r2.rows_out
+    assert r2b.keepers_dropped_prior == 10
+
+    # bloom anti path (threshold 0) gives identical results
+    _sh.rmtree(str(tmp_path / "o2"))
+    r2c = run_curate(CurateConfig(input_path=p2, output_dir=str(tmp_path / "o2"),
+                                  state_dir=state, dedup_broadcast_max=0))
+    assert r2c.rows_out == r2.rows_out
+    assert r2c.keepers_dropped_prior == 10

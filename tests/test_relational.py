@@ -158,3 +158,21 @@ def test_detect_hot_keys_finds_planted_hot_key(ray_session):
     assert 42 in set(hot["k"])
     # uniform tail keys (~3 rows each) must not be flagged
     assert (hot["est_count"] > 10_000).all() and len(hot) <= 3
+
+
+def test_bloom_anti_join_exact(ray_session):
+    """bloom_anti_join = exact NOT-IN semantics: no false negatives pass the
+    filter stage and the left-outer verify scrubs every false positive."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import bloom_anti_join
+
+    rng = np.random.default_rng(3)
+    big = pd.DataFrame({"k": rng.integers(0, 5000, 20_000), "v": np.arange(20_000)})
+    small = pd.DataFrame({"rk": rng.choice(5000, 1500, replace=False)})
+    got = bloom_anti_join(
+        rd.from_pandas(big), rd.from_pandas(small), on="k", right_on="rk"
+    ).to_pandas().sort_values("v", ignore_index=True)
+    want = big[~big["k"].isin(set(small["rk"]))].sort_values("v", ignore_index=True)
+    assert list(got.columns) == ["k", "v"]
+    pd.testing.assert_frame_equal(got.astype("int64"), want.reset_index(drop=True).astype("int64"))
