@@ -8285,6 +8285,115 @@ ORDER BY media_id
 """
 
 
+RANGE_SORT_QS = (0.25, 0.5, 0.75)
+
+
+def q_range_partitioned_sort(sf_dir: str) -> pd.DataFrame:
+    """Range-partitioned global sort — the sorted-storage layout operator:
+    exact quantile boundaries (one mergeable cent-histogram pass, the same
+    discrete-quantile convention every quantile query shares), every row
+    tagged with its range by a vectorized searchsorted, rows sorted within
+    each BATCH and written one directory per range (range=NN/part-*.parquet,
+    deterministic names).  A key-range reader prunes whole range dirs by
+    name, then prunes files inside the chosen dir by parquet footer min/max
+    stats (each file is sorted, so stats are tight) — no data page of a
+    non-matching range or file is ever read.  A totally-ordered single file
+    per range would need a range-keyed exchange + per-range sort; the
+    dir+footer layout gives the same pruning without that shuffle.
+
+    Scale shape: the only full pass is the histogram partial reduce
+    ((bin, n) rows exchange); tagging/sorting/writing is per-batch and the
+    boundaries broadcast.  Output here is the per-range summary
+    (count + true min/max cents), cross-checked by the oracle's
+    quantile_disc CASE; within-range file order is asserted in
+    tests/test_queries_misc.py style read-back (tests/test_range_sort.py).
+    """
+    from ..functions.sketch import grouped_histogram_fixedpoint, quantile_disc_from_counts
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hist = grouped_histogram_fixedpoint(
+        ds.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "g", "o_totalprice", scale=100,
+    )
+    b = hist["bin"].to_numpy()
+    c = hist["n"].to_numpy()
+    order = np.argsort(b)
+    b, c = b[order], c[order]
+    bounds = np.array(
+        [quantile_disc_from_counts(b, c, q) for q in RANGE_SORT_QS], dtype=np.int64
+    )
+
+    out_dir = _os.path.join(_corpus_dir(sf_dir), "range_sort")
+    import shutil as _shutil
+
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    def tag_sort_write(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(bounds, cents, side="right").astype(np.int64)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        parts = []
+        for r in np.unique(rid):
+            m = rid == r
+            sub_c, sub_k = cents[m], keys[m]
+            o = np.lexsort((sub_k, sub_c))  # range-local sort (key tie-break)
+            sub = pa.table({"o_orderkey": sub_k[o], "cents": sub_c[o]})
+            d = _os.path.join(out_dir, f"range={int(r):02d}")
+            _os.makedirs(d, exist_ok=True)
+            from ..functions.hashing import mix64
+
+            digest = int(np.bitwise_xor.reduce(
+                mix64(sub_k[o].astype(np.int64).view(np.uint64))) ^ np.uint64(len(sub)))
+            import uuid as _uuid
+
+            path = _os.path.join(d, f"part-{digest:016x}.parquet")
+            tmp = path + f".tmp-{_uuid.uuid4().hex}"
+            pq.write_table(sub, tmp)
+            _os.replace(tmp, path)
+            parts.append(pa.table({
+                "range_id": pa.array([int(r)], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "min_c": pa.array([int(sub_c.min())], pa.int64()),
+                "max_c": pa.array([int(sub_c.max())], pa.int64()),
+            }))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"range_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             "min_c": pa.array([], pa.int64()), "max_c": pa.array([], pa.int64())})
+
+    parts = ds.map_batches(
+        tag_sort_write, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = parts.groupby("range_id", as_index=False).agg(
+        n=("n", "sum"), min_c=("min_c", "min"), max_c=("max_c", "max"))
+    return _i64(out.sort_values("range_id", ignore_index=True),
+                ["range_id", "n", "min_c", "max_c"])
+
+
+import os as _os  # noqa: E402  (used by artifact-writing queries above)
+
+
+SQL_RANGE_PARTITIONED_SORT = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+b AS (
+  SELECT quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.5)  AS q2,
+         quantile_disc(cents, 0.75) AS q3
+  FROM c)
+SELECT CASE WHEN cents < q1 THEN 0 WHEN cents < q2 THEN 1
+            WHEN cents < q3 THEN 2 ELSE 3 END AS range_id,
+       COUNT(*) AS n, MIN(cents) AS min_c, MAX(cents) AS max_c
+FROM c CROSS JOIN b GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8299,6 +8408,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_semantic_dedup,
         SQL_SEMANTIC_DEDUP,
         "SemDeDup: kmeans clusters, in-cluster cosine near-dup keep-min",
+    ),
+    "range_partitioned_sort": QuerySpec(
+        q_range_partitioned_sort,
+        SQL_RANGE_PARTITIONED_SORT,
+        "range-partitioned global sort: exact quantile bounds, sorted range files",
     ),
     "media_resize_stats": QuerySpec(
         q_media_resize_stats,
