@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -138,6 +139,112 @@ def _cogroup_union(
     rt = rt.map_batches(align_right, batch_format="pyarrow", zero_copy_batch=True)
     rt = rt.select_columns(lt.schema().names)  # identical column order for union
     return lt.union(rt)
+
+
+def global_range_join_count(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    window: float,
+    count_name: str = "n_in_window",
+    num_buckets: int = 64,
+) -> Dataset:
+    """KEYLESS range (interval) join, count form: for each left row, how
+    many right rows ANYWHERE in the dataset satisfy
+    ``left.on - window < right.on <= left.on``.
+
+    :func:`range_join_count` co-groups on an equality key; with no key the
+    exchange key must be derived from the interval predicate itself.  The
+    classic band-join partitioning: bucket time by ``width == window``
+    (``b = floor(on/window)``), so a left row's window spans at most its own
+    bucket and the previous one; each RIGHT row is replicated to buckets
+    ``(b, b+1)`` — a bounded 2× blow-up of one side instead of an all-pairs
+    product — then every bucket counts locally with one vectorized
+    ``searchsorted`` per bucket.  At 100 TB the exchange moves each right
+    row twice and each left row once; no pair set ever materializes.
+
+    Buckets are hash-coarsened into ``num_buckets`` exchange partitions
+    (many time-buckets per task; the per-time-bucket loop inside a task is
+    over slices, each handled vectorized).  ``on`` may be numeric or a
+    timestamp (compared at nanosecond precision, ``window`` in seconds).
+    Rows with null ``on`` never match and left nulls are dropped (same
+    contract as :func:`range_join_count`).
+    """
+    import numpy as np
+
+    left_schema = _arrow_schema(left)
+    left_cols = list(left_schema.names)
+    is_ts = pa.types.is_timestamp(left_schema.field(on).type)
+    # integer window width: ns for timestamps, raw units for numerics (a
+    # float width would make floor(on/width) bucket edges inexact)
+    width = int(window * 1e9) if is_ts else int(window)
+    if width <= 0:
+        raise ValueError("window must be positive and >= 1 unit")
+
+    def to_num(arr: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if is_ts:
+            a = pc.cast(a, pa.timestamp("ns"))
+        return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[on]))
+        nums = to_num(t[on])
+        t = t.append_column("__on_num", pa.array(nums, type=pa.int64()))
+        t = t.append_column("__tbucket", pa.array(nums // width, type=pa.int64()))
+        return t.append_column("__side", pa.array(["l"] * len(t), type=pa.string()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[on]))
+        nums = to_num(t[on])
+        b = nums // width
+        nums2 = np.concatenate([nums, nums])
+        buckets = np.concatenate([b, b + 1])
+        out = pa.table(
+            {
+                "__on_num": pa.array(nums2, type=pa.int64()),
+                "__tbucket": pa.array(buckets, type=pa.int64()),
+                "__side": pa.array(["r"] * len(nums2), type=pa.string()),
+            }
+        )
+        for c in left_cols:  # null-pad onto the left schema for the union
+            out = out.append_column(c, pa.nulls(len(nums2), left_schema.field(c).type))
+        return out
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    rt = rt.select_columns(lt.schema().names)
+    both = lt.union(rt)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        l = df[df["__side"] == "l"]
+        if len(l) == 0:
+            return (
+                l.drop(columns=["__side", "__on_num", "__tbucket"])
+                .assign(**{count_name: pd.Series(dtype="int64")})
+            )
+        r = df[df["__side"] == "r"]
+        out_counts = np.zeros(len(l), dtype=np.int64)
+        r_by_bucket = {
+            k: np.sort(g["__on_num"].to_numpy()) for k, g in r.groupby("__tbucket", sort=False)
+        }
+        for k, g in l.groupby("__tbucket", sort=False):
+            on_r = r_by_bucket.get(k)
+            if on_r is None or len(on_r) == 0:
+                continue
+            on_l = g["__on_num"].to_numpy()
+            hi = np.searchsorted(on_r, on_l, side="right")
+            lo = np.searchsorted(on_r, on_l - width, side="right")
+            out_counts[l.index.get_indexer(g.index)] = hi - lo
+        return l.drop(columns=["__side", "__on_num", "__tbucket"]).assign(
+            **{count_name: out_counts}
+        )
+
+    from .relational import bucketed_group_reduce
+
+    return bucketed_group_reduce(both, ["__tbucket"], count, num_buckets=num_buckets)
 
 
 def range_join_count(

@@ -854,6 +854,41 @@ LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') b
 GROUP BY a.event_id, a.user_id
 """
 
+def q_global_error_context(sf_dir: str) -> pd.DataFrame:
+    """KEYLESS interval join: per purchase, platform-wide error events in
+    the prior 30 min (no equality key exists — the exchange key is the
+    derived time bucket; right rows replicate to 2 buckets, see
+    ``global_range_join_count``)."""
+    from ..functions.asof import global_range_join_count
+
+    def filt(kind, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
+
+        return fn
+
+    purchases = _t(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        filt("purchase", ["event_id", "ts"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    errors = _t(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        filt("error", ["ts"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = global_range_join_count(
+        purchases, errors, on="ts", window=1800.0, count_name="n_errors_30m"
+    ).to_pandas()[["event_id", "n_errors_30m"]]
+    out = out.sort_values("event_id", ignore_index=True)
+    return _i64(out, ["event_id", "n_errors_30m"])
+
+
+SQL_GLOBAL_ERROR_CONTEXT = """
+SELECT a.event_id, COUNT(b.ts) AS n_errors_30m
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') b
+  ON epoch(a.ts) - epoch(b.ts) < 1800.0 AND epoch(a.ts) - epoch(b.ts) >= 0.0
+GROUP BY a.event_id
+ORDER BY a.event_id
+"""
+
 # ---------------------------------------------------------------------------
 # Session windows (gap rule ≡ reference blob-closing inactivity timeout,
 # blob_closing_processor.go:68-92)
@@ -8875,6 +8910,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "views_before_purchase": QuerySpec(
         q_views_before_purchase, SQL_VIEWS_BEFORE_PURCHASE, "range (interval) join counts"
+    ),
+    "global_error_context": QuerySpec(
+        q_global_error_context,
+        SQL_GLOBAL_ERROR_CONTEXT,
+        "keyless interval join via time-bucket partitioning + 2x right replication",
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
     "span_assembly": QuerySpec(

@@ -71,6 +71,61 @@ def test_range_join_count(ray_session):
     assert got == {1: 2, 2: 0, 3: 1}
 
 
+def test_global_range_join_count_random_vs_bruteforce(ray_session):
+    """Keyless band join vs O(n^2) truth — timestamps planted ON exact
+    bucket boundaries (multiples of the window) so an off-by-one in the
+    floor-bucket/replication math cannot pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.asof import global_range_join_count
+
+    rng = np.random.default_rng(7)
+    w = 60  # seconds
+    n_l, n_r = 300, 500
+    base = np.int64(1_700_000_000)
+    lt = base + rng.integers(0, 86_400, n_l)
+    rt = base + rng.integers(0, 86_400, n_r)
+    # plant exact boundary values: left on a bucket edge, rights at edge,
+    # edge-1, edge-w (just outside), edge-w+1 (just inside)
+    edge = (base // w + 10) * w
+    lt[:4] = [edge, edge, edge + w, edge - 1]
+    rt[:5] = [edge, edge - 1, edge - w, edge - w + 1, edge + 1]
+
+    left = pd.DataFrame({"id": np.arange(n_l, dtype=np.int64), "t": lt})
+    right = pd.DataFrame({"t": rt})
+    left["t"] = pd.to_datetime(left["t"], unit="s")
+    right["t"] = pd.to_datetime(right["t"], unit="s")
+
+    out = global_range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right), on="t", window=float(w)
+    ).to_pandas()
+    got = dict(zip(out["id"].astype(int), out["n_in_window"].astype(int)))
+
+    # brute force over raw seconds: count rt in (lt - w, lt]
+    diffs = lt[:, None] - rt[None, :]
+    truth = ((diffs >= 0) & (diffs < w)).sum(axis=1)
+    assert len(got) == n_l
+    assert got == {int(i): int(c) for i, c in zip(left["id"], truth)}
+
+
+def test_global_range_join_count_integer_on(ray_session):
+    """Numeric (non-timestamp) `on`: window in raw units, count form."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.asof import global_range_join_count
+
+    left = pd.DataFrame({"id": [1, 2, 3], "t": [100, 200, 205]})
+    right = pd.DataFrame({"t": [95, 100, 150, 196, 200]})
+    out = global_range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right), on="t", window=10
+    ).to_pandas()
+    got = {int(r["id"]): int(r["n_in_window"]) for _, r in out.iterrows()}
+    # id1 (100): (90,100] → 95,100 → 2; id2 (200): (190,200] → 196,200 → 2
+    # id3 (205): (195,205] → 196,200 → 2
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
 def test_inner_keeps_matches_with_null_payload(ray_session):
     """Regression: a matched right row whose payload value is null must
     survive inner=True (match is tracked by a sentinel, not payload)."""
