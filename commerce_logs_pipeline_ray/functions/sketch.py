@@ -415,3 +415,183 @@ class BloomFilter:
         b = cls(n_bits, k)
         b.words = np.frombuffer(data, dtype=np.uint64).copy()
         return b
+
+
+class KLLSketch:
+    """KLL streaming quantile sketch (public algorithm: Karnin, Lang &
+    Liberty, "Optimal Quantile Approximation in Streams", FOCS 2016; layout
+    follows the Apache DataSketches description).
+
+    Levels of float64 buffers; an item at level ``h`` represents ``2**h``
+    originals.  When total size exceeds the capacity budget, the lowest
+    over-full level is sorted and every other item (random start offset)
+    promotes to the next level.  Mergeable: concatenate levels pairwise,
+    re-compact — so per-batch sketches combine associatively regardless of
+    Ray's block arrival order.  Normalized rank error ~ 1/k with small
+    constants (pytest-checked empirically at < 0.025 for k=200).
+
+    The compaction coin uses a deterministic per-sketch counter-seeded RNG —
+    reproducible for a fixed partitioning; the ACCURACY contract, not
+    bitwise output, is the cross-run invariant (same as HLL's estimate).
+    """
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 0xC0FFEE):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0  # total weight (count of originals)
+        self._rng = np.random.default_rng(seed)
+
+    # -- capacity rule: level h (0 = raw) in a sketch with H levels holds
+    # up to ceil(k * C**(H-1-h)), floored at 2
+    def _cap(self, h: int) -> int:
+        depth = len(self.levels) - 1 - h
+        return max(2, int(np.ceil(self.k * (self.C ** depth))))
+
+    def _budget(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(len(b) for b in self.levels)
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compress()
+
+    def _compress(self) -> None:
+        while self._size() > self._budget():
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h):
+                    self._compact_level(h)
+                    break
+            else:  # within per-level caps but over total — compact level 0
+                self._compact_level(0)
+
+    def _compact_level(self, h: int) -> None:
+        buf = np.sort(self.levels[h])
+        if len(buf) < 2:
+            return
+        if len(buf) % 2 == 1:  # odd item stays behind (keeps weight exact)
+            keep_odd = buf[-1:]
+            buf = buf[:-1]
+        else:
+            keep_odd = np.empty(0, dtype=np.float64)
+        off = int(self._rng.integers(0, 2))
+        promoted = buf[off::2]
+        self.levels[h] = keep_odd
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        out = KLLSketch(self.k)
+        out._rng = self._rng
+        H = max(len(self.levels), len(other.levels))
+        out.levels = [
+            np.concatenate(
+                [
+                    (self.levels[h] if h < len(self.levels) else np.empty(0)),
+                    (other.levels[h] if h < len(other.levels) else np.empty(0)),
+                ]
+            ).astype(np.float64)
+            for h in range(H)
+        ]
+        out.n = self.n + other.n
+        out._compress()
+        return out
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        items = np.concatenate(self.levels)
+        weights = np.concatenate(
+            [np.full(len(b), 1 << h, dtype=np.int64) for h, b in enumerate(self.levels)]
+        )
+        order = np.argsort(items, kind="stable")
+        return items[order], weights[order]
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, weights = self._weighted()
+        cum = np.cumsum(weights)
+        target = q * self.n
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(items[min(idx, len(items) - 1)])
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        if self.n == 0:
+            return [float("nan")] * len(qs)
+        items, weights = self._weighted()
+        cum = np.cumsum(weights)
+        idxs = np.searchsorted(cum, np.asarray(qs) * self.n, side="left")
+        return [float(items[min(int(i), len(items) - 1)]) for i in idxs]
+
+    def rank(self, value: float) -> float:
+        """Estimated normalized rank of ``value`` (fraction of items <= it)."""
+        if self.n == 0:
+            return float("nan")
+        items, weights = self._weighted()
+        cum = np.cumsum(weights)
+        idx = int(np.searchsorted(items, value, side="right"))
+        return float(cum[idx - 1] / self.n) if idx > 0 else 0.0
+
+    def serialize(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.k, self.n, len(self.levels))
+        parts = [head]
+        for b in self.levels:
+            parts.append(struct.pack("<q", len(b)))
+            parts.append(np.ascontiguousarray(b).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KLLSketch":
+        import struct
+
+        k, n, n_levels = struct.unpack_from("<qqq", data, 0)
+        off = 24
+        s = cls(k)
+        s.n = n
+        s.levels = []
+        for _ in range(n_levels):
+            (cnt,) = struct.unpack_from("<q", data, off)
+            off += 8
+            s.levels.append(np.frombuffer(data, dtype=np.float64, count=cnt, offset=off).copy())
+            off += 8 * cnt
+        return s
+
+
+def approx_quantiles(
+    ds: Dataset, column: str, qs: list[float], k: int = 200
+) -> dict[float, float]:
+    """Approximate quantiles of ``column`` via per-batch KLL sketches merged
+    on the driver (same shuffle-free shape as :func:`approx_distinct`): the
+    exchange moves one ~``8*k``-byte blob per batch, never the values —
+    the scale path where the exact fixed-point histogram
+    (:func:`grouped_quantile_fixedpoint`) would need unbounded bins."""
+    import pyarrow.compute as pc
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = KLLSketch(k)
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) > 0:
+            s.update_many(pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.serialize()], type=pa.binary())})
+
+    merged = KLLSketch(k)
+    for batch in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["sketch"].to_pylist():
+            merged = merged.merge(KLLSketch.deserialize(blob))
+    vals = merged.quantiles(list(qs))
+    return dict(zip(qs, vals))

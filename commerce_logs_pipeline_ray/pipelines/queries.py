@@ -3593,6 +3593,20 @@ SELECT event_type, ROUND(median(value), 6) AS median_value FROM events GROUP BY 
 """
 
 
+def q_kll_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """KLL streaming quantile sketch over l_extendedprice (rows-only: the
+    estimate depends on block partitioning; the <1% normalized-rank-error
+    contract vs exact quantiles is pytest-gated on this same table).  The
+    scale path for quantiles over unbounded value domains: one ~2 KB blob
+    per batch moves, never the values."""
+    from ..functions.sketch import approx_quantiles
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    est = approx_quantiles(ds, "l_extendedprice", qs, k=200)
+    return pd.DataFrame({"q": qs, "estimate": [est[q] for q in qs]})
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: the
     estimate is deterministic — register merge is partition-independent —
@@ -8941,6 +8955,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_distinct_users": QuerySpec(
         q_approx_distinct_users, None, "HLL sketch distinct-count (rows-only)"
+    ),
+    "kll_price_quantiles": QuerySpec(
+        q_kll_price_quantiles, None, "KLL mergeable quantile sketch (rows-only, self-gated)"
     ),
     "approx_users_per_type": QuerySpec(
         q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"

@@ -223,3 +223,95 @@ def test_grouped_approx_distinct_ignores_nulls(ray_session):
     # group b has ONLY nulls → no sketch rows at all → absent (SQL would
     # emit 0; documented rows-only divergence)
     assert "b" not in est
+
+
+def test_kll_small_input_exact():
+    """Below the capacity budget no compaction happens — quantiles exact."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.sketch import KLLSketch
+
+    s = KLLSketch(200)
+    vals = np.arange(1, 101, dtype=np.float64)
+    s.update_many(vals)
+    assert s.n == 100
+    assert s.quantile(0.5) == 50.0
+    assert s.quantile(0.01) == 1.0
+    assert s.quantile(1.0) == 100.0
+
+
+def test_kll_rank_accuracy_streaming():
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.sketch import KLLSketch
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3, 1, 200_000)
+    s = KLLSketch(200)
+    for chunk in np.array_split(data, 64):
+        s.update_many(chunk)
+    sd = np.sort(data)
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = s.quantile(q)
+        true_rank = np.searchsorted(sd, est, side="right") / len(sd)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+
+
+def test_kll_merge_matches_single_sketch_bound():
+    """32 per-chunk sketches merged in tree order keep the rank bound —
+    the property the distributed per-batch combiner relies on."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.sketch import KLLSketch
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(0, 1, 160_000)
+    parts = []
+    for chunk in np.array_split(data, 32):
+        s = KLLSketch(200)
+        s.update_many(chunk)
+        parts.append(KLLSketch.deserialize(s.serialize()))  # wire roundtrip
+    while len(parts) > 1:  # tree merge (arbitrary order is the contract)
+        parts = [
+            parts[i].merge(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    merged = parts[0]
+    assert merged.n == len(data)
+    sd = np.sort(data)
+    for q in [0.1, 0.5, 0.9]:
+        true_rank = np.searchsorted(sd, merged.quantile(q), side="right") / len(sd)
+        assert abs(true_rank - q) < 0.025, (q, true_rank)
+
+
+def test_kll_nan_and_weight_conservation():
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.sketch import KLLSketch
+
+    s = KLLSketch(50)
+    s.update_many(np.array([1.0, np.nan, 2.0, np.nan]))
+    assert s.n == 2
+    big = np.arange(10_000, dtype=np.float64)
+    s2 = KLLSketch(50)
+    s2.update_many(big)
+    # total represented weight is conserved through compactions
+    total_w = sum(len(b) * (1 << h) for h, b in enumerate(s2.levels))
+    assert total_w == 10_000
+
+
+def test_approx_quantiles_dataset_vs_exact(ray_session):
+    """Distributed per-batch KLL over the real table vs exact ranks."""
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "l_extendedprice", qs, k=200)
+    exact = np.sort(ds.to_pandas()["l_extendedprice"].to_numpy())
+    for q in qs:
+        rank = np.searchsorted(exact, est[q], side="right") / len(exact)
+        assert abs(rank - q) < 0.01, (q, rank)
