@@ -595,3 +595,68 @@ def approx_quantiles(
             merged = merged.merge(KLLSketch.deserialize(blob))
     vals = merged.quantiles(list(qs))
     return dict(zip(qs, vals))
+
+
+def grouped_approx_quantiles(
+    ds: Dataset,
+    keys: list[str],
+    column: str,
+    qs: list[float],
+    k: int = 160,
+    prefix: str = "q",
+) -> "pd.DataFrame":
+    """Approximate quantiles of ``column`` PER GROUP — one mergeable KLL per
+    key: each batch sorts rows by factorized key code once, slices the value
+    array per key (the only per-key Python is one ``update_many`` call per
+    key-in-batch), and emits one ~``8*k``-byte blob per key; blobs merge per
+    key in a bucketed grouped reduce.  Same exchange shape (and same
+    key-cardinality contract) as :func:`grouped_approx_distinct`: the
+    shuffle moves |keys-in-batch| x num_batches fixed-size rows, never the
+    values."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_group_reduce
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[column]))
+        if len(t) == 0:
+            return pa.table(
+                {**{kk: pa.array([], t.schema.field(kk).type) for kk in keys},
+                 "sketch": pa.array([], type=pa.binary())}
+            )
+        vals = pc.cast(t[column], pa.float64()).to_numpy(zero_copy_only=False)
+        kdf = pd.DataFrame({kk: t[kk].to_pandas() for kk in keys})
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_frame(kdf) if len(keys) > 1 else kdf[keys[0]]
+        )
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        blobs = []
+        for i in range(len(uniq)):
+            s = KLLSketch(k)
+            s.update_many(vals[order[bounds[i]:bounds[i + 1]]])
+            blobs.append(s.serialize())
+        if len(keys) > 1:
+            key_cols = {kk: pa.array([u[i] for u in uniq]) for i, kk in enumerate(keys)}
+        else:
+            key_cols = {keys[0]: pa.array(uniq)}
+        return pa.table({**key_cols, "sketch": pa.array(blobs, type=pa.binary())})
+
+    partials = ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        def est(blobs) -> list[float]:
+            it = iter(blobs)
+            m = KLLSketch.deserialize(next(it))
+            for b in it:
+                m = m.merge(KLLSketch.deserialize(b))
+            return m.quantiles(list(qs))
+
+        out = df.groupby(keys, as_index=False, dropna=False)["sketch"].agg(est)
+        names = [f"{prefix}{str(q).replace('0.', '')}" for q in qs]
+        out[names] = pd.DataFrame(out["sketch"].tolist(), index=out.index)
+        return out.drop(columns=["sketch"])
+
+    out = bucketed_group_reduce(partials, keys, merge_bucket).to_pandas()
+    return out.sort_values(keys, ignore_index=True)

@@ -3607,6 +3607,16 @@ def q_kll_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": qs, "estimate": [est[q] for q in qs]})
 
 
+def q_kll_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped KLL: per event_type approximate value quantiles (rows-only;
+    per-group <2% rank error pytest-gated).  One blob per (key, batch)
+    moves — per-group quantiles without shuffling values."""
+    from ..functions.sketch import grouped_approx_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    return grouped_approx_quantiles(ds, ["event_type"], "value", [0.5, 0.9, 0.99], k=160)
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: the
     estimate is deterministic — register merge is partition-independent —
@@ -8958,6 +8968,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "kll_price_quantiles": QuerySpec(
         q_kll_price_quantiles, None, "KLL mergeable quantile sketch (rows-only, self-gated)"
+    ),
+    "kll_value_by_type": QuerySpec(
+        q_kll_value_by_type, None, "grouped KLL quantiles per key (rows-only)"
     ),
     "approx_users_per_type": QuerySpec(
         q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"

@@ -315,3 +315,37 @@ def test_approx_quantiles_dataset_vs_exact(ray_session):
     for q in qs:
         rank = np.searchsorted(exact, est[q], side="right") / len(exact)
         assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_grouped_approx_quantiles_rank_bound(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 90_000), "v": rng.lognormal(2, 1, 90_000)}
+    )
+    got = grouped_approx_quantiles(rd.from_pandas(df).repartition(16), ["g"], "v", [0.5, 0.9])
+    assert sorted(got["g"]) == ["a", "b", "c"]
+    for _, r in got.iterrows():
+        sub = np.sort(df[df["g"] == r["g"]]["v"].to_numpy())
+        for q, col in [(0.5, "q5"), (0.9, "q9")]:
+            rank = np.searchsorted(sub, r[col], side="right") / len(sub)
+            assert abs(rank - q) < 0.02, (r["g"], q, rank)
+
+
+def test_grouped_approx_quantiles_nulls_and_small_groups(ray_session):
+    """Null values ignored; a group smaller than k is EXACT."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import grouped_approx_quantiles
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 5 + ["b"] * 3, "v": [1.0, 2.0, 3.0, 4.0, None, 10.0, 20.0, 30.0]}
+    )
+    got = grouped_approx_quantiles(rd.from_pandas(df), ["g"], "v", [0.5], k=160)
+    est = dict(zip(got["g"], got["q5"]))
+    assert est["a"] == 2.0  # rank ceil(0.5*4)=2nd of [1,2,3,4]
+    assert est["b"] == 20.0  # median of [10,20,30]
