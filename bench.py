@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "video_frame_decode",
     "media_decode_real",
     "semantic_dedup",
+    "global_error_context",
+    "kll_price_quantiles",
+    "kll_value_by_type",
     "events_by_type",
     "events_per_hour",
     "top_users_by_value",

@@ -660,3 +660,94 @@ def grouped_approx_quantiles(
 
     out = bucketed_group_reduce(partials, keys, merge_bucket).to_pandas()
     return out.sort_values(keys, ignore_index=True)
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitter summary (public algorithm: Misra & Gries
+    1982; merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Keeps at most ``k`` counters; any item with true frequency
+    ``> n/(k+1)`` is guaranteed present, and each kept count underestimates
+    the truth by at most ``n/(k+1)``.  Unlike CMS this bound is
+    DETERMINISTIC (no hash collisions), and unlike the exact two-pass
+    heavy hitters it needs one pass.  Merge: sum counters, subtract the
+    (k+1)-th largest count, drop non-positive — error bounds add."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.counts: dict = {}
+        self.n = 0  # total stream weight
+
+    def update_counts(self, values, counts) -> None:
+        """Bulk update from pre-aggregated (value, count) pairs — the
+        per-batch path: callers np.unique the batch first so this loop is
+        over DISTINCT batch values only."""
+        c = self.counts
+        for v, w in zip(values, counts):
+            w = int(w)
+            self.n += w
+            c[v] = c.get(v, 0) + w
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        cut = vals[self.k]  # (k+1)-th largest
+        self.counts = {v: c - cut for v, c in self.counts.items() if c > cut}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.n = self.n + other.n
+        out.counts = dict(self.counts)
+        for v, c in other.counts.items():
+            out.counts[v] = out.counts.get(v, 0) + c
+        out._shrink()
+        return out
+
+    def items(self) -> list[tuple]:
+        """(value, lower-bound count) sorted by count desc, then value."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def error_bound(self) -> float:
+        return self.n / (self.k + 1)
+
+
+def mg_heavy_hitters(ds: Dataset, column: str, k: int = 256) -> "pd.DataFrame":
+    """One-pass deterministic heavy hitters over ``column``: per-batch
+    ``value_counts`` (vectorized) feed per-batch Misra-Gries summaries that
+    merge on the driver — the exchange carries <= k (value,count) pairs per
+    batch.  Complements the exact two-pass ``tokens.heavy_hitters`` (needs
+    two reads) and the randomized ``CountMinSketch`` (probabilistic)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) > 0:
+            vc = pc.value_counts(col)
+            mg.update_counts(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        import pickle
+
+        return pa.table({"sketch": pa.array([pickle.dumps((mg.n, mg.counts))],
+                                            type=pa.binary())})
+
+    import pickle
+
+    merged = MisraGries(k)
+    for batch in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["sketch"].to_pylist():
+            o = MisraGries(k)
+            o.n, o.counts = pickle.loads(blob)
+            merged = merged.merge(o)
+    rows = merged.items()
+    return pd.DataFrame(
+        {column: [v for v, _ in rows], "count_lb": [c for _, c in rows],
+         "err_ub": [int(np.ceil(merged.error_bound()))] * len(rows)}
+    )

@@ -3617,6 +3617,17 @@ def q_kll_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_approx_quantiles(ds, ["event_type"], "value", [0.5, 0.9, 0.99], k=160)
 
 
+def q_mg_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """One-pass Misra-Gries heavy users by event count (rows-only: kept
+    counts are deterministic LOWER bounds, not SQL-equal; the n/(k+1)
+    guarantee is pytest-checked on planted zipf data)."""
+    from ..functions.sketch import mg_heavy_hitters
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    out = mg_heavy_hitters(ds, "user_id", k=64)
+    return _i64(out, ["user_id", "count_lb", "err_ub"])
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only: the
     estimate is deterministic — register merge is partition-independent —
@@ -8971,6 +8982,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "kll_value_by_type": QuerySpec(
         q_kll_value_by_type, None, "grouped KLL quantiles per key (rows-only)"
+    ),
+    "mg_heavy_users": QuerySpec(
+        q_mg_heavy_users, None, "Misra-Gries one-pass heavy hitters (rows-only)"
     ),
     "approx_users_per_type": QuerySpec(
         q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"

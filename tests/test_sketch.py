@@ -349,3 +349,54 @@ def test_grouped_approx_quantiles_nulls_and_small_groups(ray_session):
     est = dict(zip(got["g"], got["q5"]))
     assert est["a"] == 2.0  # rank ceil(0.5*4)=2nd of [1,2,3,4]
     assert est["b"] == 20.0  # median of [10,20,30]
+
+
+def test_misra_gries_deterministic_bounds():
+    """Every item with frequency > n/(k+1) present; kept counts are lower
+    bounds within n/(k+1) — across a 40-way chunked merge (the distributed
+    shape)."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.sketch import MisraGries
+
+    rng = np.random.default_rng(2)
+    data = rng.zipf(1.3, 300_000) % 50_000
+    parts = []
+    for chunk in np.array_split(data, 40):
+        mg = MisraGries(128)
+        v, c = np.unique(chunk, return_counts=True)
+        mg.update_counts(v.tolist(), c.tolist())
+        parts.append(mg)
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.merge(p)
+    v, c = np.unique(data, return_counts=True)
+    true = dict(zip(v.tolist(), c.tolist()))
+    bound = m.error_bound()
+    thresh = len(data) / 129
+    assert m.n == len(data)
+    assert not [x for x, f in true.items() if f > thresh and x not in m.counts]
+    errs = [true[x] - cnt for x, cnt in m.counts.items()]
+    assert 0 <= min(errs) and max(errs) <= bound
+
+
+def test_mg_heavy_hitters_dataset_recovers_planted(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sketch import mg_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    tail = rng.integers(1000, 50_000, 80_000)
+    planted = np.repeat([7, 13, 42], [9000, 6000, 4000])
+    vals = np.concatenate([tail, planted])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    out = mg_heavy_hitters(rd.from_pandas(df).repartition(16), "v", k=64)
+    got = dict(zip(out["v"].astype(int), out["count_lb"].astype(int)))
+    bound = out["err_ub"].iloc[0]
+    for item, freq in [(7, 9000), (13, 6000), (42, 4000)]:
+        assert item in got
+        assert freq - bound <= got[item] <= freq
+    # top-1 by lower bound is the heaviest planted item
+    assert int(out.iloc[0]["v"]) == 7
