@@ -169,3 +169,71 @@ def repetition_stats(
     for c in ("n_docs", "n_repetitive", "total_grams", "distinct_grams"):
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col, ignore_index=True)
+
+
+def cross_doc_dup_windows(
+    docs: Dataset, k: int = 5, seed: int = 42, id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """CROSS-document exact substring duplication (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — here at word-k-gram window granularity): for each document,
+    how many of its k-gram windows also occur in at least one OTHER
+    document.  Returns (doc_id, n_dup_windows) for docs with any.
+
+    Distributed shape: the per-batch combiner collapses windows to
+    (gram_hash, doc, multiplicity) rows — within-doc repeats never reach
+    the wire individually — then ONE bucketed exchange on gram hash finds
+    grams spanning >1 doc and folds per-doc counts; a final tiny reduce
+    sums per-doc partials across buckets.  The exchange volume is bounded
+    by distinct (gram, doc) pairs, the same order as every published
+    exact-substring dedup (suffix-array or shingle based) must touch.
+    Equality is 64-bit gram-hash equality (shared gram-hash space with the
+    dedup/contamination family): collisions need ~2^32 distinct grams per
+    bucket to matter and would only ever OVERcount by one window pair.
+    """
+    from .relational import bucketed_group_reduce
+
+    mix = _gram_mix(k, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"g": pa.array([], type=pa.uint64()),
+                 id_col: pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        totals = np.diff(g_starts)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), totals)
+        order = np.lexsort((grams, doc_idx))
+        di, gr = doc_idx[order], grams[order]
+        new = np.r_[True, (di[1:] != di[:-1]) | (gr[1:] != gr[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(di)])
+        return pa.table(
+            {"g": pa.array(gr[starts], type=pa.uint64()),
+             id_col: pa.array(ids[di[starts]].astype(np.int64)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    pairs = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # a doc's windows can be split across input batches: first re-collapse
+        # (g, doc), then keep grams with >1 DISTINCT doc, then per-doc sums
+        df = df.groupby(["g", id_col], as_index=False)["cnt"].sum()
+        ndocs = df.groupby("g")[id_col].transform("nunique")
+        dup = df[ndocs > 1]
+        return dup.groupby(id_col, as_index=False)["cnt"].sum()
+
+    per_bucket = bucketed_group_reduce(pairs, ["g"], fold).to_pandas()
+    if len(per_bucket) == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "n_dup_windows": pd.Series(dtype="int64")})
+    out = per_bucket.groupby(id_col, as_index=False)["cnt"].sum()
+    out = out.rename(columns={"cnt": "n_dup_windows"}).sort_values(id_col, ignore_index=True)
+    out[id_col] = out[id_col].astype("int64")
+    out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+    return out

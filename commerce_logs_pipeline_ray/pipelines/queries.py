@@ -1550,6 +1550,32 @@ FROM hits GROUP BY source
 """
 
 
+def q_cross_doc_dup_windows(sf_dir: str) -> pd.DataFrame:
+    """Cross-document exact substring duplication at word-5-gram window
+    granularity (Lee et al. ACL 2022 span dedup): per doc, windows whose
+    gram occurs in >=2 distinct docs.  One bucketed gram-hash exchange of
+    (gram, doc, multiplicity) combiner rows."""
+    from ..functions.grams import cross_doc_dup_windows
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return cross_doc_dup_windows(ds, k=5)
+
+
+SQL_CROSS_DOC_DUP_WINDOWS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM grams JOIN dup USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Intra-document repetition detector: per-source total vs DISTINCT
     3-gram counts (zero-shuffle — per-doc stats are block-local, only
@@ -9059,6 +9085,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "repetition_stats": QuerySpec(
         q_repetition_stats, SQL_REPETITION, "intra-doc repeated-gram detector"
+    ),
+    "cross_doc_dup_windows": QuerySpec(
+        q_cross_doc_dup_windows,
+        SQL_CROSS_DOC_DUP_WINDOWS,
+        "cross-doc exact substring (5-gram window) duplication, Lee et al. span dedup",
     ),
     "domain_mix_sample": QuerySpec(
         q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"

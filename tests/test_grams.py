@@ -92,3 +92,48 @@ def test_repetition_stats_vs_python_oracle(ray_session):
         ), s
     # the planted "a b c a b c x" doc repeats gram "a b c"
     assert out.loc["s1", "n_repetitive"] >= 1
+
+
+def test_cross_doc_dup_windows_planted(ray_session):
+    """Planted shared spans: doc pairs sharing an exact 6-word sentence must
+    report exactly the k-gram windows inside it; unique docs absent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import cross_doc_dup_windows
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words → 2 5-gram windows
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"one two three four five six seven {shared} tail1 tail2",
+                f"{shared} other words here entirely different ending now",
+                "completely unique text with no overlap at all whatsoever friend",
+                "another unique document body nothing shared with any other doc",
+            ],
+        }
+    )
+    out = cross_doc_dup_windows(rd.from_pandas(docs).repartition(3), k=5)
+    got = dict(zip(out["doc_id"], out["n_dup_windows"]))
+    # the shared 6-word run yields exactly 2 duplicated 5-gram windows each
+    assert got == {1: 2, 2: 2}
+
+
+def test_cross_doc_dup_windows_within_doc_repeat_not_counted(ray_session):
+    """A gram repeated only WITHIN one doc is not cross-doc duplication."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import cross_doc_dup_windows
+
+    rep = "red blue green yellow pink"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"{rep} junk filler words {rep} closing words here",
+                     "nothing in common with the first document at all"],
+        }
+    )
+    out = cross_doc_dup_windows(rd.from_pandas(docs), k=5)
+    assert len(out) == 0
