@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "global_error_context",
     "kll_price_quantiles",
     "kll_value_by_type",
+    "cross_doc_dup_windows",
+    "substring_dedup_stats",
     "events_by_type",
     "events_per_hour",
     "top_users_by_value",

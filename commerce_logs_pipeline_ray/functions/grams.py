@@ -237,3 +237,107 @@ def cross_doc_dup_windows(
     out[id_col] = out[id_col].astype("int64")
     out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
     return out
+
+
+def substring_dedup_cuts(
+    docs: Dataset, k: int = 5, seed: int = 42, id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Full span-level exact-substring dedup decision (Lee et al. ACL 2022:
+    keep ONE occurrence of every duplicated substring, cut the rest) at
+    word-k-gram window granularity: every occurrence of a gram that appears
+    >= 2 times in the corpus (across OR within docs) is cut except the
+    globally first one (min ``(doc_id, pos)``).  Returns per-doc
+    ``n_removed_words`` = words covered by the union of cut windows.
+
+    Two-pass shape (the scale path — position rows for NON-duplicated
+    grams, the overwhelming majority, never reach the wire):
+
+    1. collapsed ``(gram, multiplicity)`` combiner rows → one bucketed
+       exchange → the duplicated-gram set, broadcast once via ``ray.put``
+       (a sorted uint64 array; swap for a Bloom above ~10^8 grams — same
+       contract as ``curate``'s survivor path);
+    2. a second streaming pass emits ``(gram, doc, pos)`` ONLY for windows
+       whose gram is in the set; per-gram reduce sorts by ``(doc, pos)``
+       and drops the first occurrence → the cut list;
+    3. cut windows fold per doc into interval-union coverage counts.
+    """
+    from .relational import bucketed_group_reduce
+
+    mix = _gram_mix(k, seed)
+
+    # ---- pass 1: duplicated-gram set (multiplicity >= 2, within or across)
+    def gram_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"g": pa.array([], type=pa.uint64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        grams, _ = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        g, c = np.unique(grams, return_counts=True)
+        return pa.table({"g": pa.array(g, type=pa.uint64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def dup_only(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("g", as_index=False)["cnt"].sum()
+        return s[s["cnt"] >= 2][["g"]]
+
+    parts = docs.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
+    dup_grams = np.sort(
+        bucketed_group_reduce(parts, ["g"], dup_only).to_pandas()["g"].to_numpy()
+    ).astype(np.uint64)
+    dup_ref = ray.put(dup_grams)
+
+    # ---- pass 2: position rows for duplicated grams only → cut list
+    def dup_windows(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        if len(t) == 0 or len(dup) == 0:
+            return pa.table({"g": pa.array([], type=pa.uint64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        totals = np.diff(g_starts)
+        doc_idx = np.repeat(np.arange(len(t)), totals)
+        pos = np.arange(len(grams)) - np.repeat(g_starts[:-1], totals) + 1  # 1-based
+        idx = np.searchsorted(dup, grams)
+        idx[idx == len(dup)] = 0
+        hit = dup[idx] == grams
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"g": pa.array(grams[hit], type=pa.uint64()),
+             id_col: pa.array(ids[doc_idx[hit]].astype(np.int64)),
+             "pos": pa.array(pos[hit].astype(np.int64))}
+        )
+
+    def drop_owner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g", id_col, "pos"], kind="stable")
+        first = ~df.duplicated("g", keep="first")
+        return df[~first][[id_col, "pos"]]
+
+    cuts = bucketed_group_reduce(
+        docs.map_batches(dup_windows, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], drop_owner,
+    ).to_pandas()
+
+    # ---- pass 3: per-doc interval-union coverage
+    if len(cuts) == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "n_removed_words": pd.Series(dtype="int64")})
+
+    def coverage(sub: pd.DataFrame) -> int:
+        p = np.sort(sub["pos"].to_numpy())
+        starts, ends = p, p + k  # [pos, pos+k)
+        new_run = np.r_[True, starts[1:] > np.maximum.accumulate(ends[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        run_start = starts[new_run]
+        run_end = np.zeros(run_id.max() + 1, dtype=np.int64)
+        np.maximum.at(run_end, run_id, ends)
+        return int((run_end - run_start).sum())
+
+    out = (
+        cuts.groupby(id_col)
+        .apply(coverage, include_groups=False)
+        .rename("n_removed_words")
+        .reset_index()
+        .sort_values(id_col, ignore_index=True)
+    )
+    out[id_col] = out[id_col].astype("int64")
+    out["n_removed_words"] = out["n_removed_words"].astype("int64")
+    return out

@@ -1576,6 +1576,37 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_substring_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Lee et al. span dedup DECISION: cut every occurrence of a >=2x gram
+    except the globally first (min doc,pos); per-doc words removed =
+    interval-union of cut windows.  Two-pass: collapsed gram counts →
+    broadcast dup set → position rows for dup grams only."""
+    from ..functions.grams import substring_dedup_cuts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup_cuts(ds, k=5)
+
+
+SQL_SUBSTRING_DEDUP_STATS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+), cut AS (
+  SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+)
+SELECT doc_id, CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_removed_words
+FROM cut, unnest(generate_series(pos, pos + 4)) AS t(idx)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Intra-document repetition detector: per-source total vs DISTINCT
     3-gram counts (zero-shuffle — per-doc stats are block-local, only
@@ -9090,6 +9121,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cross_doc_dup_windows,
         SQL_CROSS_DOC_DUP_WINDOWS,
         "cross-doc exact substring (5-gram window) duplication, Lee et al. span dedup",
+    ),
+    "substring_dedup_stats": QuerySpec(
+        q_substring_dedup_stats,
+        SQL_SUBSTRING_DEDUP_STATS,
+        "span dedup cut decision: keep global first occurrence, count removed words",
     ),
     "domain_mix_sample": QuerySpec(
         q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"

@@ -137,3 +137,49 @@ def test_cross_doc_dup_windows_within_doc_repeat_not_counted(ray_session):
     )
     out = cross_doc_dup_windows(rd.from_pandas(docs), k=5)
     assert len(out) == 0
+
+
+def test_substring_dedup_cuts_semantics(ray_session):
+    """Owner (global first occurrence by (doc,pos)) keeps its span; later
+    occurrences cut, INCLUDING within-doc repeats; overlap counted once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import substring_dedup_cuts
+
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram window
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{shared} unique tail words going here now",  # owner (doc 1, pos 1)
+                f"lead-in words {shared} and {shared} again",  # two cut copies
+                "nothing shared here with anyone else at all",
+            ],
+        }
+    )
+    out = substring_dedup_cuts(rd.from_pandas(docs).repartition(2), k=5)
+    got = dict(zip(out["doc_id"], out["n_removed_words"]))
+    # doc2: both its copies cut; they don't overlap → 10 words removed
+    assert got == {2: 10}
+
+
+def test_substring_dedup_cuts_overlap_union(ray_session):
+    """Overlapping cut windows count covered words once (interval union)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import substring_dedup_cuts
+
+    run = "one two three four five six"  # 6 words → windows at pos 1 and 2
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"{run} owner tail words here padding out",
+                     f"prefix words {run} suffix words to pad"],
+        }
+    )
+    out = substring_dedup_cuts(rd.from_pandas(docs), k=5)
+    got = dict(zip(out["doc_id"], out["n_removed_words"]))
+    # doc2's two overlapping 5-windows cover the 6-word run → 6, not 10
+    assert got == {2: 6}
