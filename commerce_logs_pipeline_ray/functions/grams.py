@@ -261,6 +261,40 @@ def substring_dedup_cuts(
        and drops the first occurrence → the cut list;
     3. cut windows fold per doc into interval-union coverage counts.
     """
+    cuts = _substring_cut_list(docs, k, seed, id_col)
+
+    # ---- pass 3: per-doc interval-union coverage
+    if len(cuts) == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "n_removed_words": pd.Series(dtype="int64")})
+
+    def coverage(sub: pd.DataFrame) -> int:
+        p = np.sort(sub["pos"].to_numpy())
+        starts, ends = p, p + k  # [pos, pos+k)
+        new_run = np.r_[True, starts[1:] > np.maximum.accumulate(ends[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        run_start = starts[new_run]
+        run_end = np.zeros(run_id.max() + 1, dtype=np.int64)
+        np.maximum.at(run_end, run_id, ends)
+        return int((run_end - run_start).sum())
+
+    out = (
+        cuts.groupby(id_col)
+        .apply(coverage, include_groups=False)
+        .rename("n_removed_words")
+        .reset_index()
+        .sort_values(id_col, ignore_index=True)
+    )
+    out[id_col] = out[id_col].astype("int64")
+    out["n_removed_words"] = out["n_removed_words"].astype("int64")
+    return out
+
+
+def _substring_cut_list(
+    docs: Dataset, k: int, seed: int, id_col: str
+) -> pd.DataFrame:
+    """Passes 1+2 of the span-dedup decision: the (doc, pos) list of cut
+    windows (every occurrence of a >=2x gram except the global first)."""
     from .relational import bucketed_group_reduce
 
     mix = _gram_mix(k, seed)
@@ -311,33 +345,56 @@ def substring_dedup_cuts(
         first = ~df.duplicated("g", keep="first")
         return df[~first][[id_col, "pos"]]
 
-    cuts = bucketed_group_reduce(
+    return bucketed_group_reduce(
         docs.map_batches(dup_windows, batch_format="pyarrow", zero_copy_batch=True),
         ["g"], drop_owner,
     ).to_pandas()
 
-    # ---- pass 3: per-doc interval-union coverage
-    if len(cuts) == 0:
-        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                             "n_removed_words": pd.Series(dtype="int64")})
 
-    def coverage(sub: pd.DataFrame) -> int:
-        p = np.sort(sub["pos"].to_numpy())
-        starts, ends = p, p + k  # [pos, pos+k)
-        new_run = np.r_[True, starts[1:] > np.maximum.accumulate(ends[:-1])]
-        run_id = np.cumsum(new_run) - 1
-        run_start = starts[new_run]
-        run_end = np.zeros(run_id.max() + 1, dtype=np.int64)
-        np.maximum.at(run_end, run_id, ends)
-        return int((run_end - run_start).sum())
+def substring_dedup_rewrite(
+    docs: Dataset, k: int = 5, seed: int = 42, id_col: str = "doc_id"
+) -> Dataset:
+    """REWRITE form of the span dedup: every doc re-emitted with the words
+    covered by its cut windows removed (fully-cut docs become '').  Same cut
+    decision as :func:`substring_dedup_cuts`.
 
-    out = (
-        cuts.groupby(id_col)
-        .apply(coverage, include_groups=False)
-        .rename("n_removed_words")
-        .reset_index()
-        .sort_values(id_col, ignore_index=True)
-    )
-    out[id_col] = out[id_col].astype("int64")
-    out["n_removed_words"] = out["n_removed_words"].astype("int64")
-    return out
+    The cut list (bounded by duplicated-window count, orders of magnitude
+    below corpus size) is grouped per doc and broadcast once via
+    ``ray.put``; the rewrite itself is one streaming ``map_batches`` pass —
+    document text never shuffles.  If the duplication rate ever made the
+    cut list driver-sized, swap the broadcast for a bucketed LEFT join of
+    cuts onto docs by ``id_col`` (same exchange as ``hash_join``)."""
+    cuts = _substring_cut_list(docs, k, seed, id_col)
+    cut_map = {
+        int(d): np.sort(g["pos"].to_numpy()) for d, g in cuts.groupby(id_col, sort=False)
+    }
+    cuts_ref = ray.put(cut_map)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        cm = ray.get(cuts_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hit = (
+            np.isin(ids, np.fromiter(cm.keys(), dtype=np.int64, count=len(cm)))
+            if cm else np.zeros(len(t), dtype=bool)
+        )
+        if hit.any():  # Python rewrite only for the (rare) cut docs
+            idxs = np.flatnonzero(hit)
+            subs = col.take(pa.array(idxs)).to_pylist()
+            rewritten = []
+            for did, text in zip(ids[idxs], subs):
+                words = (text or "").split(" ")
+                keep = np.ones(len(words), dtype=bool)
+                for s in cm[int(did)]:  # 1-based window start, covers [s, s+k)
+                    keep[s - 1 : s - 1 + k] = False
+                rewritten.append(" ".join(w for w, m in zip(words, keep) if m))
+            vals = col.to_pandas()
+            vals.iloc[idxs] = rewritten
+            col = pa.array(vals, type=pa.string())
+        cols = {c: t[c] for c in t.column_names if c != "text"}
+        cols["text_dedup"] = col
+        return pa.table(cols)
+
+    return docs.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

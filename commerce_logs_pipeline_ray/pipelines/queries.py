@@ -1607,6 +1607,47 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_substring_dedup_rewrite(sf_dir: str) -> pd.DataFrame:
+    """Span dedup REWRITE: every doc with its cut-window words removed —
+    the actual deduplicated corpus, text-level oracle-checked (the SQL
+    mirror reassembles each doc from its surviving word positions)."""
+    from ..functions.grams import substring_dedup_rewrite
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = substring_dedup_rewrite(ds, k=5).to_pandas()
+    out = out[["doc_id", "text_dedup"]].sort_values("doc_id", ignore_index=True)
+    return _i64(out, ["doc_id"])
+
+
+SQL_SUBSTRING_DEDUP_REWRITE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+), cov AS (
+  SELECT DISTINCT doc_id, idx
+  FROM ranked, unnest(generate_series(pos, pos + 4)) AS t(idx)
+  WHERE cnt >= 2 AND rn > 1
+), toks AS (
+  SELECT doc_id, i, w[i] AS word FROM words, unnest(generate_series(1, len(w))) AS t(i)
+), kept AS (
+  SELECT k.doc_id, string_agg(k.word, ' ' ORDER BY k.i) AS text_dedup
+  FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.idx = k.i
+  WHERE c.idx IS NULL
+  GROUP BY k.doc_id
+)
+SELECT d.doc_id, COALESCE(kept.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Intra-document repetition detector: per-source total vs DISTINCT
     3-gram counts (zero-shuffle — per-doc stats are block-local, only
@@ -9126,6 +9167,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_substring_dedup_stats,
         SQL_SUBSTRING_DEDUP_STATS,
         "span dedup cut decision: keep global first occurrence, count removed words",
+    ),
+    "substring_dedup_rewrite": QuerySpec(
+        q_substring_dedup_rewrite,
+        SQL_SUBSTRING_DEDUP_REWRITE,
+        "span dedup rewrite: deduplicated corpus text, text-level oracle",
     ),
     "domain_mix_sample": QuerySpec(
         q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"

@@ -183,3 +183,51 @@ def test_substring_dedup_cuts_overlap_union(ray_session):
     got = dict(zip(out["doc_id"], out["n_removed_words"]))
     # doc2's two overlapping 5-windows cover the 6-word run → 6, not 10
     assert got == {2: 6}
+
+
+def test_substring_dedup_rewrite_text(ray_session):
+    """Owner text unchanged; later copies lose exactly the covered words;
+    docs without cuts pass through byte-identical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import substring_dedup_rewrite
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{shared} unique tail words going here now",
+                f"lead-in words {shared} trailing suffix words here",
+                "nothing shared here with anyone else at all",
+            ],
+        }
+    )
+    out = (
+        substring_dedup_rewrite(rd.from_pandas(docs).repartition(2), k=5)
+        .to_pandas().set_index("doc_id")["text_dedup"]
+    )
+    assert out[1] == docs["text"][0]          # owner untouched
+    assert out[2] == "lead-in words trailing suffix words here"
+    assert out[3] == docs["text"][2]          # unaffected doc byte-identical
+
+
+def test_substring_dedup_rewrite_fully_cut_doc(ray_session):
+    """A doc that is one big later-occurrence window becomes ''."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import substring_dedup_rewrite
+
+    run = "one two three four five"
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": [f"{run} plus several other owner words here", run]}
+    )
+    out = (
+        substring_dedup_rewrite(rd.from_pandas(docs), k=5)
+        .to_pandas().set_index("doc_id")["text_dedup"]
+    )
+    assert out[1] == docs["text"][0]
+    assert out[2] == ""
