@@ -212,3 +212,35 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return img[ys][:, xs]
+
+
+def encode_png_up(img: np.ndarray) -> bytes:
+    """Encode with the Up (type 2) row filter everywhere — pixel-identical
+    to :func:`encode_png`'s output after decode, but a byte-different
+    payload (different filter bytes AND different deflate stream).  Used to
+    plant content-duplicate / payload-distinct images."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, channels, color_type = img.shape[0], img.shape[1], 1, 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        h, w, channels, color_type = img.shape[0], img.shape[1], 3, 2
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {img.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = img.reshape(h, w * channels).astype(np.int64)
+    deltas = flat.copy()
+    deltas[1:] = (flat[1:] - flat[:-1]) & 0xFF
+    raw = np.zeros((h, w * channels + 1), dtype=np.uint8)
+    raw[:, 0] = 2  # Up filter
+    raw[:, 1:] = deltas.astype(np.uint8)
+    idat = zlib.compress(raw.tobytes(), 9)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def add_png_text_chunk(png: bytes, key: bytes, text: bytes) -> bytes:
+    """Splice an ancillary tEXt chunk before IEND: decoded pixels are
+    untouched, payload bytes differ."""
+    iend = _chunk(b"IEND", b"")
+    if not png.endswith(iend):
+        raise ValueError("expected a PNG ending in IEND")
+    return png[: -len(iend)] + _chunk(b"tEXt", key + b"\x00" + text) + iend

@@ -8346,6 +8346,54 @@ def ensure_media_parquet(sf_dir: str) -> str:
     )
 
 
+def ensure_image_dups_parquet(sf_dir: str) -> str:
+    import os as _os
+
+    from ..sources.media import build_image_dup_table
+
+    sf = _sf_of(sf_dir)
+    n = max(30, min(3000, int(3000 * sf)))
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "media_dups.parquet"),
+        lambda: build_image_dup_table(n),
+    )
+
+
+def q_image_content_dedup(sf_dir: str) -> pd.DataFrame:
+    """Multimodal content dedup: byte-DIFFERENT PNG encodings of the same
+    pixels (Up-filter re-encode, ancillary-chunk copies) collapse to one
+    group via decoded-pixel digests (PixelDigest actor pool); a planted
+    one-pixel near-miss stays its own group.  Oracle = synthesis-time truth
+    — payload-level hashing provably cannot reproduce it."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..stages.multimodal import PixelDigest
+
+    src = ensure_image_dups_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload"])
+    digests = ds.map_batches(
+        PixelDigest,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dup_of"] = df.groupby("digest")["media_id"].transform("min")
+        return df[["media_id", "dup_of"]]
+
+    out = bucketed_group_reduce(digests, ["digest"], rep).to_pandas()
+    return out.sort_values("media_id", ignore_index=True)
+
+
+SQL_IMAGE_CONTENT_DEDUP = f"""
+SELECT media_id, dup_of
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/media_dups.parquet')
+ORDER BY media_id
+"""
+
+
 def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode through the actor pool: payloads are genuine
     PNG / WAV / VID0 bytes; MediaProbe (stages/multimodal.py) binds the
@@ -8571,6 +8619,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_media_decode_real,
         SQL_MEDIA_DECODE_REAL,
         "real PNG/WAV/VID0 decode via actor pool vs synthesis-time ground truth",
+    ),
+    "image_content_dedup": QuerySpec(
+        q_image_content_dedup,
+        SQL_IMAGE_CONTENT_DEDUP,
+        "decoded-pixel-digest dedup of byte-different PNG re-encodings",
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,

@@ -120,3 +120,48 @@ def build_media_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
 
 def build_media_table(n: int, seed: int = 42) -> pa.Table:
     return build_media_tables(n, seed)[0]
+
+
+def build_image_dup_table(n_base: int, seed: int = 42) -> pa.Table:
+    """Content-duplicate image corpus with persisted truth: every third base
+    image gets a pixel-identical / byte-DIFFERENT variant re-encoded with
+    the Up row filter, every fifth an ancillary-tEXt-chunk copy, and every
+    seventh an ADVERSARIAL near-miss (one pixel +1) that must NOT group.
+    ``dup_of`` is the content-group representative (min media_id) computed
+    from the source pixels at synthesis time — the oracle for decode-based
+    dedup (payload-hash dedup provably cannot reproduce it)."""
+    from ..functions.media_codecs import add_png_text_chunk, encode_png_up
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, dup_of = [], [], []
+    for i in range(n_base):
+        w, h = 12 + i % 21, 10 + i % 17
+        img = (
+            np.add.outer(np.arange(h), np.arange(w))[..., None] * [5, 3, 11]
+            + rng.integers(0, 128, size=(h, w, 3))
+        ).astype(np.uint8)
+        base_id = f"img{i:05d}"
+        ids.append(base_id)
+        payloads.append(encode_png(img))
+        dup_of.append(base_id)
+        if i % 3 == 0:
+            ids.append(f"{base_id}v1")
+            payloads.append(encode_png_up(img))
+            dup_of.append(base_id)
+        if i % 5 == 0:
+            ids.append(f"{base_id}v2")
+            payloads.append(add_png_text_chunk(encode_png(img), b"copy", b"v2"))
+            dup_of.append(base_id)
+        if i % 7 == 0:
+            near = img.copy()
+            near[h // 2, w // 2, 0] = np.uint8(int(near[h // 2, w // 2, 0]) + 1)
+            ids.append(f"{base_id}x")
+            payloads.append(encode_png(near))
+            dup_of.append(f"{base_id}x")  # own group: content differs
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "dup_of": pa.array(dup_of, pa.string()),
+        }
+    )

@@ -308,3 +308,29 @@ def decode_media(ds, concurrency: int = 4, batch_size: int = 64):
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+class PixelDigest:
+    """Actor-pool stage: PNG payload → digest of the DECODED pixel content
+    (md5 over shape + raw pixel bytes).  Byte-different encodings of the
+    same pixels (different row filters, ancillary chunks, deflate levels)
+    collapse to one digest — the content-dedup key that payload hashing
+    cannot provide.  Codec bound once per actor (ST2 pattern,
+    service.go:284-309)."""
+
+    def __init__(self):
+        from ..functions.media_codecs import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        digests = []
+        for p in t["payload"].to_pylist():
+            img = self._decode(p)
+            h = hashlib.md5(str(img.shape).encode() + img.tobytes())
+            digests.append(h.hexdigest())
+        return pa.table(
+            {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
+        )

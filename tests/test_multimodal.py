@@ -115,3 +115,41 @@ def test_image_resizer_roundtrip_and_truth(ray_session):
         img = decode_png(payload)
         assert img.shape[:2] == (RESIZE_H, RESIZE_W)
         assert int(img.astype(np.int64).sum()) == got == truth[mid]
+
+
+def test_png_variant_encodings_pixel_identical():
+    """Up-filter re-encode and tEXt-chunk splice change the bytes, never
+    the pixels; a one-pixel edit changes the pixels."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.media_codecs import (
+        add_png_text_chunk, decode_png, encode_png, encode_png_up)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+    base = encode_png(img)
+    up = encode_png_up(img)
+    txt = add_png_text_chunk(base, b"k", b"v")
+    assert len({base, up, txt}) == 3  # all payloads distinct
+    assert (decode_png(up) == img).all() and (decode_png(txt) == img).all()
+
+
+def test_image_content_dedup_groups(ray_session):
+    """Decoded-pixel digest groups byte-different re-encodings; the planted
+    near-miss (one pixel +1) stays alone."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.sources.media import build_image_dup_table
+    from commerce_logs_pipeline_ray.stages.multimodal import PixelDigest
+
+    t = build_image_dup_table(21, seed=7)
+    ds = rd.from_arrow(t).repartition(4)
+    got = (
+        ds.map_batches(PixelDigest, batch_format="pyarrow", batch_size=16,
+                       concurrency=2, zero_copy_batch=True)
+        .to_pandas()
+    )
+    got["rep"] = got.groupby("digest")["media_id"].transform("min")
+    truth = t.to_pandas().set_index("media_id")["dup_of"]
+    for _, r in got.iterrows():
+        assert r["rep"] == truth[r["media_id"]], r["media_id"]
