@@ -751,3 +751,89 @@ def mg_heavy_hitters(ds: Dataset, column: str, k: int = 256) -> "pd.DataFrame":
         {column: [v for v, _ in rows], "count_lb": [c for _, c in rows],
          "err_ub": [int(np.ceil(merged.error_bound()))] * len(rows)}
     )
+
+
+class KMVSketch:
+    """KMV / bottom-k distinct sketch (public algorithm: Bar-Yossef et al.
+    2002; Beyer et al. SIGMOD 2007 for the unbiased estimator; same family
+    as the Theta sketch).  Keeps the k smallest 64-bit value hashes —
+    supports the SET OPERATIONS HyperLogLog cannot: Jaccard between two
+    sketches is estimated on the bottom-k of their union, giving
+    intersection cardinalities (distinct users in A AND B) from mergeable
+    per-batch state."""
+
+    def __init__(self, k: int = 1024):
+        self.k = int(k)
+        self.values = np.empty(0, dtype=np.uint64)  # sorted, unique
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        # fmix64 first: KMV's estimator keys off order statistics of the
+        # hash VALUES — raw FNV of short similar keys is not uniform enough
+        # in the low tail (same reason HLL finalizes before register pick)
+        h = mix64(np.asarray(hashes, dtype=np.uint64))
+        self.values = np.unique(np.concatenate([self.values, h]))[: self.k]
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        assert self.k == other.k
+        out = KMVSketch(self.k)
+        out.values = np.unique(np.concatenate([self.values, other.values]))[: self.k]
+        return out
+
+    def estimate(self) -> float:
+        n = len(self.values)
+        if n < self.k:
+            return float(n)  # below capacity the sketch is exact
+        # unbiased: (k-1) / normalized k-th minimum
+        kth = float(self.values[self.k - 1]) + 1.0
+        return (self.k - 1) / (kth / 2.0**64)
+
+    def jaccard(self, other: "KMVSketch") -> float:
+        u = np.unique(np.concatenate([self.values, other.values]))[: self.k]
+        if len(u) == 0:
+            return 0.0
+        both = np.isin(u, self.values, assume_unique=True) & np.isin(
+            u, other.values, assume_unique=True
+        )
+        return float(both.sum()) / len(u)
+
+    def intersection_estimate(self, other: "KMVSketch") -> float:
+        union = self.merge(other).estimate()
+        return self.jaccard(other) * union
+
+    def serialize(self) -> bytes:
+        return self.values.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, k: int) -> "KMVSketch":
+        s = cls(k)
+        s.values = np.frombuffer(data, dtype=np.uint64).copy()
+        return s
+
+
+def kmv_column_sketch(ds: Dataset, column: str, k: int = 1024) -> KMVSketch:
+    """One KMV over ``column``: per-batch bottom-k blobs (<= 8k bytes each)
+    merged on the driver — the same shuffle-free shape as
+    :func:`approx_distinct`, but the result supports union/intersection/
+    Jaccard against other sketches."""
+    import pyarrow.compute as pc
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = KMVSketch(k)
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) > 0:
+            typ = col.type
+            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+                col = pc.cast(col, pa.string())
+            s.add_hashes(fnv1a64(col))
+        return pa.table({"sketch": pa.array([s.serialize()], type=pa.binary())})
+
+    merged = KMVSketch(k)
+    for batch in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["sketch"].to_pylist():
+            merged = merged.merge(KMVSketch.deserialize(blob, k))
+    return merged

@@ -3715,6 +3715,36 @@ def q_kll_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_approx_quantiles(ds, ["event_type"], "value", [0.5, 0.9, 0.99], k=160)
 
 
+def q_kmv_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """KMV (bottom-k) sketch set algebra: distinct purchasers, distinct
+    error-users, their union and INTERSECTION — the set operation HLL
+    cannot do — from two mergeable per-batch sketch streams (rows-only;
+    error bounds pytest-gated)."""
+    from ..functions.sketch import kmv_column_sketch
+
+    def side(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(["user_id"])
+
+        return fn
+
+    base = _t(sf_dir, "events", ["user_id", "event_type"])
+    sa = kmv_column_sketch(
+        base.map_batches(side("purchase"), batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", k=2048)
+    sb = kmv_column_sketch(
+        base.map_batches(side("error"), batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", k=2048)
+    return pd.DataFrame(
+        {
+            "purchasers_est": [int(round(sa.estimate()))],
+            "error_users_est": [int(round(sb.estimate()))],
+            "union_est": [int(round(sa.merge(sb).estimate()))],
+            "both_est": [int(round(sa.intersection_estimate(sb)))],
+        }
+    )
+
+
 def q_mg_heavy_users(sf_dir: str) -> pd.DataFrame:
     """One-pass Misra-Gries heavy users by event count (rows-only: kept
     counts are deterministic LOWER bounds, not SQL-equal; the n/(k+1)
@@ -9136,6 +9166,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mg_heavy_users": QuerySpec(
         q_mg_heavy_users, None, "Misra-Gries one-pass heavy hitters (rows-only)"
+    ),
+    "kmv_user_overlap": QuerySpec(
+        q_kmv_user_overlap, None, "KMV bottom-k sketch set algebra incl. intersection (rows-only)"
     ),
     "approx_users_per_type": QuerySpec(
         q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"

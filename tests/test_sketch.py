@@ -400,3 +400,61 @@ def test_mg_heavy_hitters_dataset_recovers_planted(ray_session):
         assert freq - bound <= got[item] <= freq
     # top-1 by lower bound is the heaviest planted item
     assert int(out.iloc[0]["v"]) == 7
+
+
+def test_kmv_exact_below_capacity_and_merge():
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a64
+    from commerce_logs_pipeline_ray.functions.sketch import KMVSketch
+
+    s = KMVSketch(1024)
+    s.add_hashes(fnv1a64([f"x{i}" for i in range(500)]))
+    assert s.estimate() == 500.0  # below k → exact
+    a, b = KMVSketch(1024), KMVSketch(1024)
+    a.add_hashes(fnv1a64([f"x{i}" for i in range(300)]))
+    b.add_hashes(fnv1a64([f"x{i}" for i in range(200, 500)]))
+    m = a.merge(b)
+    assert m.estimate() == 500.0
+    rt = KMVSketch.deserialize(m.serialize(), 1024)
+    assert (rt.values == m.values).all()
+
+
+def test_kmv_set_algebra_accuracy():
+    """Union / intersection estimates within ~4/sqrt(k) of truth."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a64
+    from commerce_logs_pipeline_ray.functions.sketch import KMVSketch
+
+    k = 4096
+    A = [f"u{i}" for i in range(40_000)]
+    B = [f"u{i}" for i in range(30_000, 80_000)]  # |A∩B|=10k, |A∪B|=80k
+    sa, sb = KMVSketch(k), KMVSketch(k)
+    for chunk in np.array_split(np.array(A), 13):
+        sa.add_hashes(fnv1a64(list(chunk)))
+    for chunk in np.array_split(np.array(B), 7):
+        sb.add_hashes(fnv1a64(list(chunk)))
+    tol = 4 / np.sqrt(k)
+    assert abs(sa.estimate() - 40_000) / 40_000 < tol
+    assert abs(sa.merge(sb).estimate() - 80_000) / 80_000 < tol
+    # intersection compounds Jaccard + union noise — double tolerance
+    assert abs(sa.intersection_estimate(sb) - 10_000) / 10_000 < 2 * tol
+
+
+def test_kmv_dataset_sketch_matches_local(ray_session):
+    """Distributed per-batch KMV == one local sketch of the same values
+    (bottom-k union is order-independent — bit-equal, not just close)."""
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a64
+    from commerce_logs_pipeline_ray.functions.sketch import KMVSketch, kmv_column_sketch
+
+    rng = np.random.default_rng(6)
+    vals = [f"v{x}" for x in rng.integers(0, 20_000, 60_000)]
+    ds = rd.from_pandas(pd.DataFrame({"c": vals})).repartition(16)
+    got = kmv_column_sketch(ds, "c", k=512)
+    want = KMVSketch(512)
+    want.add_hashes(fnv1a64(vals))
+    assert (got.values == want.values).all()
