@@ -244,3 +244,21 @@ def add_png_text_chunk(png: bytes, key: bytes, text: bytes) -> bytes:
     if not png.endswith(iend):
         raise ValueError("expected a PNG ending in IEND")
     return png[: -len(iend)] + _chunk(b"tEXt", key + b"\x00" + text) + iend
+
+
+def audio_sign_fingerprint(samples: np.ndarray, blocks: int = 32) -> str:
+    """Gain-invariant acoustic fingerprint: the sign pattern of consecutive
+    block-energy differences (the core idea of Haitsma-Kalker 2002 audio
+    fingerprinting, reduced to one energy band).  Exact linear gain scales
+    every block energy by the same factor, so every comparison — and the
+    fingerprint — is unchanged; byte-level hashing of the payload is not.
+    Returns ``"<n_blocks>:<hex bits>"``; clips shorter than ``blocks``
+    samples fingerprint over ``len(samples)`` single-sample blocks."""
+    s = np.asarray(samples, dtype=np.float64).reshape(-1)
+    blocks = min(blocks, len(s)) or 1
+    edges = np.linspace(0, len(s), blocks + 1, dtype=np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(s * s)])
+    counts = np.diff(edges)
+    energy = np.diff(sq[edges]) / np.maximum(counts, 1)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint8)
+    return f"{blocks}:{np.packbits(bits).tobytes().hex()}"

@@ -8424,6 +8424,53 @@ ORDER BY media_id
 """
 
 
+def ensure_audio_dups_parquet(sf_dir: str) -> str:
+    import os as _os
+
+    from ..sources.media import build_audio_dup_table
+
+    sf = _sf_of(sf_dir)
+    n = max(40, min(4000, int(4000 * sf)))
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "audio_dups.parquet"),
+        lambda: build_audio_dup_table(n),
+    )
+
+
+def q_audio_fingerprint_dedup(sf_dir: str) -> pd.DataFrame:
+    """Acoustic dedup: exact-gain re-masters (byte-different WAVs) collapse
+    via the gain-invariant block-energy sign fingerprint (AudioFingerprint
+    actor pool); planted same-length different-noise clips stay their own
+    groups.  Oracle = synthesis-time truth."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..stages.multimodal import AudioFingerprint
+
+    src = ensure_audio_dups_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload"])
+    digests = ds.map_batches(
+        AudioFingerprint,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dup_of"] = df.groupby("digest")["media_id"].transform("min")
+        return df[["media_id", "dup_of"]]
+
+    out = bucketed_group_reduce(digests, ["digest"], rep).to_pandas()
+    return out.sort_values("media_id", ignore_index=True)
+
+
+SQL_AUDIO_FINGERPRINT_DEDUP = f"""
+SELECT media_id, dup_of
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/audio_dups.parquet')
+ORDER BY media_id
+"""
+
+
 def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode through the actor pool: payloads are genuine
     PNG / WAV / VID0 bytes; MediaProbe (stages/multimodal.py) binds the
@@ -8654,6 +8701,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_image_content_dedup,
         SQL_IMAGE_CONTENT_DEDUP,
         "decoded-pixel-digest dedup of byte-different PNG re-encodings",
+    ),
+    "audio_fingerprint_dedup": QuerySpec(
+        q_audio_fingerprint_dedup,
+        SQL_AUDIO_FINGERPRINT_DEDUP,
+        "gain-invariant acoustic fingerprint dedup of re-mastered WAVs",
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,

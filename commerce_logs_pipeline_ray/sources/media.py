@@ -165,3 +165,50 @@ def build_image_dup_table(n_base: int, seed: int = 42) -> pa.Table:
             "dup_of": pa.array(dup_of, pa.string()),
         }
     )
+
+
+def build_audio_dup_table(n_base: int, seed: int = 42) -> pa.Table:
+    """Gain-variant audio corpus with persisted truth: every second base
+    clip gets EXACT x4 and x2 gain copies (byte-different payloads, same
+    energy-sign fingerprint); every fifth gets a same-length different-noise
+    clip that must stay its own group.  Base amplitudes stay <= 6000 so x4
+    never clips — the gain is exactly linear and the fingerprint invariance
+    is exact, not approximate."""
+    from ..functions.media_codecs import encode_wav
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, dup_of = [], [], []
+    for i in range(n_base):
+        k = 900 + (i * 17) % 3000
+        t = np.arange(k, dtype=np.float64)
+        base = (
+            4000 * np.sin(2 * np.pi * (180 + 7 * i) * t / AUDIO_RATE)
+            + rng.integers(-1500, 1500, size=k)
+        ).astype(np.int16)
+        bid = f"aud{i:05d}"
+        ids.append(bid)
+        payloads.append(encode_wav(base, AUDIO_RATE))
+        dup_of.append(bid)
+        if i % 2 == 0:
+            ids.append(f"{bid}g4")
+            payloads.append(encode_wav((base.astype(np.int32) * 4).astype(np.int16), AUDIO_RATE))
+            dup_of.append(bid)
+        if i % 3 == 0:
+            ids.append(f"{bid}g2")
+            payloads.append(encode_wav((base.astype(np.int32) * 2).astype(np.int16), AUDIO_RATE))
+            dup_of.append(bid)
+        if i % 5 == 0:
+            other = (
+                4000 * np.sin(2 * np.pi * (180 + 7 * i) * t / AUDIO_RATE)
+                + rng.integers(-1500, 1500, size=k)
+            ).astype(np.int16)
+            ids.append(f"{bid}x")
+            payloads.append(encode_wav(other, AUDIO_RATE))
+            dup_of.append(f"{bid}x")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "dup_of": pa.array(dup_of, pa.string()),
+        }
+    )

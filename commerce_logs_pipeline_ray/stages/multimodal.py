@@ -334,3 +334,27 @@ class PixelDigest:
         return pa.table(
             {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
         )
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → gain-invariant acoustic fingerprint
+    (block-energy sign pattern, Haitsma-Kalker style) prefixed with the
+    sample count.  Exact-gain copies (byte-different payloads) collapse to
+    one digest; different takes of the same length do not.  Codec bound
+    once per actor."""
+
+    def __init__(self, blocks: int = 32):
+        from ..functions.media_codecs import audio_sign_fingerprint, decode_wav
+
+        self._decode = decode_wav
+        self._fp = audio_sign_fingerprint
+        self.blocks = blocks
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        digests = []
+        for p in t["payload"].to_pylist():
+            _, samples = self._decode(p)
+            digests.append(f"{len(samples)}|{self._fp(samples, self.blocks)}")
+        return pa.table(
+            {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
+        )

@@ -153,3 +153,43 @@ def test_image_content_dedup_groups(ray_session):
     truth = t.to_pandas().set_index("media_id")["dup_of"]
     for _, r in got.iterrows():
         assert r["rep"] == truth[r["media_id"]], r["media_id"]
+
+
+def test_audio_fingerprint_gain_invariance():
+    """Exact linear gain never changes the fingerprint; different noise of
+    the same length does."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.media_codecs import audio_sign_fingerprint
+
+    rng = np.random.default_rng(3)
+    t = np.arange(2000, dtype=np.float64)
+    base = (4000 * np.sin(2 * np.pi * 200 * t / 8000)
+            + rng.integers(-1500, 1500, 2000)).astype(np.int16)
+    other = (4000 * np.sin(2 * np.pi * 200 * t / 8000)
+             + rng.integers(-1500, 1500, 2000)).astype(np.int16)
+    fp = audio_sign_fingerprint(base)
+    assert audio_sign_fingerprint((base.astype(np.int32) * 4).astype(np.int16)) == fp
+    assert audio_sign_fingerprint((base.astype(np.int32) * 2).astype(np.int16)) == fp
+    assert audio_sign_fingerprint(other) != fp
+    # degenerate short clip doesn't crash
+    assert audio_sign_fingerprint(np.array([5, -3], dtype=np.int16)).startswith("2:")
+
+
+def test_audio_fingerprint_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.sources.media import build_audio_dup_table
+    from commerce_logs_pipeline_ray.stages.multimodal import AudioFingerprint
+
+    t = build_audio_dup_table(24, seed=11)
+    got = (
+        rd.from_arrow(t).repartition(4)
+        .map_batches(AudioFingerprint, batch_format="pyarrow", batch_size=16,
+                     concurrency=2, zero_copy_batch=True)
+        .to_pandas()
+    )
+    got["rep"] = got.groupby("digest")["media_id"].transform("min")
+    truth = t.to_pandas().set_index("media_id")["dup_of"]
+    for _, r in got.iterrows():
+        assert r["rep"] == truth[r["media_id"]], r["media_id"]
