@@ -1723,6 +1723,70 @@ FROM documents GROUP BY source
 """
 
 
+def q_temperature_resample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LLM recipe:
+    sample source s with probability ∝ share^(1/T); T=0.5 → weight =
+    count², integer-exact): per-source keep-rates derived from OBSERVED
+    counts (one tiny grouped count), then one streaming md5-fraction tag
+    pass — membership compares 8 hex digits against a per-source integer
+    threshold, so the sample is reproducible and float-boundary-free.
+    Down-weights oversampled sources toward the tempered share; rate ≥ 1
+    keeps all (no repetition here)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    sizes = grouped_sums(docs.select_columns(["source"]), ["source"], {}, "n").to_pandas()
+    sizes = sizes.sort_values("source", ignore_index=True)
+    n = sizes["n"].to_numpy().astype(np.float64)
+    N, W = n.sum(), (n * n).sum()
+    rate = n * n / W * N / n  # left-assoc, mirrored verbatim in SQL
+    thr = np.floor(np.minimum(1.0, rate) * 4294967296.0)
+    src_list = pa.array(sizes["source"].tolist(), pa.string())
+    thr_list = pa.array(
+        [format(int(x), "08x") if x < 4294967296.0 else None for x in thr], pa.string()
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = pc.index_in(t["source"], src_list)
+        th = pc.take(thr_list, m)
+        h8 = pc.utf8_slice_codeunits(
+            md5_hex(pc.binary_join_element_wise(pc.cast(t["doc_id"], pa.string()), ":temp", "")),
+            0, 8,
+        )
+        keep = pc.fill_null(pc.less(h8, th), True)  # rate >= 1 → keep all
+        flat = pa.table(
+            {"source": t["source"],
+             "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+             "n_kept": pc.cast(keep, pa.int64())}
+        )
+        g = flat.group_by(["source"]).aggregate([("n_docs", "sum"), ("n_kept", "sum")])
+        return pa.table(
+            {"source": g["source"], "n_docs": g["n_docs_sum"], "n_kept": g["n_kept_sum"]}
+        )
+
+    parts = docs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)
+    return _i64(out, ["n_docs", "n_kept"])
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n) AS nt, SUM(n * n) AS wt FROM c
+), th AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, n * n / wt * nt / n) * 4294967296) AS BIGINT) AS thr
+  FROM c, tot
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.thr >= 4294967296 THEN 1
+                     WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)
+                          < printf('%08x', t.thr) THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN th t USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
     """Vector AGGREGATE over the embedding column: per-label centroid
     (dimension-wise mean).  Per-batch partials are (label, sum-vector, n)
@@ -9310,6 +9374,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_substring_dedup_rewrite,
         SQL_SUBSTRING_DEDUP_REWRITE,
         "span dedup rewrite: deduplicated corpus text, text-level oracle",
+    ),
+    "temperature_resample": QuerySpec(
+        q_temperature_resample,
+        SQL_TEMPERATURE_RESAMPLE,
+        "temperature (T=0.5) mixture rebalancing from observed counts, md5-fraction membership",
     ),
     "domain_mix_sample": QuerySpec(
         q_domain_mix_sample, SQL_DOMAIN_MIX, "hash-deterministic mixture resampling"
