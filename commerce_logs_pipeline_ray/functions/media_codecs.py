@@ -175,11 +175,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 _VID_MAGIC = b"VID0"
 
 
-def encode_video(frames: list[np.ndarray], fps: int) -> bytes:
+def encode_video(frames: list[np.ndarray], fps: int, frame_encoder=None) -> bytes:
+    enc = frame_encoder or encode_png
     body = bytearray(_VID_MAGIC)
     body += struct.pack("<HH", fps, len(frames))
     for f in frames:
-        png = encode_png(f)
+        png = enc(f)
         body += struct.pack("<I", len(png))
         body += png
     return bytes(body)

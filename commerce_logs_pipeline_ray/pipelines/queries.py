@@ -8535,6 +8535,53 @@ ORDER BY media_id
 """
 
 
+def ensure_video_dups_parquet(sf_dir: str) -> str:
+    import os as _os
+
+    from ..sources.media import build_video_dup_table
+
+    sf = _sf_of(sf_dir)
+    n = max(24, min(2400, int(2400 * sf)))
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "video_dups.parquet"),
+        lambda: build_video_dup_table(n),
+    )
+
+
+def q_video_content_dedup(sf_dir: str) -> pd.DataFrame:
+    """Video content dedup: containers re-encoded with a different frame
+    filter (byte-different payloads, pixel-identical frames) collapse via
+    decoded-frame digests (VideoDigest actor pool); a one-pixel one-frame
+    near-miss stays its own group.  Oracle = synthesis-time truth."""
+    from ..functions.relational import bucketed_group_reduce
+    from ..stages.multimodal import VideoDigest
+
+    src = ensure_video_dups_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload"])
+    digests = ds.map_batches(
+        VideoDigest,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dup_of"] = df.groupby("digest")["media_id"].transform("min")
+        return df[["media_id", "dup_of"]]
+
+    out = bucketed_group_reduce(digests, ["digest"], rep).to_pandas()
+    return out.sort_values("media_id", ignore_index=True)
+
+
+SQL_VIDEO_CONTENT_DEDUP = f"""
+SELECT media_id, dup_of
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/video_dups.parquet')
+ORDER BY media_id
+"""
+
+
 def q_media_decode_real(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode through the actor pool: payloads are genuine
     PNG / WAV / VID0 bytes; MediaProbe (stages/multimodal.py) binds the
@@ -8770,6 +8817,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_audio_fingerprint_dedup,
         SQL_AUDIO_FINGERPRINT_DEDUP,
         "gain-invariant acoustic fingerprint dedup of re-mastered WAVs",
+    ),
+    "video_content_dedup": QuerySpec(
+        q_video_content_dedup,
+        SQL_VIDEO_CONTENT_DEDUP,
+        "decoded-frame-digest dedup of re-encoded video containers",
     ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup,

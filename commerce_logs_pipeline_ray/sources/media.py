@@ -212,3 +212,43 @@ def build_audio_dup_table(n_base: int, seed: int = 42) -> pa.Table:
             "dup_of": pa.array(dup_of, pa.string()),
         }
     )
+
+
+def build_video_dup_table(n_base: int, seed: int = 42) -> pa.Table:
+    """Content-duplicate video corpus: every second base gets a re-encoded
+    container (Up-filter frames — byte-different payload, pixel-identical
+    frames); every fifth gets a near-miss with ONE pixel of ONE frame
+    changed, which must stay its own group.  ``dup_of`` persisted truth."""
+    from ..functions.media_codecs import encode_png_up, encode_video
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, dup_of = [], [], []
+    for i in range(n_base):
+        k = 2 + i % 4
+        w, h = 9 + i % 7, 7 + i % 5
+        frames = [
+            (np.add.outer(np.arange(h), np.arange(w))[..., None] * [3, 7, 5]
+             + rng.integers(0, 96, size=(h, w, 3)) + fi * 9).astype(np.uint8)
+            for fi in range(k)
+        ]
+        bid = f"vid{i:05d}"
+        ids.append(bid)
+        payloads.append(encode_video(frames, VIDEO_FPS))
+        dup_of.append(bid)
+        if i % 2 == 0:
+            ids.append(f"{bid}v1")
+            payloads.append(encode_video(frames, VIDEO_FPS, frame_encoder=encode_png_up))
+            dup_of.append(bid)
+        if i % 5 == 0:
+            near = [f.copy() for f in frames]
+            near[k // 2][h // 2, w // 2, 1] ^= np.uint8(1)
+            ids.append(f"{bid}x")
+            payloads.append(encode_video(near, VIDEO_FPS))
+            dup_of.append(f"{bid}x")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "dup_of": pa.array(dup_of, pa.string()),
+        }
+    )

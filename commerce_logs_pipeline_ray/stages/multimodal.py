@@ -358,3 +358,30 @@ class AudioFingerprint:
         return pa.table(
             {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
         )
+
+
+class VideoDigest:
+    """Actor-pool stage: VID0 payload → digest of the decoded CONTENT
+    (fps, frame count, every frame's shape + raw pixels) — re-encoded
+    containers with pixel-identical frames collapse; any single-pixel
+    change in any frame separates."""
+
+    def __init__(self):
+        from ..functions.media_codecs import decode_video
+
+        self._decode = decode_video
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        digests = []
+        for p in t["payload"].to_pylist():
+            fps, frames = self._decode(p)
+            h = hashlib.md5(f"{fps}|{len(frames)}".encode())
+            for f in frames:
+                h.update(str(f.shape).encode())
+                h.update(f.tobytes())
+            digests.append(h.hexdigest())
+        return pa.table(
+            {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
+        )

@@ -193,3 +193,22 @@ def test_audio_fingerprint_dedup_groups(ray_session):
     truth = t.to_pandas().set_index("media_id")["dup_of"]
     for _, r in got.iterrows():
         assert r["rep"] == truth[r["media_id"]], r["media_id"]
+
+
+def test_video_content_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.sources.media import build_video_dup_table
+    from commerce_logs_pipeline_ray.stages.multimodal import VideoDigest
+
+    t = build_video_dup_table(15, seed=5)
+    got = (
+        rd.from_arrow(t).repartition(3)
+        .map_batches(VideoDigest, batch_format="pyarrow", batch_size=8,
+                     concurrency=2, zero_copy_batch=True)
+        .to_pandas()
+    )
+    got["rep"] = got.groupby("digest")["media_id"].transform("min")
+    truth = t.to_pandas().set_index("media_id")["dup_of"]
+    for _, r in got.iterrows():
+        assert r["rep"] == truth[r["media_id"]], r["media_id"]
