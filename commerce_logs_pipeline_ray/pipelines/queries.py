@@ -894,6 +894,52 @@ ORDER BY a.event_id
 # blob_closing_processor.go:68-92)
 # ---------------------------------------------------------------------------
 
+def q_hopping_window_counts(sf_dir: str) -> pd.DataFrame:
+    """HOPPING (overlapping) event-time windows: 30-min windows sliding
+    every 10 min — each event replicates to the 3 windows containing it
+    (bounded flat-map, the streaming-window analogue of the band-join
+    replication), then one grouped count over (window, type).  Differs from
+    tumbling (events_per_hour) and from sliding-over-aggregate
+    (hourly_moving_avg): the overlap happens at the RAW event level."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        # int64 µs → 600 s buckets in one floor division (a safe Arrow cast
+        # to timestamp[s] would raise on sub-second precision loss)
+        base = (
+            pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 600_000_000
+        )
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        n = len(t)
+        flat = pa.table(
+            {"window_start": pa.array(
+                np.concatenate([(base - j) * 600 for j in range(3)]), pa.int64()),
+             "event_type": pa.concat_arrays([et] * 3),
+             "n": pa.array(np.ones(3 * n, dtype=np.int64))}
+        )
+        g = flat.group_by(["window_start", "event_type"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"window_start": g["window_start"], "event_type": g["event_type"],
+             "n": g["n_sum"]}
+        )
+
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby(["window_start", "event_type"], as_index=False)["n"].sum()
+    out = out.sort_values(["window_start", "event_type"], ignore_index=True)
+    return _i64(out, ["window_start", "n"])
+
+
+SQL_HOPPING_WINDOW_COUNTS = """
+SELECT (CAST(FLOOR(epoch(ts) / 600) AS BIGINT) - j) * 600 AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events, unnest([0, 1, 2]) AS t(j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
     """Sliding window over the tumbling hourly aggregate: 3-row moving
     average per event_type.  The distributed part is the hourly reduce; the
@@ -9301,6 +9347,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "keyless interval join via time-bucket partitioning + 2x right replication",
     ),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS, "gap-based session windows"),
+    "hopping_window_counts": QuerySpec(
+        q_hopping_window_counts,
+        SQL_HOPPING_WINDOW_COUNTS,
+        "overlapping 30-min/10-min hopping windows via bounded event replication",
+    ),
     "span_assembly": QuerySpec(
         q_span_assembly, SQL_SPAN_ASSEMBLY, "J4 span merge: field-wise last-writer-wins"
     ),

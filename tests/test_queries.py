@@ -214,3 +214,15 @@ def test_weighted_sample_matches_reference_and_partitioning(ray_session, tmp_pat
         )
         got = topk(keyed, ["es_key", "doc_id"], [True, False], 100).to_pandas()["doc_id"].tolist()
         assert got == ref, blocks
+
+
+def test_hopping_window_counts_invariants(ray_session):
+    """Every event lands in exactly 3 windows; a boundary-timestamp event
+    hits windows starting at ts, ts-600, ts-1200."""
+    from commerce_logs_pipeline_ray.pipelines.queries import q_hopping_window_counts
+
+    out = q_hopping_window_counts("/root/testdata/sf0.001")
+    assert out["n"].sum() == 3 * 1000  # 1000 events at sf0.001
+    assert ((out["window_start"] % 600) == 0).all()
+    # windows never hold more events than exist, and counts are positive
+    assert (out["n"] > 0).all()
