@@ -39,6 +39,10 @@ QUERIES = [
     "session_conversion_rate",
     "bounce_rate",
     "peak_concurrent_sessions",
+    # round-3 session-2: keyless band join + hopping windows (bucket-edge
+    # timestamps appear via the exact 1800s gap steps above)
+    "global_error_context",
+    "hopping_window_counts",
 ]
 
 

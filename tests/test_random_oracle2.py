@@ -20,7 +20,43 @@ DOC_QUERIES = [
     "hapax_docs_per_source",
     "heaps_law_fit",
     "bigram_lm_nll",
+    "temperature_resample",
 ]
+
+# gram-family queries need every doc >= k (=5) words (documented gram
+# contract, functions/grams.py) — they get their own >=5-word corpus
+GRAM_QUERIES = [
+    "cross_doc_dup_windows",
+    "substring_dedup_stats",
+    "substring_dedup_rewrite",
+]
+
+
+def random_gram_documents(seed: int, n: int = 120) -> pa.Table:
+    """Docs of 8-28 words over a 12-word vocab: natural cross-doc 5-gram
+    collisions are common, plus planted exact copies and shared mid-doc
+    spans — and every doc satisfies the >= k-words gram contract."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(8, 29))
+        t = " ".join(rng.choice(WORDS, size=k))
+        if i % 9 == 0 and i > 0:
+            t = texts[i - 1]  # exact copy
+        if i % 13 == 0 and i > 1:
+            # splice a 7-word span from an earlier doc into the middle
+            donor = texts[i - 2].split(" ")
+            if len(donor) >= 7:
+                w = t.split(" ")
+                t = " ".join(w[:4] + donor[:7] + w[4:])
+        texts.append(t)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 4, size=n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
 
 REL_QUERIES = [
     "order_priority_check",
@@ -121,6 +157,16 @@ def _run(name: str, d: str, con) -> None:
 def test_random_documents_matches_oracle(name, seed, ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"rdoc{seed}")
     pq.write_table(random_documents(seed), str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    _run(name, str(d), con)
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+@pytest.mark.parametrize("name", GRAM_QUERIES)
+def test_random_gram_corpus_matches_oracle(name, seed, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"rgram{seed}")
+    pq.write_table(random_gram_documents(seed), str(d / "documents.parquet"))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
     _run(name, str(d), con)
