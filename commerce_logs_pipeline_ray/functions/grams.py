@@ -376,6 +376,7 @@ def substring_dedup_rewrite(
         col = t["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        removed = np.zeros(len(t), dtype=np.int64)
         hit = (
             np.isin(ids, np.fromiter(cm.keys(), dtype=np.int64, count=len(cm)))
             if cm else np.zeros(len(t), dtype=bool)
@@ -384,17 +385,19 @@ def substring_dedup_rewrite(
             idxs = np.flatnonzero(hit)
             subs = col.take(pa.array(idxs)).to_pylist()
             rewritten = []
-            for did, text in zip(ids[idxs], subs):
+            for j, (did, text) in enumerate(zip(ids[idxs], subs)):
                 words = (text or "").split(" ")
                 keep = np.ones(len(words), dtype=bool)
                 for s in cm[int(did)]:  # 1-based window start, covers [s, s+k)
                     keep[s - 1 : s - 1 + k] = False
+                removed[idxs[j]] = len(words) - int(keep.sum())
                 rewritten.append(" ".join(w for w, m in zip(words, keep) if m))
             vals = col.to_pandas()
             vals.iloc[idxs] = rewritten
             col = pa.array(vals, type=pa.string())
         cols = {c: t[c] for c in t.column_names if c != "text"}
         cols["text_dedup"] = col
+        cols["n_removed_words"] = pa.array(removed)
         return pa.table(cols)
 
     return docs.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

@@ -91,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="cross-run dedup state: kept-content fingerprints persist here; "
                         "later runs skip already-curated content")
 
+    sd = sub.add_parser(
+        "span-dedup",
+        help="exact substring dedup rewrite: cut all but the globally first "
+             "occurrence of every repeated word-k-gram span (Lee et al.)",
+    )
+    sd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--k", type=int, default=5, help="window size in words")
+
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -206,6 +215,30 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+
+        if args.cmd == "span-dedup":
+            import ray.data as rd
+
+            from .functions.grams import substring_dedup_rewrite
+
+            ds = rd.read_parquet(args.input)
+            out = substring_dedup_rewrite(ds, k=args.k)
+            os.makedirs(args.output, exist_ok=True)
+            out.write_parquet(args.output)
+            written = rd.read_parquet(args.output, columns=["n_removed_words"])
+            import pyarrow.compute as _pc
+
+            tot = docs_cut = removed = 0
+            for b in written.iter_batches(batch_format="pyarrow"):
+                tot += len(b)
+                docs_cut += int(_pc.sum(_pc.cast(
+                    _pc.greater(b["n_removed_words"], 0), "int64")).as_py() or 0)
+                removed += int(_pc.sum(b["n_removed_words"]).as_py() or 0)
+            print(json.dumps({
+                "docs": tot, "docs_cut": docs_cut, "words_removed": removed,
+                "k": args.k, "output_dir": args.output,
+            }))
             return 0
 
         if args.cmd == "compact":

@@ -231,3 +231,21 @@ def test_substring_dedup_rewrite_fully_cut_doc(ray_session):
     )
     assert out[1] == docs["text"][0]
     assert out[2] == ""
+
+
+def test_rewrite_removed_counts_match_stats(ray_session):
+    """The rewrite's n_removed_words column equals substring_dedup_cuts'
+    interval-union coverage, doc for doc (two independent computations of
+    the same cut decision)."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import (
+        substring_dedup_cuts, substring_dedup_rewrite)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    stats = substring_dedup_cuts(ds, k=5).set_index("doc_id")["n_removed_words"]
+    got = substring_dedup_rewrite(ds, k=5).to_pandas()
+    nz = got[got["n_removed_words"] > 0].set_index("doc_id")["n_removed_words"]
+    assert stats.sort_index().equals(nz.sort_index().astype("int64"))
+    assert int(got["n_removed_words"].sum()) == int(stats.sum())
