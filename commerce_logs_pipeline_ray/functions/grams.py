@@ -290,16 +290,9 @@ def substring_dedup_cuts(
     return out
 
 
-def _substring_cut_list(
-    docs: Dataset, k: int, seed: int, id_col: str
-) -> pd.DataFrame:
-    """Passes 1+2 of the span-dedup decision: the (doc, pos) list of cut
-    windows (every occurrence of a >=2x gram except the global first)."""
-    from .relational import bucketed_group_reduce
+def _gram_count_parts(docs: Dataset, k: int, mix: np.ndarray) -> Dataset:
+    """Per-batch collapsed (gram, multiplicity) combiner rows."""
 
-    mix = _gram_mix(k, seed)
-
-    # ---- pass 1: duplicated-gram set (multiplicity >= 2, within or across)
     def gram_counts(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"g": pa.array([], type=pa.uint64()),
@@ -309,15 +302,71 @@ def _substring_cut_list(
         return pa.table({"g": pa.array(g, type=pa.uint64()),
                          "cnt": pa.array(c.astype(np.int64))})
 
-    def dup_only(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("g", as_index=False)["cnt"].sum()
-        return s[s["cnt"] >= 2][["g"]]
+    return docs.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
 
-    parts = docs.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
-    dup_grams = np.sort(
-        bucketed_group_reduce(parts, ["g"], dup_only).to_pandas()["g"].to_numpy()
-    ).astype(np.uint64)
+
+def gram_counts_ds(docs: Dataset, k: int, seed: int) -> Dataset:
+    """Collapsed (gram, multiplicity) rows for the whole corpus — the
+    persistable incremental span-dedup state (one bucketed exchange)."""
+    from .relational import bucketed_group_reduce
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("g", as_index=False)["cnt"].sum()
+
+    return bucketed_group_reduce(_gram_count_parts(docs, k, _gram_mix(k, seed)), ["g"], collapse)
+
+
+def _substring_cut_list(
+    docs: Dataset,
+    k: int,
+    seed: int,
+    id_col: str,
+    prior_grams: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """Passes 1+2 of the span-dedup decision: the (doc, pos) list of cut
+    windows.  Without ``prior_grams``: every occurrence of a >=2x gram
+    except the global first.  With ``prior_grams`` (sorted uint64 — grams
+    already present in previously-processed corpus state): occurrences of
+    a prior gram are ALL cut (their owner was written in an earlier run),
+    new >=2x grams keep their in-run first occurrence as before."""
+    mix = _gram_mix(k, seed)
+    from .relational import bucketed_group_reduce
+
+    prior = (
+        np.sort(np.asarray(prior_grams, dtype=np.uint64))
+        if prior_grams is not None and len(prior_grams)
+        else np.empty(0, dtype=np.uint64)
+    )
+    prior_bcast = ray.put(prior)
+
+    # ---- pass 1 reduce keeps only dup-or-prior grams: NON-duplicated new
+    # grams (the overwhelming majority) never reach the driver
+    def dup_or_prior(df: pd.DataFrame) -> pd.DataFrame:
+        po = ray.get(prior_bcast)
+        s = df.groupby("g", as_index=False)["cnt"].sum()
+        g = s["g"].to_numpy().astype(np.uint64)
+        if len(po):
+            idx = np.searchsorted(po, g)
+            idx[idx == len(po)] = 0
+            inp = po[idx] == g
+        else:
+            inp = np.zeros(len(g), dtype=bool)
+        keep = (s["cnt"].to_numpy() >= 2) | inp
+        return pd.DataFrame({"g": g[keep], "prior": inp[keep]})
+
+    flagged = bucketed_group_reduce(
+        _gram_count_parts(docs, k, mix), ["g"], dup_or_prior
+    ).to_pandas()
+    g_all = flagged["g"].to_numpy().astype(np.uint64) if len(flagged) else np.empty(
+        0, dtype=np.uint64)
+    order = np.argsort(g_all)
+    dup_grams = g_all[order]
+    # grams whose owner lives in PRIOR state: cut every in-run occurrence
+    prior_owned = np.sort(g_all[flagged["prior"].to_numpy(dtype=bool)]) if len(
+        flagged) else np.empty(0, dtype=np.uint64)
+
     dup_ref = ray.put(dup_grams)
+    prior_ref = ray.put(prior_owned)
 
     # ---- pass 2: position rows for duplicated grams only → cut list
     def dup_windows(t: pa.Table) -> pa.Table:
@@ -341,8 +390,14 @@ def _substring_cut_list(
         )
 
     def drop_owner(df: pd.DataFrame) -> pd.DataFrame:
+        po = ray.get(prior_ref)
         df = df.sort_values(["g", id_col, "pos"], kind="stable")
         first = ~df.duplicated("g", keep="first")
+        if len(po):
+            g = df["g"].to_numpy().astype(np.uint64)
+            idx = np.searchsorted(po, g)
+            idx[idx == len(po)] = 0
+            first &= ~(po[idx] == g)  # prior-owned: no in-run survivor
         return df[~first][[id_col, "pos"]]
 
     return bucketed_group_reduce(
@@ -352,11 +407,17 @@ def _substring_cut_list(
 
 
 def substring_dedup_rewrite(
-    docs: Dataset, k: int = 5, seed: int = 42, id_col: str = "doc_id"
+    docs: Dataset,
+    k: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    prior_grams: "np.ndarray | None" = None,
 ) -> Dataset:
     """REWRITE form of the span dedup: every doc re-emitted with the words
     covered by its cut windows removed (fully-cut docs become '').  Same cut
-    decision as :func:`substring_dedup_cuts`.
+    decision as :func:`substring_dedup_cuts`.  ``prior_grams`` makes the run
+    INCREMENTAL: spans already present in previously-processed corpus state
+    lose every in-run occurrence (their survivor was written earlier).
 
     The cut list (bounded by duplicated-window count, orders of magnitude
     below corpus size) is grouped per doc and broadcast once via
@@ -364,10 +425,12 @@ def substring_dedup_rewrite(
     document text never shuffles.  If the duplication rate ever made the
     cut list driver-sized, swap the broadcast for a bucketed LEFT join of
     cuts onto docs by ``id_col`` (same exchange as ``hash_join``)."""
-    cuts = _substring_cut_list(docs, k, seed, id_col)
-    cut_map = {
-        int(d): np.sort(g["pos"].to_numpy()) for d, g in cuts.groupby(id_col, sort=False)
-    }
+    cuts = _substring_cut_list(docs, k, seed, id_col, prior_grams=prior_grams)
+    cut_map = (
+        {int(d): np.sort(g["pos"].to_numpy()) for d, g in cuts.groupby(id_col, sort=False)}
+        if len(cuts) and id_col in cuts.columns  # empty reduce → schema-less df
+        else {}
+    )
     cuts_ref = ray.put(cut_map)
 
     def rewrite(t: pa.Table) -> pa.Table:

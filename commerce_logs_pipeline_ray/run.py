@@ -99,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     sd.add_argument("--output", required=True)
     sd.add_argument("--k", type=int, default=5, help="window size in words")
+    sd.add_argument("--state-dir", default=None,
+                    help="incremental cross-run state: gram sets persist here; later "
+                         "runs cut every occurrence of a span already in the state")
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
@@ -218,14 +221,47 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "span-dedup":
+            import glob as _glob
+            import hashlib as _hashlib
+
+            import numpy as _np
             import ray.data as rd
 
-            from .functions.grams import substring_dedup_rewrite
+            from .functions.grams import gram_counts_ds, substring_dedup_rewrite
 
             ds = rd.read_parquet(args.input)
-            out = substring_dedup_rewrite(ds, k=args.k)
+            prior = None
+            state_base = run_dir = None
+            if args.state_dir:
+                # same cross-run contract as `curate --state-dir`: runs are
+                # keyed by input identity so an idempotent re-run overwrites
+                # its own state instead of double-registering; prior-gram
+                # load is a driver array here — swap for a Bloom / bucketed
+                # anti join above ~10^8 grams (relational.bloom_anti_join)
+                state_base = os.path.join(args.state_dir, f"k{args.k}")
+                run_id = _hashlib.sha256(
+                    f"{os.path.abspath(args.input)}|{args.k}".encode()
+                ).hexdigest()[:16]
+                run_dir = os.path.join(state_base, f"run-{run_id}")
+                prior_files = [
+                    f for f in sorted(_glob.glob(
+                        os.path.join(state_base, "run-*", "*.parquet")))
+                    if f"run-{run_id}" not in f
+                ]
+                if prior_files:
+                    prior = _np.unique(
+                        rd.read_parquet(prior_files, columns=["g"])
+                        .to_pandas()["g"].to_numpy().astype(_np.uint64)
+                    )
+            out = substring_dedup_rewrite(ds, k=args.k, prior_grams=prior)
             os.makedirs(args.output, exist_ok=True)
             out.write_parquet(args.output)
+            if run_dir is not None:
+                import shutil as _shutil
+
+                _shutil.rmtree(run_dir, ignore_errors=True)
+                gram_counts_ds(rd.read_parquet(args.input), args.k, 42).select_columns(
+                    ["g"]).write_parquet(run_dir)
             written = rd.read_parquet(args.output, columns=["n_removed_words"])
             import pyarrow.compute as _pc
 

@@ -249,3 +249,41 @@ def test_rewrite_removed_counts_match_stats(ray_session):
     nz = got[got["n_removed_words"] > 0].set_index("doc_id")["n_removed_words"]
     assert stats.sort_index().equals(nz.sort_index().astype("int64"))
     assert int(got["n_removed_words"].sum()) == int(stats.sum())
+
+
+def test_substring_dedup_incremental_prior_grams(ray_session):
+    """Cross-run state: spans present in prior gram state lose EVERY in-run
+    occurrence (their survivor was written earlier); new spans keep their
+    in-run first occurrence as usual."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import (
+        gram_counts_ds, substring_dedup_rewrite)
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    batch1 = pd.DataFrame({"doc_id": [1], "text": [f"{shared} owner tail words here now"]})
+    batch2 = pd.DataFrame(
+        {"doc_id": [10, 11, 12],
+         "text": [f"new doc containing {shared} embedded inside it",
+                  "fresh unrelated words that match nothing prior ever",
+                  f"second new doc with {shared} also present here"]}
+    )
+    prior = (
+        gram_counts_ds(rd.from_pandas(batch1), 5, 42).to_pandas()["g"].to_numpy()
+    )
+    out = (
+        substring_dedup_rewrite(rd.from_pandas(batch2), k=5, prior_grams=prior)
+        .to_pandas().set_index("doc_id")
+    )
+    # BOTH in-run occurrences of the prior span are cut — no in-run owner
+    assert out.loc[10, "text_dedup"] == "new doc containing embedded inside it"
+    assert out.loc[12, "text_dedup"] == "second new doc with also present here"
+    assert out.loc[11, "n_removed_words"] == 0
+    # without prior state, the first in-run occurrence would survive
+    fresh = (
+        substring_dedup_rewrite(rd.from_pandas(batch2), k=5)
+        .to_pandas().set_index("doc_id")
+    )
+    assert fresh.loc[10, "n_removed_words"] == 0
+    assert fresh.loc[12, "n_removed_words"] == 6
