@@ -3825,6 +3825,47 @@ def q_kll_value_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_approx_quantiles(ds, ["event_type"], "value", [0.5, 0.9, 0.99], k=160)
 
 
+def q_type_overlap_matrix(sf_dir: str) -> pd.DataFrame:
+    """EXACT audience-overlap matrix: for every pair of event types, how
+    many distinct users did both.  Per-batch combiner collapses to distinct
+    (user, type) rows; one bucketed exchange on user co-locates each user's
+    type set, pairs explode bucket-locally (bounded: |types|² per user),
+    and only (type_a, type_b, count) partials leave.  The exact counterpart
+    of kmv_user_overlap's sketch estimates."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    parts = ds.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n_users=("user_id", "nunique"))
+
+    per_bucket = bucketed_group_reduce(parts, ["user_id"], pair_counts).to_pandas()
+    out = per_bucket.groupby(["event_type_x", "event_type_y"], as_index=False)[
+        "n_users"].sum()
+    out = out.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b"})
+    out = out.sort_values(["type_a", "type_b"], ignore_index=True)
+    return _i64(out, ["n_users"])
+
+
+SQL_TYPE_OVERLAP_MATRIX = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_kmv_user_overlap(sf_dir: str) -> pd.DataFrame:
     """KMV (bottom-k) sketch set algebra: distinct purchasers, distinct
     error-users, their union and INTERSECTION — the set operation HLL
@@ -9388,6 +9429,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "kmv_user_overlap": QuerySpec(
         q_kmv_user_overlap, None, "KMV bottom-k sketch set algebra incl. intersection (rows-only)"
+    ),
+    "type_overlap_matrix": QuerySpec(
+        q_type_overlap_matrix,
+        SQL_TYPE_OVERLAP_MATRIX,
+        "exact pairwise audience overlap via per-user bucket-local pair explosion",
     ),
     "approx_users_per_type": QuerySpec(
         q_approx_users_per_type, None, "grouped HLL distinct-count per key (rows-only)"
