@@ -458,3 +458,39 @@ def test_kmv_dataset_sketch_matches_local(ray_session):
     want = KMVSketch(512)
     want.add_hashes(fnv1a64(vals))
     assert (got.values == want.values).all()
+
+
+def test_sketch_edge_cases():
+    """Empty/single/all-equal/adversarially-ordered inputs across the three
+    new sketches — the degenerate shapes a 100-TB stream will contain."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a64
+    from commerce_logs_pipeline_ray.functions.sketch import (
+        KLLSketch, KMVSketch, MisraGries)
+
+    s = KLLSketch(8)
+    assert np.isnan(s.quantile(0.5))  # empty
+    s.update_many(np.array([7.0]))
+    assert s.quantile(0.0) == 7.0 and s.quantile(1.0) == 7.0
+    eq = KLLSketch(8)
+    eq.update_many(np.full(100_000, 3.14))
+    assert eq.quantile(0.25) == 3.14 and eq.quantile(0.99) == 3.14
+    for order in (1, -1):  # sorted / reverse-sorted adversarial streams
+        a = KLLSketch(100)
+        a.update_many(np.arange(100_000, dtype=float)[::order])
+        for q in (0.1, 0.5, 0.9):
+            assert abs(a.quantile(q) / 100_000 - q) < 0.05
+
+    mg = MisraGries(4)
+    mg.update_counts([1, 2, 3, 4], [5, 5, 5, 5])
+    assert mg.counts == {1: 5, 2: 5, 3: 5, 4: 5}  # at k: no shrink
+    mg.update_counts([5], [1])  # (k+1)-th distinct → subtract 1, drop 5
+    assert mg.counts == {1: 4, 2: 4, 3: 4, 4: 4} and mg.n == 21
+
+    kv = KMVSketch(16)
+    kv.add_hashes(fnv1a64(["a", "b", "a", "b"]))
+    assert kv.estimate() == 2.0  # duplicate adds idempotent
+    kv2 = KMVSketch(16)
+    kv2.add_hashes(fnv1a64(["a", "b"]))
+    assert kv.jaccard(kv2) == 1.0
