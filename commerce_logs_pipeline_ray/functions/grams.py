@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -321,42 +322,78 @@ def _substring_cut_list(
     k: int,
     seed: int,
     id_col: str,
-    prior_grams: "np.ndarray | None" = None,
+    prior_grams: "np.ndarray | Dataset | None" = None,
 ) -> pd.DataFrame:
     """Passes 1+2 of the span-dedup decision: the (doc, pos) list of cut
     windows.  Without ``prior_grams``: every occurrence of a >=2x gram
-    except the global first.  With ``prior_grams`` (sorted uint64 — grams
-    already present in previously-processed corpus state): occurrences of
-    a prior gram are ALL cut (their owner was written in an earlier run),
-    new >=2x grams keep their in-run first occurrence as before."""
+    except the global first.  With ``prior_grams`` (grams already present
+    in previously-processed corpus state): occurrences of a prior gram are
+    ALL cut (their owner was written in an earlier run), new >=2x grams
+    keep their in-run first occurrence as before.  Pass a uint64 ndarray
+    for a driver-sized state (broadcast membership) or a Dataset of ``g``
+    rows for arbitrarily large state (membership resolved on the gram-hash
+    exchange itself — no driver array ever exists)."""
     mix = _gram_mix(k, seed)
     from .relational import bucketed_group_reduce
 
-    prior = (
-        np.sort(np.asarray(prior_grams, dtype=np.uint64))
-        if prior_grams is not None and len(prior_grams)
-        else np.empty(0, dtype=np.uint64)
-    )
-    prior_bcast = ray.put(prior)
+    new_parts = _gram_count_parts(docs, k, mix)
+    if prior_grams is not None and isinstance(prior_grams, Dataset):
+        # LARGE prior state: membership resolved on the SAME gram-hash
+        # exchange pass 1 already pays — prior grams ride as tagged
+        # (g, cnt=0, prior=1) rows, so no driver array exists at any state
+        # size (the exact dual of curate's bloom_anti_join large path,
+        # without the Bloom false-positive asymmetry a lossy cut could not
+        # tolerate)
+        def tag_new(t: pa.Table) -> pa.Table:
+            return t.append_column("prior", pa.nulls(len(t), pa.int64()).fill_null(0))
 
-    # ---- pass 1 reduce keeps only dup-or-prior grams: NON-duplicated new
-    # grams (the overwhelming majority) never reach the driver
-    def dup_or_prior(df: pd.DataFrame) -> pd.DataFrame:
-        po = ray.get(prior_bcast)
-        s = df.groupby("g", as_index=False)["cnt"].sum()
-        g = s["g"].to_numpy().astype(np.uint64)
-        if len(po):
-            idx = np.searchsorted(po, g)
-            idx[idx == len(po)] = 0
-            inp = po[idx] == g
-        else:
-            inp = np.zeros(len(g), dtype=bool)
-        keep = (s["cnt"].to_numpy() >= 2) | inp
-        return pd.DataFrame({"g": g[keep], "prior": inp[keep]})
+        def tag_prior(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"g": pc.cast(t["g"], pa.uint64()),
+                 "cnt": pa.nulls(len(t), pa.int64()).fill_null(0),
+                 "prior": pa.nulls(len(t), pa.int64()).fill_null(1)}
+            )
 
-    flagged = bucketed_group_reduce(
-        _gram_count_parts(docs, k, mix), ["g"], dup_or_prior
-    ).to_pandas()
+        both = new_parts.map_batches(
+            tag_new, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            prior_grams.map_batches(tag_prior, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+        def dup_or_prior_union(df: pd.DataFrame) -> pd.DataFrame:
+            s = df.groupby("g", as_index=False).agg(cnt=("cnt", "sum"), p=("prior", "max"))
+            # prior-only grams absent from the new corpus are irrelevant
+            keep = (s["cnt"] >= 2) | ((s["p"] > 0) & (s["cnt"] >= 1))
+            s = s[keep]
+            return pd.DataFrame(
+                {"g": s["g"].to_numpy().astype(np.uint64), "prior": s["p"].to_numpy() > 0}
+            )
+
+        flagged = bucketed_group_reduce(both, ["g"], dup_or_prior_union).to_pandas()
+    else:
+        prior = (
+            np.sort(np.asarray(prior_grams, dtype=np.uint64))
+            if prior_grams is not None and len(prior_grams)
+            else np.empty(0, dtype=np.uint64)
+        )
+        prior_bcast = ray.put(prior)
+
+        # ---- pass 1 reduce keeps only dup-or-prior grams: NON-duplicated
+        # new grams (the overwhelming majority) never reach the driver
+        def dup_or_prior(df: pd.DataFrame) -> pd.DataFrame:
+            po = ray.get(prior_bcast)
+            s = df.groupby("g", as_index=False)["cnt"].sum()
+            g = s["g"].to_numpy().astype(np.uint64)
+            if len(po):
+                idx = np.searchsorted(po, g)
+                idx[idx == len(po)] = 0
+                inp = po[idx] == g
+            else:
+                inp = np.zeros(len(g), dtype=bool)
+            keep = (s["cnt"].to_numpy() >= 2) | inp
+            return pd.DataFrame({"g": g[keep], "prior": inp[keep]})
+
+        flagged = bucketed_group_reduce(new_parts, ["g"], dup_or_prior).to_pandas()
     g_all = flagged["g"].to_numpy().astype(np.uint64) if len(flagged) else np.empty(
         0, dtype=np.uint64)
     order = np.argsort(g_all)
@@ -411,7 +448,7 @@ def substring_dedup_rewrite(
     k: int = 5,
     seed: int = 42,
     id_col: str = "doc_id",
-    prior_grams: "np.ndarray | None" = None,
+    prior_grams: "np.ndarray | Dataset | None" = None,
 ) -> Dataset:
     """REWRITE form of the span dedup: every doc re-emitted with the words
     covered by its cut windows removed (fully-cut docs become '').  Same cut

@@ -249,10 +249,13 @@ def main(argv: list[str] | None = None) -> int:
                     if f"run-{run_id}" not in f
                 ]
                 if prior_files:
-                    prior = _np.unique(
-                        rd.read_parquet(prior_files, columns=["g"])
-                        .to_pandas()["g"].to_numpy().astype(_np.uint64)
-                    )
+                    prior_ds = rd.read_parquet(prior_files, columns=["g"])
+                    if prior_ds.count() <= 2_000_000:
+                        prior = _np.unique(
+                            prior_ds.to_pandas()["g"].to_numpy().astype(_np.uint64)
+                        )
+                    else:  # large state: membership rides the exchange
+                        prior = prior_ds
             out = substring_dedup_rewrite(ds, k=args.k, prior_grams=prior)
             os.makedirs(args.output, exist_ok=True)
             out.write_parquet(args.output)

@@ -287,3 +287,38 @@ def test_substring_dedup_incremental_prior_grams(ray_session):
     )
     assert fresh.loc[10, "n_removed_words"] == 0
     assert fresh.loc[12, "n_removed_words"] == 6
+
+
+def test_incremental_prior_dataset_path_equals_array_path(ray_session):
+    """Large-state path (prior grams as a Dataset riding the exchange)
+    produces the exact same rewrite as the broadcast-array path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.grams import (
+        gram_counts_ds, substring_dedup_rewrite)
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    batch1 = pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": [f"{shared} owner tail words here now",
+                  "some other earlier document with plain words inside"]}
+    )
+    batch2 = pd.DataFrame(
+        {"doc_id": [10, 11],
+         "text": [f"new doc containing {shared} embedded inside it",
+                  "fresh unrelated words that match nothing prior ever"]}
+    )
+    counts = gram_counts_ds(rd.from_pandas(batch1), 5, 42).materialize()
+    arr = counts.to_pandas()["g"].to_numpy()
+    via_array = (
+        substring_dedup_rewrite(rd.from_pandas(batch2), k=5, prior_grams=arr)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    via_ds = (
+        substring_dedup_rewrite(
+            rd.from_pandas(batch2), k=5, prior_grams=counts.select_columns(["g"]))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(via_array, via_ds)
+    assert via_ds.set_index("doc_id").loc[10, "n_removed_words"] == 6
