@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from .tokens import _bigram_partial, _flat_tokens
@@ -153,3 +154,25 @@ def bpe_decode(tokens: list[int], merges: pd.DataFrame) -> list[int]:
     for tok in tokens:
         out.extend(expand(tok))
     return out
+
+
+def bpe_encode(ds: Dataset, merges: pd.DataFrame, col: str = "tokens") -> Dataset:
+    """Apply a TRAINED merge table to sequences — the tokenizer INFERENCE
+    path (training's dual).  Merges apply exhaustively in ``merge_idx``
+    (priority) order, each one fully vectorized over the batch's flat token
+    stream (same kernel as training, :func:`_apply_merge_batch`), so
+    ``encode(original corpus)`` is bit-identical to the corpus state
+    training left behind.  The merge table rides one ``ray.put`` broadcast;
+    the stage itself is a stateless fused ``map_batches``."""
+    rows = [
+        (int(r.left), int(r.right), int(r.new_id))
+        for r in merges.sort_values("merge_idx").itertuples()
+    ]
+    mref = ray.put(rows)
+
+    def apply_all(t: pa.Table) -> pa.Table:
+        for a, b, new_id in ray.get(mref):
+            t = _apply_merge_batch(t, a, b, new_id, col)
+        return t
+
+    return ds.map_batches(apply_all, batch_format="pyarrow", zero_copy_batch=True)

@@ -4449,6 +4449,42 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
 
 
+def q_bpe_encode_stats(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer INFERENCE at scale: apply the trained merge table back to
+    the corpus (broadcast merges, one fused vectorized rewrite stage) and
+    report per-source token totals before/after — the compression the
+    learned vocab buys.  Rows-only (iterative merges aren't SQL); the
+    encode==training-rewrite and decode-roundtrip invariants are
+    pytest-gated."""
+    from ..functions.bpe import bpe_encode, bpe_train
+    from ..schema import VOCAB_SIZE
+
+    src = ensure_derived_parquet(sf_dir)
+    train_ds = rd.read_parquet(src, columns=["tokens"], override_num_blocks=8)
+    merges = bpe_train(train_ds, num_merges=6, vocab_base=VOCAB_SIZE)
+    full = rd.read_parquet(src, columns=["tokens", "source"], override_num_blocks=8)
+    encoded = bpe_encode(full, merges)
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t["tokens"])
+        g = pa.table({"source": t["source"], "n_after": pc.cast(n, pa.int64())}).group_by(
+            ["source"]).aggregate([("n_after", "sum")])
+        return pa.table({"source": g["source"], "n_after": g["n_after_sum"]})
+
+    after = encoded.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True
+                                ).to_pandas().groupby("source", as_index=False).sum()
+    before = (
+        rd.read_parquet(src, columns=["n_tok", "source"], override_num_blocks=8)
+        .map_batches(
+            lambda t: pa.table({"source": t["source"],
+                                "n_before": pc.cast(t["n_tok"], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas().groupby("source", as_index=False).sum()
+    )
+    out = before.merge(after, on="source").sort_values("source", ignore_index=True)
+    return _i64(out, ["n_before", "n_after"])
+
+
 def q_naive_bayes_langid(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes language classifier — train on the hash-split
     train fold (leakage-safe pure-id membership, same split as
@@ -9304,6 +9340,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_type_hour_grid,
         SQL_TYPE_HOUR_GRID,
         "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
+    ),
+    "bpe_encode_stats": QuerySpec(
+        q_bpe_encode_stats, None,
+        "apply trained BPE merges back to the corpus; per-source compression (rows-only)",
     ),
     "bpe_merges": QuerySpec(
         q_bpe_merges,

@@ -123,3 +123,36 @@ def test_bpe_decode_roundtrip():
     mdf = pd.DataFrame(merges, columns=["merge_idx", "left", "right", "count", "new_id"])
     for orig, enc in zip(seqs, rewritten):
         assert bpe_decode(enc, mdf) == orig
+
+
+def test_bpe_encode_equals_training_rewrite_and_roundtrips(ray_session):
+    """encode(original) reproduces the exact corpus state training left
+    behind (same kernel, priority order), and decode(encode(x)) == x."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.bpe import (
+        _apply_merge_batch, bpe_decode, bpe_encode, bpe_train)
+
+    rng = np.random.default_rng(8)
+    seqs = [rng.integers(0, 6, size=rng.integers(4, 30)).astype(np.int32).tolist()
+            for _ in range(200)]
+    t = pa.table({"sid": pa.array(range(200), pa.int64()),
+                  "tokens": pa.array(seqs, pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    merges = bpe_train(ds, num_merges=4, vocab_base=100)
+    assert len(merges) == 4
+
+    enc = bpe_encode(ds, merges).to_pandas().sort_values("sid")
+    # reference: apply merges sequentially to the single-table corpus
+    ref = t
+    for r in merges.itertuples():
+        ref = _apply_merge_batch(ref, int(r.left), int(r.right), int(r.new_id))
+    ref = ref.to_pandas().sort_values("sid")
+    for a, b in zip(enc["tokens"], ref["tokens"]):
+        assert list(a) == list(b)
+    # roundtrip: decoding every encoded sequence recovers the original
+    orig = {i: s for i, s in enumerate(seqs)}
+    for sid, toks in zip(enc["sid"], enc["tokens"]):
+        assert bpe_decode(list(toks), merges) == orig[sid]
+    # compression actually happened somewhere
+    assert sum(len(x) for x in enc["tokens"]) < sum(len(s) for s in seqs)
