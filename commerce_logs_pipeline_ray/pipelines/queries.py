@@ -4449,6 +4449,68 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
 
 
+def q_padding_waste(sf_dir: str) -> pd.DataFrame:
+    """Length-bucketed batching: padding tokens wasted per strategy when
+    sequences batch 64 at a time padded to the batch max — arrival(id)
+    order vs length-sorted order (the standard bucketing trick).  The
+    distributed piece is exact global ROW_NUMBER (range-bucket rank pass);
+    per-batch (count, max, sum) fold in a bucketed reduce; one tiny final
+    sum per strategy."""
+    from ..functions.rank import global_row_number
+    from ..functions.relational import bucketed_group_reduce
+
+    B = 64
+    src = ensure_derived_parquet(sf_dir)
+
+    def waste(order_key: str, strategy: str) -> pd.DataFrame:
+        ds = rd.read_parquet(src, columns=["doc_id", "n_tok"], override_num_blocks=8)
+        tiebreak = ["doc_id"] if order_key != "doc_id" else []
+        ranked, _total = global_row_number(ds, order_key, tiebreak)
+
+        def tag(t: pa.Table) -> pa.Table:
+            b = (pc.cast(t["rn"], pa.int64()).to_numpy(zero_copy_only=False) - 1) // B
+            return pa.table({"b": pa.array(b, pa.int64()),
+                             "n_tok": pc.cast(t["n_tok"], pa.int64())})
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("b", as_index=False).agg(
+                c=("n_tok", "size"), m=("n_tok", "max"), t=("n_tok", "sum"))
+            return g
+
+        per_batch = bucketed_group_reduce(
+            ranked.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+            ["b"], fold,
+        ).to_pandas()
+        return pd.DataFrame(
+            {"strategy": [strategy],
+             "n_batches": [int(per_batch["b"].nunique())],
+             "n_seqs": [int(per_batch["c"].sum())],
+             "pad_tokens": [int((per_batch["c"] * per_batch["m"] - per_batch["t"]).sum())]}
+        )
+
+    out = pd.concat(
+        [waste("doc_id", "by_id"), waste("n_tok", "by_length")], ignore_index=True
+    ).sort_values("strategy", ignore_index=True)
+    return _i64(out, ["n_batches", "n_seqs", "pad_tokens"])
+
+
+SQL_PADDING_WASTE = f"""
+WITH s AS (SELECT doc_id, n_tok FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')),
+i AS (SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 64 AS b FROM s),
+l AS (SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 64 AS b FROM s),
+ia AS (SELECT b, COUNT(*) c, MAX(n_tok) m, SUM(n_tok) t FROM i GROUP BY b),
+la AS (SELECT b, COUNT(*) c, MAX(n_tok) m, SUM(n_tok) t FROM l GROUP BY b)
+SELECT 'by_id' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(c) AS BIGINT) AS n_seqs, CAST(SUM(c * m - t) AS BIGINT) AS pad_tokens
+FROM ia
+UNION ALL
+SELECT 'by_length', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+       CAST(SUM(c * m - t) AS BIGINT)
+FROM la
+ORDER BY strategy
+"""
+
+
 def q_bpe_encode_stats(sf_dir: str) -> pd.DataFrame:
     """Tokenizer INFERENCE at scale: apply the trained merge table back to
     the corpus (broadcast merges, one fused vectorized rewrite stage) and
@@ -9340,6 +9402,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_type_hour_grid,
         SQL_TYPE_HOUR_GRID,
         "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
+    ),
+    "padding_waste": QuerySpec(
+        q_padding_waste,
+        SQL_PADDING_WASTE,
+        "length-bucketed batching padding waste vs arrival order (exact global rank)",
     ),
     "bpe_encode_stats": QuerySpec(
         q_bpe_encode_stats, None,
