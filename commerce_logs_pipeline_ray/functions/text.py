@@ -68,3 +68,27 @@ def langid_batch(t: pa.Table) -> pa.Table:
     code = pc.count_substring_regex(text, r"\b(?:spark|query|vector)\b")
     guess = pc.if_else(pc.greater_equal(code, en), "code", "en")
     return pa.table({"doc_id": t["doc_id"], "lang_guess": pc.cast(guess, pa.string())})
+
+
+def compression_ratio_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc zlib compression ratio — the classic entropy quality proxy
+    (highly repetitive/boilerplate text compresses far below ~0.4;
+    high-entropy noise stays near 1.0; used by Gopher/C4-family cleaning
+    stacks).  stdlib zlib per doc (CPU-bound loop, the actor-pool batch
+    shape); ratio = compressed_len / max(raw_len, 1) over UTF-8 bytes."""
+    import zlib
+
+    texts = t[text_col].to_pylist()
+    raw = np.empty(len(texts), dtype=np.int64)
+    comp = np.empty(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        b = (s or "").encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+    ratio = comp / np.maximum(raw, 1)
+    return pa.table(
+        {"doc_id": t["doc_id"],
+         "raw_bytes": pa.array(raw),
+         "compressed_bytes": pa.array(comp),
+         "compression_ratio": pa.array(ratio)}
+    )

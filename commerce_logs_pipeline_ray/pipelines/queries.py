@@ -4449,6 +4449,118 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
 
 
+def q_corpus_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff (data versioning): classify every doc across two
+    corpus versions as unchanged / modified / removed / added.  v2 derives
+    deterministically from v1 (drop id%13, edit id%7, re-add id%11 under
+    new ids) so both sides construct it identically.  Distributed shape:
+    each side collapses to (doc_id, content-fp) combiner rows — text never
+    shuffles — then ONE bucketed exchange on doc_id classifies (the
+    full-outer-join pattern without materializing the join)."""
+    from ..functions.hashing import fnv1a64
+    from ..functions.relational import bucketed_group_reduce
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def v1_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": pa.array(fnv1a64(t["text"]), pa.uint64()),
+                         "side": pa.nulls(len(t), pa.int8()).fill_null(0)})
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        kept = t.filter(pc.not_equal(_mod(ids, 13), 0))
+        kid = pc.cast(kept["doc_id"], pa.int64())
+        edited = pc.if_else(
+            pc.equal(_mod(kid, 7), 0),
+            pc.binary_join_element_wise(kept["text"], " edited", ""),
+            kept["text"],
+        )
+        part1 = pa.table({"doc_id": kid,
+                          "fp": pa.array(fnv1a64(edited), pa.uint64()),
+                          "side": pa.nulls(len(kept), pa.int8()).fill_null(1)})
+        add = t.filter(pc.equal(_mod(ids, 11), 0))
+        part2 = pa.table({"doc_id": pc.add(pc.cast(add["doc_id"], pa.int64()),
+                                           pa.scalar(1_000_000, pa.int64())),
+                          "fp": pa.array(fnv1a64(add["text"]), pa.uint64()),
+                          "side": pa.nulls(len(add), pa.int8()).fill_null(1)})
+        return pa.concat_tables([part1, part2])
+
+    a = docs.map_batches(v1_rows, batch_format="pyarrow", zero_copy_batch=True)
+    b = docs.map_batches(v2_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id")
+        sides = g["side"].agg(["min", "max"])
+        nfp = g["fp"].nunique()
+        status = pd.Series("unchanged", index=sides.index)
+        status[(sides["min"] == 0) & (sides["max"] == 0)] = "removed"
+        status[(sides["min"] == 1) & (sides["max"] == 1)] = "added"
+        status[(sides["min"] == 0) & (sides["max"] == 1) & (nfp > 1)] = "modified"
+        return status.value_counts().rename_axis("status").reset_index(name="n")
+
+    per_bucket = bucketed_group_reduce(a.union(b), ["doc_id"], classify).to_pandas()
+    out = per_bucket.groupby("status", as_index=False)["n"].sum().sort_values(
+        "status", ignore_index=True)
+    return _i64(out, ["n"])
+
+
+def _mod(arr: pa.Array, m: int) -> pa.Array:
+    """Integer modulo via subtract(x, multiply(floor_div(x, m), m)) —
+    pyarrow.compute has no mod kernel."""
+    import pyarrow.compute as _pc
+
+    q = _pc.divide(arr, pa.scalar(m, pa.int64()))  # integer division floors for positives
+    return _pc.subtract(arr, _pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+SQL_CORPUS_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+), j AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text = b.text THEN 'unchanged' ELSE 'modified' END AS status
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY status ORDER BY status
+"""
+
+
+def q_compression_quality(sf_dir: str) -> pd.DataFrame:
+    """Entropy quality proxy (Gopher/C4-family cleaning stack): per-source
+    zlib compression totals and docs flagged as boilerplate-repetitive
+    (compressed*100 < raw*45 — integer cross-multiply, no float boundary).
+    Rows-only: SQL has no deflate; the kernel is pytest-gated on planted
+    repetitive vs high-entropy docs."""
+    from ..functions.text import compression_ratio_batch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = compression_ratio_batch(t)
+        flagged = pc.cast(
+            pc.less(pc.multiply(r["compressed_bytes"], 100),
+                    pc.multiply(r["raw_bytes"], 45)), pa.int64())
+        g = pa.table(
+            {"source": t["source"], "n_docs": pa.nulls(len(t), pa.int64()).fill_null(1),
+             "raw_bytes": r["raw_bytes"], "compressed_bytes": r["compressed_bytes"],
+             "n_flagged": flagged}
+        ).group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("raw_bytes", "sum"),
+             ("compressed_bytes", "sum"), ("n_flagged", "sum")])
+        return g.rename_columns(["source", "n_docs", "raw_bytes",
+                                 "compressed_bytes", "n_flagged"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)
+    return _i64(out, ["n_docs", "raw_bytes", "compressed_bytes", "n_flagged"])
+
+
 def q_padding_waste(sf_dir: str) -> pd.DataFrame:
     """Length-bucketed batching: padding tokens wasted per strategy when
     sequences batch 64 at a time padded to the batch max — arrival(id)
@@ -9402,6 +9514,15 @@ REGISTRY: dict[str, QuerySpec] = {
         q_type_hour_grid,
         SQL_TYPE_HOUR_GRID,
         "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
+    ),
+    "corpus_diff": QuerySpec(
+        q_corpus_diff,
+        SQL_CORPUS_DIFF,
+        "snapshot diff: unchanged/modified/removed/added via fp combiners + one doc_id exchange",
+    ),
+    "compression_quality": QuerySpec(
+        q_compression_quality, None,
+        "zlib entropy quality proxy per source (rows-only: SQL has no deflate)",
     ),
     "padding_waste": QuerySpec(
         q_padding_waste,

@@ -226,3 +226,33 @@ def test_hopping_window_counts_invariants(ray_session):
     assert ((out["window_start"] % 600) == 0).all()
     # windows never hold more events than exist, and counts are positive
     assert (out["n"] > 0).all()
+
+
+def test_compression_ratio_flags_planted_boilerplate(ray_session):
+    """Repetitive text compresses below the 0.45 gate; high-entropy text
+    does not; empty text never divides by zero."""
+    import numpy as np
+    import pyarrow as pa
+
+    from commerce_logs_pipeline_ray.functions.text import compression_ratio_batch
+
+    rng = np.random.default_rng(5)
+    noisy = " ".join("".join(chr(int(c)) for c in rng.integers(33, 127, 8))
+                     for _ in range(60))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spam ham " * 200, noisy, ""]),
+    })
+    out = compression_ratio_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "compression_ratio"] < 0.45
+    assert out.loc[2, "compression_ratio"] > 0.45
+    assert out.loc[3, "raw_bytes"] == 0  # and no crash
+
+
+def test_compression_quality_partition_invariant(ray_session):
+    from commerce_logs_pipeline_ray.pipelines.queries import q_compression_quality
+
+    a = q_compression_quality("/root/testdata/sf0.001")
+    b = q_compression_quality("/root/testdata/sf0.001")
+    assert a.equals(b)
+    assert (a["n_docs"] > 0).all() and (a["compressed_bytes"] > 0).all()
