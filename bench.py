@@ -37,6 +37,19 @@ BENCH_QUERIES = [
     "kll_value_by_type",
     "cross_doc_dup_windows",
     "substring_dedup_stats",
+    "type_overlap_matrix",
+    "bpe_encode_stats",
+    "padding_waste",
+    "compression_quality",
+    "corpus_diff",
+    "hopping_window_counts",
+    "mg_heavy_users",
+    "kmv_user_overlap",
+    "substring_dedup_rewrite",
+    "image_content_dedup",
+    "audio_fingerprint_dedup",
+    "video_content_dedup",
+    "temperature_resample",
     "events_by_type",
     "events_per_hour",
     "top_users_by_value",
