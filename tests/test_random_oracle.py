@@ -43,6 +43,7 @@ QUERIES = [
     # timestamps appear via the exact 1800s gap steps above)
     "global_error_context",
     "hopping_window_counts",
+    "type_overlap_matrix",
 ]
 
 

@@ -21,6 +21,7 @@ DOC_QUERIES = [
     "heaps_law_fit",
     "bigram_lm_nll",
     "temperature_resample",
+    "corpus_diff",
 ]
 
 # gram-family queries need every doc >= k (=5) words (documented gram
