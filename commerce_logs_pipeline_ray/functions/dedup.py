@@ -798,3 +798,96 @@ def embedding_neardup_lsh(
         pairs, ["vec_a", "vec_b"], lambda df: df.drop_duplicates(["vec_a", "vec_b"])
     ).to_pandas()
     return deduped.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def minhash_dedup_against_state(
+    new_docs: Dataset,
+    prior_band_rows: "Dataset | None",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> "tuple[pd.DataFrame, Dataset]":
+    """INCREMENTAL near-dup: match a NEW batch of docs against the persisted
+    LSH band state of everything already ingested — the near-dup analogue
+    of the exact/span-level incremental dedups (dedup a new crawl against
+    the existing corpus without recomputing or even REREADING it).
+
+    Returns ``(matches, new_band_rows)``: ``matches`` has one row per new
+    doc whose best prior match clears ``threshold``
+    (``doc_id, matched_prior, est_jaccard`` — ties broken by smallest prior
+    id), and ``new_band_rows`` is the materialized band-row Dataset to
+    append to the state (parquet of band_id/band_hash/doc_id/sig — the
+    signatures ride the rows, so future runs never need prior text).
+
+    Distribution: prior rows union with new rows tagged by side; ONE
+    bucketed co-group on (band_id, band_hash) — only buckets holding both
+    sides compare signatures (vectorized new×prior agreement per bucket);
+    the exchange carries band rows, never documents.  Params must match
+    the run that built the state.  Doc ids must be unique across runs.
+    """
+    hasher = MinHasher(
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+        emit_signature=True,
+    )
+    new_rows = new_docs.map_batches(
+        hasher, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="object"), "matched_prior": pd.Series(dtype="object"),
+         "est_jaccard": pd.Series(dtype="float64")}
+    )
+    if prior_band_rows is None:
+        return empty, new_rows
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in ("band_id", "band_hash", "doc_id", "sig")}
+            cols["side"] = pa.nulls(len(t), pa.int8()).fill_null(side)
+            return pa.table(cols)
+
+        return fn
+
+    both = new_rows.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        prior_band_rows.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    H = num_hashes
+
+    def cross_matches(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = df.drop_duplicates(["band_id", "band_hash", "doc_id", "side"])
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            new = g[g["side"] == 1]
+            old = g[g["side"] == 0]
+            if len(new) == 0 or len(old) == 0:
+                continue
+            sn = np.frombuffer(b"".join(new["sig"]), dtype=np.uint64).reshape(len(new), H)
+            so = np.frombuffer(b"".join(old["sig"]), dtype=np.uint64).reshape(len(old), H)
+            agree = np.zeros((len(new), len(old)), dtype=np.uint16)
+            for h in range(H):
+                agree += sn[:, h][:, None] == so[:, h][None, :]
+            est = agree / H
+            ii, jj = np.nonzero(est >= threshold)
+            if len(ii):
+                out.append(pd.DataFrame({
+                    "doc_id": new["doc_id"].to_numpy()[ii],
+                    "matched_prior": old["doc_id"].to_numpy()[jj],
+                    "est_jaccard": est[ii, jj],
+                }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    from .relational import bucketed_group_reduce
+
+    cand = bucketed_group_reduce(both, ["band_id", "band_hash"], cross_matches).to_pandas()
+    if len(cand) == 0 or "doc_id" not in cand.columns:
+        return empty, new_rows
+    # best prior match per new doc (max est, then smallest prior id)
+    cand = cand.sort_values(
+        ["doc_id", "est_jaccard", "matched_prior"], ascending=[True, False, True],
+        kind="stable",
+    ).drop_duplicates("doc_id", keep="first")
+    cand["est_jaccard"] = _rd(cand["est_jaccard"].to_numpy(), 6)
+    return cand.reset_index(drop=True), new_rows

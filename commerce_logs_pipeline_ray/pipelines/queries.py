@@ -4449,6 +4449,34 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
 
 
+def q_minhash_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup: even-id docs build the LSH band state, odd-id
+    docs arrive as the 'new crawl' and match against it without re-reading
+    prior text (rows-only: MinHash randomness; planted-truth pytest)."""
+    from ..functions.dedup import minhash_dedup_against_state
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(par: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())),
+                                     pa.scalar(par, pa.int64())))
+
+        return fn
+
+    prior = docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True)
+    _, state = minhash_dedup_against_state(prior, None)
+    matches, _ = minhash_dedup_against_state(new, state, threshold=0.6)
+    if len(matches) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "matched_prior": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    out = matches.sort_values("doc_id", ignore_index=True)
+    return _i64(out, ["doc_id", "matched_prior"])
+
+
 def q_corpus_diff(sf_dir: str) -> pd.DataFrame:
     """Snapshot diff (data versioning): classify every doc across two
     corpus versions as unchanged / modified / removed / added.  v2 derives
@@ -9514,6 +9542,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_type_hour_grid,
         SQL_TYPE_HOUR_GRID,
         "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
+    ),
+    "minhash_incremental": QuerySpec(
+        q_minhash_incremental, None,
+        "new-batch near-dup vs persisted LSH band state (rows-only)",
     ),
     "corpus_diff": QuerySpec(
         q_corpus_diff,

@@ -189,3 +189,46 @@ def test_short_doc_grams_never_collide_with_clamped_long_grams():
     short2 = set(grams[starts[2]:starts[3]].tolist())
     assert len(short) == 1 and short == short2
     assert not (short & long_), "pad-sentinel gram collided with a real 3-gram"
+
+
+def test_minhash_incremental_against_state(ray_session):
+    """New batch matched against persisted band state: planted copies of
+    prior docs are caught (with the right prior id), fresh docs are not,
+    and re-ingesting the state's own docs under new ids matches too."""
+    import numpy as np
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.dedup import minhash_dedup_against_state
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+
+    def mktext(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    prior_docs = pd.DataFrame(
+        {"doc_id": [f"p{i}" for i in range(20)],
+         "text": [mktext(40) for _ in range(20)]}
+    )
+    # run 1: build state (no prior)
+    m0, state = minhash_dedup_against_state(rd.from_pandas(prior_docs), None)
+    assert len(m0) == 0
+
+    new_docs = pd.DataFrame(
+        {"doc_id": ["n0", "n1", "n2", "n3"],
+         "text": [prior_docs["text"][3],            # exact copy of p3
+                  prior_docs["text"][7] + " extra",  # near copy of p7
+                  mktext(40),                        # fresh
+                  mktext(40)]}                       # fresh
+    )
+    matches, new_state = minhash_dedup_against_state(
+        rd.from_pandas(new_docs), state, threshold=0.6)
+    got = dict(zip(matches["doc_id"], matches["matched_prior"]))
+    assert got.get("n0") == "p3"
+    assert got.get("n1") == "p7"
+    assert "n2" not in got and "n3" not in got
+    # exact copy estimates 1.0
+    assert float(matches.set_index("doc_id").loc["n0", "est_jaccard"]) == 1.0
+    # the returned band rows are appendable state (same schema as prior)
+    assert set(new_state.schema().names) == set(state.schema().names)
