@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "audio_fingerprint_dedup",
     "video_content_dedup",
     "temperature_resample",
+    "minhash_incremental",
     "events_by_type",
     "events_per_hour",
     "top_users_by_value",

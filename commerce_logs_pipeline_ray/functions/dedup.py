@@ -857,6 +857,11 @@ def minhash_dedup_against_state(
     def cross_matches(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         df = df.drop_duplicates(["band_id", "band_hash", "doc_id", "side"])
+        # vectorized prune first: only buckets holding BOTH sides can yield a
+        # cross match — in a mostly-unique corpus that's a tiny fraction, and
+        # the per-group Python loop below must never see the rest
+        sides = df.groupby(["band_id", "band_hash"], sort=False)["side"]
+        df = df[sides.transform("min") != sides.transform("max")]
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             new = g[g["side"] == 1]
             old = g[g["side"] == 0]
