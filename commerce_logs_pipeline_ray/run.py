@@ -103,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental cross-run state: gram sets persist here; later "
                          "runs cut every occurrence of a span already in the state")
 
+    nd = sub.add_parser(
+        "near-dedup",
+        help="match a new batch against the persisted LSH band state "
+             "(incremental near-dup); writes matches and appends state",
+    )
+    nd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    nd.add_argument("--output", required=True, help="matches parquet dir")
+    nd.add_argument("--state-dir", required=True, help="band-row state root")
+    nd.add_argument("--threshold", type=float, default=0.7)
+
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -277,6 +287,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "docs": tot, "docs_cut": docs_cut, "words_removed": removed,
                 "k": args.k, "output_dir": args.output,
+            }))
+            return 0
+
+        if args.cmd == "near-dedup":
+            import glob as _glob
+            import hashlib as _hashlib
+            import shutil as _shutil
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+            import ray.data as rd
+
+            from .functions.dedup import minhash_dedup_against_state
+
+            run_id = _hashlib.sha256(os.path.abspath(args.input).encode()).hexdigest()[:16]
+            prior_files = [
+                f for f in sorted(_glob.glob(os.path.join(args.state_dir, "run-*", "*.parquet")))
+                if f"run-{run_id}" not in f
+            ]
+            prior = rd.read_parquet(prior_files) if prior_files else None
+            ds = rd.read_parquet(args.input)
+            matches, new_rows = minhash_dedup_against_state(
+                ds, prior, threshold=args.threshold)
+            os.makedirs(args.output, exist_ok=True)
+            _pq.write_table(_pa.Table.from_pandas(matches, preserve_index=False),
+                            os.path.join(args.output, "matches.parquet"))
+            run_dir = os.path.join(args.state_dir, f"run-{run_id}")
+            _shutil.rmtree(run_dir, ignore_errors=True)
+            new_rows.write_parquet(run_dir)
+            print(json.dumps({
+                "docs_matched_prior": int(len(matches)),
+                "state_runs": len(set(os.path.dirname(f) for f in prior_files)) + 1,
+                "output": os.path.join(args.output, "matches.parquet"),
             }))
             return 0
 
