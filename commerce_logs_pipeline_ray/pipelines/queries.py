@@ -4437,16 +4437,49 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     payload — the canonical iterative token-pipeline job: per-round pair
     counts via packed-int64 bigram combiners → distributed top-1 → vectorized
     merge rewrite → per-round materialize (the checkpoint you want at scale).
-    Rows-only in the driver check (iterative rewrite isn't SQL-expressible);
-    verified in pytest against a pure-Python reference BPE on the same
-    corpus plus a decode-roundtrip invariant (``functions/bpe.py``)."""
+    Oracle: the INDEPENDENT driver-side incremental linked-list trainer
+    (``bpe_train_flat``) materialized as a Parquet artifact — two different
+    algorithms (per-round global recount vs lazy-heap incremental counts)
+    must emit the bit-identical merge table."""
     from ..functions.bpe import bpe_train
     from ..schema import VOCAB_SIZE
 
+    ensure_bpe_merges_parquet(sf_dir)
     ds = rd.read_parquet(
         ensure_derived_parquet(sf_dir), columns=["tokens"], override_num_blocks=8
     )
     return bpe_train(ds, num_merges=6, vocab_base=VOCAB_SIZE)
+
+
+def ensure_bpe_merges_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``bpe_merges``: the merge table computed by the
+    driver-side incremental trainer (`functions/bpe.py::bpe_train_flat`) on
+    the full derived corpus — an independent implementation of the same
+    public algorithm (Sennrich et al. 2016) the distributed trainer runs."""
+    import os as _os
+
+    src = ensure_derived_parquet(sf_dir)
+
+    def build() -> pa.Table:
+        from ..functions.bpe import bpe_train_flat
+        from ..functions.tokens import _flat_tokens
+        from ..schema import VOCAB_SIZE
+
+        t = pq.read_table(src, columns=["tokens"])
+        v, o = _flat_tokens(t)
+        b = o[0]
+        m = bpe_train_flat(v[b : o[-1]], o - b, 6, VOCAB_SIZE)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "bpe_merges.parquet"), build)
+
+
+SQL_BPE_MERGES = f"""
+SELECT CAST(merge_idx AS BIGINT) AS merge_idx, CAST("left" AS BIGINT) AS "left",
+       CAST("right" AS BIGINT) AS "right", CAST("count" AS BIGINT) AS "count",
+       CAST(new_id AS BIGINT) AS new_id
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/bpe_merges.parquet') ORDER BY merge_idx
+"""
 
 
 def q_minhash_incremental(sf_dir: str) -> pd.DataFrame:
@@ -4651,19 +4684,51 @@ ORDER BY strategy
 """
 
 
+def ensure_bpe_encoded_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``bpe_encode_stats``: per-sequence encoded lengths
+    ``(source, n_after)`` computed by the reference one-pass-per-rule kernel
+    (`merge_pair_np` in `merge_idx` order) — an independent implementation
+    the distributed linked-list priority encoder must match exactly."""
+    import os as _os
+
+    src = ensure_derived_parquet(sf_dir)
+
+    def build() -> pa.Table:
+        from ..functions.bpe import bpe_train_sampled, merge_pair_np
+        from ..functions.tokens import _flat_tokens
+        from ..schema import VOCAB_SIZE
+
+        merges = bpe_train_sampled(src, num_merges=512, vocab_base=VOCAB_SIZE)
+        t = pq.read_table(src, columns=["tokens", "source"])
+        v, o = _flat_tokens(t)
+        b = o[0]
+        v, o = v[b : o[-1]].copy(), (o - b).copy()
+        for r in merges.itertuples():
+            v, o = merge_pair_np(v, o, int(r.left), int(r.right), int(r.new_id))
+        return pa.table(
+            {"source": t["source"], "n_after": pa.array(np.diff(o), pa.int64())}
+        )
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "bpe_encoded.parquet"), build
+    )
+
+
 def q_bpe_encode_stats(sf_dir: str) -> pd.DataFrame:
-    """Tokenizer INFERENCE at scale: apply the trained merge table back to
-    the corpus (broadcast merges, one fused vectorized rewrite stage) and
-    report per-source token totals before/after — the compression the
-    learned vocab buys.  Rows-only (iterative merges aren't SQL); the
-    encode==training-rewrite and decode-roundtrip invariants are
-    pytest-gated."""
-    from ..functions.bpe import bpe_encode, bpe_train
+    """Tokenizer INFERENCE at scale: train a REALISTIC 512-merge vocab on a
+    deterministic bounded sample (driver-side incremental trainer — vocab is
+    a statistic, it never needs the full corpus), broadcast it, and apply it
+    to the whole corpus with the linked-list priority encoder (O(tokens) per
+    batch regardless of vocab size); report per-source token totals
+    before/after — the compression the learned vocab buys.  Oracle: the
+    reference pass-per-rule kernel's encoded lengths as a Parquet artifact
+    (independent algorithm, identical semantics)."""
+    from ..functions.bpe import bpe_encode, bpe_train_sampled
     from ..schema import VOCAB_SIZE
 
     src = ensure_derived_parquet(sf_dir)
-    train_ds = rd.read_parquet(src, columns=["tokens"], override_num_blocks=8)
-    merges = bpe_train(train_ds, num_merges=6, vocab_base=VOCAB_SIZE)
+    ensure_bpe_encoded_parquet(sf_dir)
+    merges = bpe_train_sampled(src, num_merges=512, vocab_base=VOCAB_SIZE)
     full = rd.read_parquet(src, columns=["tokens", "source"], override_num_blocks=8)
     encoded = bpe_encode(full, merges)
 
@@ -4685,6 +4750,16 @@ def q_bpe_encode_stats(sf_dir: str) -> pd.DataFrame:
     )
     out = before.merge(after, on="source").sort_values("source", ignore_index=True)
     return _i64(out, ["n_before", "n_after"])
+
+
+SQL_BPE_ENCODE_STATS = f"""
+WITH b AS (SELECT source, SUM(n_tok) AS nb
+           FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet') GROUP BY source),
+     a AS (SELECT source, SUM(n_after) AS na
+           FROM read_parquet('{ORACLE_ARTIFACT_DIR}/bpe_encoded.parquet') GROUP BY source)
+SELECT b.source, CAST(b.nb AS BIGINT) AS n_before, CAST(a.na AS BIGINT) AS n_after
+FROM b JOIN a USING (source) ORDER BY b.source
+"""
 
 
 def q_naive_bayes_langid(sf_dir: str) -> pd.DataFrame:
@@ -9562,12 +9637,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "length-bucketed batching padding waste vs arrival order (exact global rank)",
     ),
     "bpe_encode_stats": QuerySpec(
-        q_bpe_encode_stats, None,
-        "apply trained BPE merges back to the corpus; per-source compression (rows-only)",
+        q_bpe_encode_stats, SQL_BPE_ENCODE_STATS,
+        "512-merge sampled-train BPE vocab applied corpus-wide (linked-list priority encoder)",
     ),
     "bpe_merges": QuerySpec(
         q_bpe_merges,
-        None,
+        SQL_BPE_MERGES,
         "iterative distributed BPE merge training: pair-count → top-1 → rewrite rounds",
     ),
     "naive_bayes_langid": QuerySpec(
@@ -9979,3 +10054,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_simhash_parquet(sf_dir)
     ensure_media_parquet(sf_dir)
     ensure_curation_parquet(sf_dir)
+    ensure_bpe_merges_parquet(sf_dir)
+    ensure_bpe_encoded_parquet(sf_dir)

@@ -156,3 +156,84 @@ def test_bpe_encode_equals_training_rewrite_and_roundtrips(ray_session):
         assert bpe_decode(list(toks), merges) == orig[sid]
     # compression actually happened somewhere
     assert sum(len(x) for x in enc["tokens"]) < sum(len(s) for s in seqs)
+
+
+def test_bpe_train_flat_matches_distributed_reference():
+    """The driver-side incremental trainer (lazy heap + linked list) is
+    bit-identical to the per-round-recount reference on random corpora —
+    counts, tie-breaks and greedy rewrites all agree."""
+    from commerce_logs_pipeline_ray.functions.bpe import bpe_train_flat
+
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        seqs = [rng.integers(0, 5, size=rng.integers(0, 25)).tolist() for _ in range(12)]
+        k = int(rng.integers(1, 12))
+        want, _ = _ref_bpe(seqs, k, 500)
+        values, offsets = _flat(seqs)
+        got = bpe_train_flat(values, offsets, k, 500)
+        assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_encode_flat_512_merges_matches_pass_per_rule_kernel():
+    """The linked-list priority encoder == the reference pass-per-rule
+    kernel at a REALISTIC vocab size (512 merges), bit-exact, and decode
+    roundtrips through the deep merge hierarchy."""
+    from commerce_logs_pipeline_ray.functions.bpe import (
+        _rule_index, bpe_train_flat, encode_flat, merge_pair_np)
+
+    rng = np.random.default_rng(33)
+    seqs = [rng.integers(0, 40, size=rng.integers(1, 200)).tolist() for _ in range(400)]
+    values, offsets = _flat(seqs)
+    merges = bpe_train_flat(values, offsets, 512, 10_000)
+    assert len(merges) >= 400  # the vocab really is deep on this corpus
+
+    class _FakeRef:  # _rule_index keys its per-process cache by ObjectRef hex
+        def __init__(self, payload):
+            self._p = payload
+        def hex(self):
+            return "test-512"
+
+    import ray as _ray
+    payload = (merges["left"].to_numpy(np.int64), merges["right"].to_numpy(np.int64),
+               merges["new_id"].to_numpy(np.int64))
+    orig_get = _ray.get
+    _ray.get = lambda ref, *a, **k: ref._p if isinstance(ref, _FakeRef) else orig_get(ref, *a, **k)
+    try:
+        idx = _rule_index(_FakeRef(payload))
+    finally:
+        _ray.get = orig_get
+    got_v, got_o = encode_flat(values, offsets, idx)
+    ref_v, ref_o = values.copy(), offsets.copy()
+    for r in merges.itertuples():
+        ref_v, ref_o = merge_pair_np(ref_v, ref_o, int(r.left), int(r.right), int(r.new_id))
+    assert np.array_equal(got_v, ref_v) and np.array_equal(got_o, ref_o)
+    for i in (0, 57, 399):
+        assert bpe_decode(got_v[got_o[i]:got_o[i + 1]].tolist(), merges) == seqs[i]
+
+
+def test_bpe_encode_distributed_512_merges(ray_session):
+    """Distributed fast encode over a 512-merge sampled-train vocab equals
+    the reference kernel on the real derived corpus."""
+    from commerce_logs_pipeline_ray.functions.bpe import (
+        bpe_encode, bpe_train_sampled, merge_pair_np)
+    from commerce_logs_pipeline_ray.functions.tokens import _flat_tokens
+    from commerce_logs_pipeline_ray.pipelines.queries import ensure_derived_parquet
+    from commerce_logs_pipeline_ray.schema import VOCAB_SIZE
+
+    path = ensure_derived_parquet("/root/testdata/sf0.001")
+    merges = bpe_train_sampled(path, num_merges=512, vocab_base=VOCAB_SIZE)
+    assert len(merges) == 512
+    ds = rd.read_parquet(path, columns=["doc_id", "tokens"], override_num_blocks=4)
+    enc = bpe_encode(ds, merges).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    t = pa.parquet.read_table(path, columns=["doc_id", "tokens"])
+    v, o = _flat_tokens(t)
+    v, o = v[o[0]:o[-1]].copy(), (o - o[0]).copy()
+    for r in merges.itertuples():
+        v, o = merge_pair_np(v, o, int(r.left), int(r.right), int(r.new_id))
+    ref = pd.DataFrame({"doc_id": t["doc_id"].to_pylist(),
+                        "tokens": [v[o[i]:o[i + 1]].tolist() for i in range(len(o) - 1)]})
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert len(enc) == len(ref)
+    for a, b in zip(enc["tokens"], ref["tokens"]):
+        assert list(a) == list(b)
