@@ -266,19 +266,54 @@ def run_headline(num_cpus: int, sf: float) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def _committed_timings(sf: float, num_cpus: int) -> dict[str, float]:
+    """Last committed per-query timings (BENCH_QUERIES_LAST.json at repo
+    HEAD) for this (sf, num_cpus) — the noise reference."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_QUERIES_LAST.json")) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf and prev.get("num_cpus") == num_cpus:
+            return dict(prev.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def run_queries(sf_dir: str, sf: float, num_cpus: int
+                ) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query timings with outlier self-correction: any query measuring
+    >2× its committed time (or >2.0 s with no committed reference) re-runs
+    up to twice and reports the minimum — one noisy-neighbour window on this
+    shared box can no longer print a 13 s row for a 2 s query.  All samples
+    of every re-run query are returned so the correction is auditable."""
     from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
 
-    out = {}
+    committed = _committed_timings(sf, num_cpus)
+    out: dict[str, float] = {}
+    reruns: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        spec.fn(sf_dir)  # warm (worker imports, page cache)
+        spec.fn(sf_dir)  # warm (worker imports, page cache, /tmp artifacts)
         t0 = time.perf_counter()
         spec.fn(sf_dir)
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        t = round(time.perf_counter() - t0, 3)
+        base = committed.get(name)
+        limit = max(2.0 * base, 0.75) if base else 2.0
+        if t > limit:
+            samples = [t]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(sf_dir)
+                samples.append(round(time.perf_counter() - t0, 3))
+                if min(samples) <= limit:
+                    break
+            reruns[name] = samples
+            t = min(samples)
+        out[name] = t
+    return out, reruns
 
 
 def main() -> None:
@@ -299,7 +334,10 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     headline = run_headline(NUM_CPUS, sf)
-    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries(SF_DIR)
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        queries, reruns = {}, {}
+    else:
+        queries, reruns = run_queries(SF_DIR, sf, NUM_CPUS)
     ray.shutdown()
 
     # Full per-query timings go on an EARLIER stdout line + a sidecar file;
@@ -307,11 +345,13 @@ def main() -> None:
     # chars of output — BENCH_r02 had parsed:null because 122 query timings
     # pushed the final line past that window).
     if queries:
-        print(json.dumps({"metric": "bench_query_seconds", "queries": queries}))
+        print(json.dumps({"metric": "bench_query_seconds", "queries": queries,
+                          "reruns": reruns}))
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_QUERIES_LAST.json"), "w") as f:
-                json.dump({"sf": sf, "num_cpus": NUM_CPUS, "queries": queries}, f)
+                json.dump({"sf": sf, "num_cpus": NUM_CPUS, "queries": queries,
+                           "reruns": reruns}, f)
         except OSError:
             pass
 
@@ -327,6 +367,7 @@ def main() -> None:
         "tokens_per_s": headline["tokens_per_s"],
         "queries_n": len(queries),
         "queries_total_s": round(sum(queries.values()), 3),
+        "queries_rerun_n": len(reruns),
     }
     # keep the slowest queries inline, as many as fit the tail window
     slowest = sorted(queries.items(), key=lambda kv: -kv[1])

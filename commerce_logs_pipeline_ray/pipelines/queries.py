@@ -4625,45 +4625,115 @@ def q_compression_quality(sf_dir: str) -> pd.DataFrame:
 def q_padding_waste(sf_dir: str) -> pd.DataFrame:
     """Length-bucketed batching: padding tokens wasted per strategy when
     sequences batch 64 at a time padded to the batch max — arrival(id)
-    order vs length-sorted order (the standard bucketing trick).  The
-    distributed piece is exact global ROW_NUMBER (range-bucket rank pass);
-    per-batch (count, max, sum) fold in a bucketed reduce; one tiny final
-    sum per strategy."""
-    from ..functions.rank import global_row_number
+    order vs length-sorted order (the standard bucketing trick).
+
+    BOTH strategies share one machinery pass each: ONE boundary sample
+    (both sort keys from the same sampled rows), ONE counting pass (each
+    row histogrammed under both strategies' range buckets), and ONE grouped
+    exchange on (strategy, range_bucket) — each group sorts locally, assigns
+    exact global ranks from the broadcast prefix offsets, folds its
+    COMPLETE 64-row batches to a single collapsed row and emits raw
+    partials only for the ≤2 batches straddling its edges, so the driver
+    combine sees O(strategies × buckets) rows at any corpus size."""
     from ..functions.relational import bucketed_group_reduce
 
     B = 64
     src = ensure_derived_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["doc_id", "n_tok"], override_num_blocks=8)
 
-    def waste(order_key: str, strategy: str) -> pd.DataFrame:
-        ds = rd.read_parquet(src, columns=["doc_id", "n_tok"], override_num_blocks=8)
-        tiebreak = ["doc_id"] if order_key != "doc_id" else []
-        ranked, _total = global_row_number(ds, order_key, tiebreak)
+    # 1. ONE deterministic sample pass → range boundaries for both keys
+    def pick(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        idx = np.unique(np.linspace(0, n - 1, min(24, n)).astype(np.int64))
+        return t.take(pa.array(idx))
 
-        def tag(t: pa.Table) -> pa.Table:
-            b = (pc.cast(t["rn"], pa.int64()).to_numpy(zero_copy_only=False) - 1) // B
-            return pa.table({"b": pa.array(b, pa.int64()),
-                             "n_tok": pc.cast(t["n_tok"], pa.int64())})
+    sample = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
 
-        def fold(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("b", as_index=False).agg(
+    def cuts(vals: np.ndarray, nb: int) -> np.ndarray:
+        vals = np.sort(vals)
+        if len(vals) == 0 or nb <= 1:
+            return vals[:0]
+        return np.unique(vals[(np.arange(1, nb) * len(vals)) // nb])
+
+    nb = 32
+    bounds = {0: cuts(sample["doc_id"].to_numpy(), nb),
+              1: cuts(sample["n_tok"].to_numpy().astype(np.int64), nb)}
+
+    # 2. tag every row under BOTH strategies (strat 0 = by_id, 1 = by_length)
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.cast(t["n_tok"], pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = np.searchsorted(bounds[0], ids, side="right").astype(np.int64)
+        b1 = np.searchsorted(bounds[1], toks, side="right").astype(np.int64)
+        n = len(ids)
+        return pa.table({
+            "strat": pa.array(np.repeat(np.array([0, 1], np.int64), n)),
+            "bucket": pa.array(np.concatenate([b0, b1])),
+            "doc_id": pa.array(np.concatenate([ids, ids])),
+            "n_tok": pa.array(np.concatenate([toks, toks]), pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # 3. ONE counting pass → exact per-(strategy, bucket) prefix offsets
+    def count_partial(t: pa.Table) -> pa.Table:
+        key = t["strat"].to_numpy(zero_copy_only=False) * (nb + 1) + \
+            t["bucket"].to_numpy(zero_copy_only=False)
+        ids, cnts = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(ids, pa.int64()), "n": pa.array(cnts, pa.int64())})
+
+    counts = (
+        tagged.select_columns(["strat", "bucket"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas().groupby("k")["n"].sum().sort_index()
+    )
+    offsets: dict[int, int] = {}
+    for strat in (0, 1):
+        sel = counts[(counts.index >= strat * (nb + 1)) & (counts.index < (strat + 1) * (nb + 1))]
+        for k, o in zip(sel.index, sel.cumsum() - sel):
+            offsets[int(k)] = int(o)
+
+    # 4. ONE grouped exchange; per (strat, bucket): local sort → exact global
+    # ranks → fold complete batches, emit straddling partials raw
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (strat, bucket), g in df.groupby(["strat", "bucket"], sort=False):
+            off = offsets[int(strat) * (nb + 1) + int(bucket)]
+            g = g.sort_values(
+                "doc_id" if strat == 0 else ["n_tok", "doc_id"], kind="stable")
+            toks = g["n_tok"].to_numpy()
+            b = (off + np.arange(len(g), dtype=np.int64)) // B
+            agg = pd.DataFrame({"b": b, "n_tok": toks}).groupby("b", as_index=False).agg(
                 c=("n_tok", "size"), m=("n_tok", "max"), t=("n_tok", "sum"))
-            return g
+            complete = (agg["b"] * B >= off) & ((agg["b"] + 1) * B <= off + len(g))
+            comp, inc = agg[complete], agg[~complete]
+            rows = pd.DataFrame({
+                "strat": int(strat), "b": inc["b"], "c": inc["c"], "m": inc["m"],
+                "t": inc["t"], "nb": 0, "pad": 0})
+            collapsed = pd.DataFrame({
+                "strat": [int(strat)], "b": [-1], "c": [int(comp["c"].sum())],
+                "m": [0], "t": [0], "nb": [len(comp)],
+                "pad": [int((comp["c"] * comp["m"] - comp["t"]).sum())]})
+            outs.append(pd.concat([rows, collapsed], ignore_index=True))
+        return pd.concat(outs, ignore_index=True)
 
-        per_batch = bucketed_group_reduce(
-            ranked.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
-            ["b"], fold,
-        ).to_pandas()
-        return pd.DataFrame(
-            {"strategy": [strategy],
-             "n_batches": [int(per_batch["b"].nunique())],
-             "n_seqs": [int(per_batch["c"].sum())],
-             "pad_tokens": [int((per_batch["c"] * per_batch["m"] - per_batch["t"]).sum())]}
-        )
+    per = bucketed_group_reduce(tagged, ["strat", "bucket"], fold).to_pandas()
 
-    out = pd.concat(
-        [waste("doc_id", "by_id"), waste("n_tok", "by_length")], ignore_index=True
-    ).sort_values("strategy", ignore_index=True)
+    rows = []
+    for strat, name in ((0, "by_id"), (1, "by_length")):
+        d = per[per["strat"] == strat]
+        comp, inc = d[d["b"] < 0], d[d["b"] >= 0]
+        n_batches, n_seqs = int(comp["nb"].sum()), int(comp["c"].sum())
+        pad = int(comp["pad"].sum())
+        if len(inc):
+            g = inc.groupby("b").agg(c=("c", "sum"), m=("m", "max"), t=("t", "sum"))
+            n_batches += len(g)
+            n_seqs += int(g["c"].sum())
+            pad += int((g["c"] * g["m"] - g["t"]).sum())
+        rows.append((name, n_batches, n_seqs, pad))
+    out = pd.DataFrame(rows, columns=["strategy", "n_batches", "n_seqs", "pad_tokens"])
     return _i64(out, ["n_batches", "n_seqs", "pad_tokens"])
 
 
