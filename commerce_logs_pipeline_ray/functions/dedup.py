@@ -32,6 +32,11 @@ from ray.data import Dataset
 from .hashing import fnv1a64, fnv1a64_single
 from .rounding import round_like_duckdb as _rd
 
+# max tile edge for hot-bucket new×prior signature comparisons in
+# minhash_dedup_against_state: peak per-tile memory is
+# _CROSS_TILE² × 2 bytes (uint16 agreement counts) ≈ 2 MB
+_CROSS_TILE = 1024
+
 MERSENNE_61 = (1 << 61) - 1
 
 # Sentinel "word hash" for pad positions in sub-k-word docs (an arbitrary
@@ -57,7 +62,7 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
 
 
 def gram_hash_stream(
-    texts: list[str], k: int, gram_mix: np.ndarray
+    texts: list[str], k: int, gram_mix: np.ndarray, pad_short: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat k-gram hash stream + per-doc offsets, vectorized.
 
@@ -65,6 +70,12 @@ def gram_hash_stream(
     built by mixing the word hashes with shifted-array arithmetic (no
     per-gram string construction).  Shared by :class:`MinHasher` and
     :class:`ShingleExploder`.
+
+    ``pad_short`` controls docs shorter than k words: True (the MinHash /
+    contamination convention) emits ONE pad-sentinel gram per short doc so
+    every doc has a shingle set; False (the substring-dedup convention,
+    matching SQL ``generate_series(1, len(w) - k + 1)``) emits ZERO grams —
+    a <k-word doc has no k-word window to deduplicate.
     """
     words_per_doc = [(s or "").split(" ") for s in texts]
     counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
@@ -77,7 +88,7 @@ def gram_hash_stream(
     # pad sentinel (matching word_shingles' one-whole-doc-gram semantics).
     # Padding — NOT clamp-repeating the last word — so a 2-word doc "a b"
     # can never hash-collide with a genuine "a b b" 3-gram in a longer doc.
-    gram_counts = np.maximum(counts - k + 1, 1)
+    gram_counts = np.maximum(counts - k + 1, 1 if pad_short else 0)
     g_starts = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(gram_counts, out=g_starts[1:])
     total = int(g_starts[-1])
@@ -855,7 +866,7 @@ def minhash_dedup_against_state(
     H = num_hashes
 
     def cross_matches(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        out: list[pd.DataFrame] = []
         df = df.drop_duplicates(["band_id", "band_hash", "doc_id", "side"])
         # vectorized prune first: only buckets holding BOTH sides can yield a
         # cross match — in a mostly-unique corpus that's a tiny fraction, and
@@ -869,17 +880,29 @@ def minhash_dedup_against_state(
                 continue
             sn = np.frombuffer(b"".join(new["sig"]), dtype=np.uint64).reshape(len(new), H)
             so = np.frombuffer(b"".join(old["sig"]), dtype=np.uint64).reshape(len(old), H)
-            agree = np.zeros((len(new), len(old)), dtype=np.uint16)
-            for h in range(H):
-                agree += sn[:, h][:, None] == so[:, h][None, :]
-            est = agree / H
-            ii, jj = np.nonzero(est >= threshold)
-            if len(ii):
-                out.append(pd.DataFrame({
-                    "doc_id": new["doc_id"].to_numpy()[ii],
-                    "matched_prior": old["doc_id"].to_numpy()[jj],
-                    "est_jaccard": est[ii, jj],
-                }))
+            nid = new["doc_id"].to_numpy()
+            oid = old["doc_id"].to_numpy()
+            # tile the new×prior agreement matrix: a band-hash hot on BOTH
+            # sides (degenerate all-identical corpus) must not build an m×n
+            # matrix in one task — peak memory stays ≤ _CROSS_TILE² cells
+            # per tile regardless of bucket size (same block-pair trick as
+            # skew_join / embedding_neardup_exact)
+            side = _CROSS_TILE
+            for i0 in range(0, len(sn), side):
+                sn_t = sn[i0 : i0 + side]
+                for j0 in range(0, len(so), side):
+                    so_t = so[j0 : j0 + side]
+                    agree = np.zeros((len(sn_t), len(so_t)), dtype=np.uint16)
+                    for h in range(H):
+                        agree += sn_t[:, h][:, None] == so_t[:, h][None, :]
+                    est = agree / H
+                    ii, jj = np.nonzero(est >= threshold)
+                    if len(ii):
+                        out.append(pd.DataFrame({
+                            "doc_id": nid[i0 + ii],
+                            "matched_prior": oid[j0 + jj],
+                            "est_jaccard": est[ii, jj],
+                        }))
         if not out:
             return empty
         return pd.concat(out, ignore_index=True)

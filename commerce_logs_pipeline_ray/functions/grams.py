@@ -204,7 +204,7 @@ def cross_doc_dup_windows(
                  id_col: pa.array([], type=pa.int64()),
                  "cnt": pa.array([], type=pa.int64())}
             )
-        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix, pad_short=False)
         totals = np.diff(g_starts)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(n), totals)
@@ -298,7 +298,7 @@ def _gram_count_parts(docs: Dataset, k: int, mix: np.ndarray) -> Dataset:
         if len(t) == 0:
             return pa.table({"g": pa.array([], type=pa.uint64()),
                              "cnt": pa.array([], type=pa.int64())})
-        grams, _ = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        grams, _ = gram_hash_stream(t["text"].to_pylist(), k, mix, pad_short=False)
         g, c = np.unique(grams, return_counts=True)
         return pa.table({"g": pa.array(g, type=pa.uint64()),
                          "cnt": pa.array(c.astype(np.int64))})
@@ -412,7 +412,7 @@ def _substring_cut_list(
             return pa.table({"g": pa.array([], type=pa.uint64()),
                              id_col: pa.array([], type=pa.int64()),
                              "pos": pa.array([], type=pa.int64())})
-        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix)
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix, pad_short=False)
         totals = np.diff(g_starts)
         doc_idx = np.repeat(np.arange(len(t)), totals)
         pos = np.arange(len(grams)) - np.repeat(g_starts[:-1], totals) + 1  # 1-based

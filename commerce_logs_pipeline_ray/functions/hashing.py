@@ -156,10 +156,13 @@ def bucket_indices(t: "pa.Table", keys: list[str], num_buckets: int) -> np.ndarr
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
-# second-basis seed for the 128-bit content fingerprint: a collision must
-# happen in BOTH independent FNV streams simultaneously (~2^-128 per pair,
-# birthday-safe past 10^12 documents — md5-grade for dedup purposes at a
-# fraction of the cost)
+# second-basis seed for the 128-bit content fingerprint.  Both lanes run
+# FNV-1a with the same prime over the same bytes (the byte gather dominates
+# cost, a second multiply chain would not), differing only in offset basis,
+# so the raw streams are CORRELATED — lane 2 therefore gets an independent
+# mix64 finalizer (distinct multiply chain) to decorrelate the pair.  The
+# joint collision bound is a heuristic far stronger than a single 64-bit
+# FNV and ample for non-adversarial dedup; it is NOT a proven 2^-128.
 FNV_OFFSET_64B = np.uint64(0xCBF29CE484222325 ^ 0x9E3779B97F4A7C15)
 
 
@@ -196,7 +199,7 @@ def content_fp128(strings) -> pa.Array:
             h2[active] = a2
     raw = np.empty((n, 2), dtype=np.uint64)
     raw[:, 0] = h1
-    raw[:, 1] = h2
+    raw[:, 1] = mix64(h2)  # bijective, so equality semantics are unchanged
     return pa.Array.from_buffers(
         pa.binary(16), n, [None, pa.py_buffer(raw.tobytes())]
     )

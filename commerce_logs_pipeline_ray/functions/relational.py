@@ -616,32 +616,37 @@ def skew_join(
     hot on the left but small on the right join against the broadcast of
     the right side's MATCHING rows only (a per-batch pandas m:n merge —
     true inner semantics under duplicate right keys, unlike the
-    lookup-join broadcast path); (3) keys hot on BOTH sides take
-    pair-explosion control: each side's hot rows are re-blocked to
-    ~``tile_rows`` rows and every (left block, right block) pair joins as
-    its own Ray task — the fragment-replicate tiling; per-task memory is
-    two blocks, never Σ(hot rows), and the O(|L_k|·|R_k|) output is spread
-    over A×B independent tiles; (4) the cold remainder takes the normal
-    hash-partitioned exchange with all hot keys REMOVED from both sides,
-    so no partition ever receives a hot key's row flood.  Result is the
+    lookup-join broadcast path); (3) every key hot on the RIGHT — whether
+    or not the left side is also hot — takes pair-explosion control: each
+    side's matching rows are re-blocked to ~``tile_rows`` rows and every
+    (left block, right block) pair joins as its own Ray task — the
+    fragment-replicate tiling; per-task memory is two blocks, never
+    Σ(hot rows), and the O(|L_k|·|R_k|) output is spread over A×B
+    independent tiles (a right-hot/left-cold key degenerates to a 1×B
+    strip); (4) the cold remainder takes the normal hash-partitioned
+    exchange with every hot key (either side) REMOVED from both sides, so
+    no partition ever receives a hot key's row flood.  Result is the
     union; the row multiset equals ``hash_join``'s for any split, so
     hot-key detection misses degrade throughput, never results.
     """
+    import ray
+
     rkey = right_on or on
     if hot_keys is None:
         hot_df = detect_hot_keys(left, on, hot_threshold, sample_mod)
         hot_keys = hot_df[on].tolist()
-    if not hot_keys:
+    # keys heavy on the RIGHT can be neither broadcast nor hash-partitioned
+    # (one partition would take the full right-side row flood) — tile them,
+    # even when the left side is cold for that key
+    rh = detect_hot_keys(right, rkey, right_hot_threshold or hot_threshold, sample_mod)
+    rh_keys = set(rh[rkey].tolist())
+    if not hot_keys and not rh_keys:
         return hash_join(left, right, on, right_on, "inner", num_partitions)
 
-    import ray
-
     right = right.materialize()
-    # keys heavy on the right TOO cannot be broadcast — route them to tiles
-    rh = detect_hot_keys(right, rkey, right_hot_threshold or hot_threshold, sample_mod)
-    both_hot = sorted(set(hot_keys) & set(rh[rkey].tolist()))
-    bcast_hot = [k for k in hot_keys if k not in set(both_hot)]
-    hot_arr = pa.array(hot_keys)
+    both_hot = sorted(rh_keys)  # the tiling set: every right-hot key
+    bcast_hot = [k for k in hot_keys if k not in rh_keys]
+    hot_arr = pa.array(sorted(set(hot_keys) | rh_keys))
 
     # canonical output column order shared by all paths:
     # left columns, then right columns minus the (renamed-away) join key

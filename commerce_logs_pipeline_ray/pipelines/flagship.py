@@ -600,6 +600,23 @@ def run_flagship(
         os.makedirs(uagg_dir, exist_ok=True)
 
         pending_units = [u for u in units if u["unit_id"] not in done]
+        # reconcile on-disk unit outputs against THIS plan: an interrupted
+        # attempt under a different unit packing (unit_target_bytes is
+        # non-semantic, so the lineage is unchanged) leaves unit dirs whose
+        # ids are neither in `done` nor in this plan's pending set — they
+        # must not survive to double-count in recursive routed globs
+        plan_ids = {u["unit_id"] for u in units}
+        for d in glob.glob(
+            os.path.join(
+                cfg.output_dir, "routed", "*", f"shard={shard_id:05d}", "**", "unit=*"
+            ),
+            recursive=True,
+        ):
+            if os.path.basename(d).split("=", 1)[1] not in plan_ids:
+                shutil.rmtree(d, ignore_errors=True)
+        for p in glob.glob(os.path.join(uagg_dir, "unit-*.parquet")):
+            if os.path.basename(p)[len("unit-"):-len(".parquet")] not in plan_ids:
+                os.remove(p)
         # wipe PENDING units' previous partial output (an interrupted attempt
         # may have used different batch boundaries — non-semantic config — so
         # its file digests need not match this run's; completed units are

@@ -43,7 +43,13 @@ def plan_units(
         acc_rows = 0
         for rg in range(n_rg):
             g = meta.row_group(rg)
-            acc_bytes += g.total_byte_size
+            # COMPRESSED bytes (sum of column-chunk compressed sizes):
+            # RowGroupMetaData.total_byte_size is the UNCOMPRESSED size,
+            # which would under-fill units and misstate the manifest's
+            # bytes_read/bytes_skipped resume metrics
+            acc_bytes += sum(
+                g.column(ci).total_compressed_size for ci in range(g.num_columns)
+            )
             acc_rows += g.num_rows
             last = rg == n_rg - 1
             if acc_bytes >= target_bytes or last:

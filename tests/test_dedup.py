@@ -232,3 +232,32 @@ def test_minhash_incremental_against_state(ray_session):
     assert float(matches.set_index("doc_id").loc["n0", "est_jaccard"]) == 1.0
     # the returned band rows are appendable state (same schema as prior)
     assert set(new_state.schema().names) == set(state.schema().names)
+
+
+def test_minhash_incremental_hot_bucket_tiled(ray_session, monkeypatch):
+    """Degenerate all-identical corpus: every band bucket is hot on BOTH
+    sides.  With the tile edge forced tiny the agreement matrix is computed
+    in many blocks — results must equal the single-tile path: every new doc
+    matches the smallest prior id at est 1.0, with bounded per-tile memory."""
+    import ray.data as rd
+
+    import commerce_logs_pipeline_ray.functions.dedup as dd
+
+    text = "the same exact document body repeated everywhere in the corpus"
+    prior = pd.DataFrame({"doc_id": [f"p{i:02d}" for i in range(12)],
+                          "text": [text] * 12})
+    new = pd.DataFrame({"doc_id": [f"n{i:02d}" for i in range(9)],
+                        "text": [text] * 9})
+    _, state = dd.minhash_dedup_against_state(rd.from_pandas(prior), None)
+
+    monkeypatch.setattr(dd, "_CROSS_TILE", 4)  # 12×9 bucket → 3×3 tile grid
+    tiled, _ = dd.minhash_dedup_against_state(rd.from_pandas(new), state, threshold=0.6)
+    monkeypatch.setattr(dd, "_CROSS_TILE", 1024)
+    whole, _ = dd.minhash_dedup_against_state(rd.from_pandas(new), state, threshold=0.6)
+
+    assert len(tiled) == 9
+    assert (tiled["matched_prior"] == "p00").all()  # smallest prior id wins ties
+    assert (tiled["est_jaccard"] == 1.0).all()
+    pd.testing.assert_frame_equal(
+        tiled.sort_values("doc_id", ignore_index=True),
+        whole.sort_values("doc_id", ignore_index=True))

@@ -322,3 +322,36 @@ def test_incremental_prior_dataset_path_equals_array_path(ray_session):
     )
     pd.testing.assert_frame_equal(via_array, via_ds)
     assert via_ds.set_index("doc_id").loc[10, "n_removed_words"] == 6
+
+
+def test_substring_family_short_docs_emit_zero_grams(ray_session):
+    """ADVICE regression: two identical <k-word docs must NOT count as
+    duplicated windows on the Ray side — the SQL oracle's
+    generate_series(1, len(w)-k+1) emits zero k-grams for them.  The padded
+    single-gram convention remains for the MinHash/contamination family."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.dedup import gram_hash_stream
+    from commerce_logs_pipeline_ray.functions.grams import (
+        _gram_mix, cross_doc_dup_windows, substring_dedup_cuts)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["tiny dup doc", "tiny dup doc",                  # 3 words each
+                 "one two three four five six seven",             # unique long
+                 "one two three four five six seven"],            # dup long
+    })
+    ds = rd.from_pandas(docs)
+    win = cross_doc_dup_windows(ds, k=5)
+    assert set(win["doc_id"]) == {3, 4}  # short dups invisible at k=5
+    cuts = substring_dedup_cuts(ds, k=5)
+    assert set(cuts["doc_id"]) == {4}    # only the later long dup is cut
+
+    # kernel level: pad_short=False emits zero grams for the short docs
+    mix = _gram_mix(5, 42)
+    g, off = gram_hash_stream(list(docs["text"]), 5, mix, pad_short=False)
+    assert np.diff(off).tolist() == [0, 0, 3, 3]
+    g2, off2 = gram_hash_stream(list(docs["text"]), 5, mix)  # padded default
+    assert np.diff(off2).tolist() == [1, 1, 3, 3]

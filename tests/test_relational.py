@@ -176,3 +176,36 @@ def test_bloom_anti_join_exact(ray_session):
     want = big[~big["k"].isin(set(small["rk"]))].sort_values("v", ignore_index=True)
     assert list(got.columns) == ["k", "v"]
     pd.testing.assert_frame_equal(got.astype("int64"), want.reset_index(drop=True).astype("int64"))
+
+
+def test_skew_join_right_hot_only_key_tiles(ray_session):
+    """A key hot ONLY on the right (heavy right rows, cold left) must not
+    ride the hash-partitioned cold path — one partition would take the full
+    right-side row flood.  It tiles (a 1×B strip), and the row multiset
+    still equals the plain merge."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import skew_join
+
+    rng = np.random.default_rng(17)
+    # key 9: only 5 left rows but 3000 right rows; other keys cold both sides
+    lk = np.concatenate([np.full(5, 9), rng.integers(100, 150, 2000)])
+    rk = np.concatenate([np.full(3000, 9), np.arange(100, 150)])
+    left = pd.DataFrame({"k": lk, "x": np.arange(len(lk))})
+    right = pd.DataFrame({"rk": rk, "payload": np.arange(len(rk)) * 10})
+
+    got = (
+        skew_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk",
+            hot_threshold=500, sample_mod=1,        # exact detection: left has NO hot key
+            right_hot_threshold=1000, tile_rows=800,  # right key 9 → ≥4 tiles
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "x", "payload"]]
+        .sort_values(["k", "x", "payload"], ignore_index=True)
+    )
+    assert len(want) == 5 * 3000 + 2000 * 1
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
