@@ -4482,12 +4482,101 @@ FROM read_parquet('{ORACLE_ARTIFACT_DIR}/bpe_merges.parquet') ORDER BY merge_idx
 """
 
 
+def ensure_minhash_incremental_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``minhash_incremental``: the full expected match
+    set re-derived by an INDEPENDENT per-doc reference implementation —
+    scalar FNV word hashes, per-doc gram/signature construction (not the
+    flat-stream ``np.minimum.reduceat`` kernel), dict-bucketed greedy band
+    matching (not the distributed side-tagged co-group).  MinHash is
+    seed-deterministic, so the two compositions must agree row-for-row."""
+    import os as _os
+
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from ..functions.dedup import _PAD_WORD_HASH, MERSENNE_61, _hash_params
+        from ..functions.hashing import fnv1a64_single
+        from ..functions.rounding import round_like_duckdb
+
+        H, bands, k, seed, thr = 64, 16, 3, 42, 0.6
+        rpb = H // bands
+        a, b = _hash_params(H, seed)
+        mix = np.random.default_rng(seed + 1).integers(1, 1 << 62, size=k, dtype=np.uint64)
+        M = np.uint64(MERSENNE_61)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = [int(x) for x in t["doc_id"].to_pylist()]
+        sigs: dict[int, np.ndarray] = {}
+        bkeys: dict[int, list[int]] = {}
+        for did, s in zip(ids, t["text"].to_pylist()):
+            wh = np.array([fnv1a64_single(w) for w in (s or "").split(" ")], dtype=np.uint64)
+            n = len(wh)
+            with np.errstate(over="ignore"):
+                if n >= k:
+                    grams = np.zeros(n - k + 1, dtype=np.uint64)
+                    for j in range(k):
+                        grams += mix[j] * wh[j : j + len(grams)]
+                else:
+                    padded = np.concatenate([wh, np.full(k - n, _PAD_WORD_HASH, np.uint64)])
+                    grams = np.array([np.sum(mix * padded, dtype=np.uint64)])
+                sig = ((grams[:, None] * a + b) % M).min(axis=0)  # 2^64-wrap then mod, as spec'd
+            sigs[did] = sig
+            keys = []
+            for band in range(bands):
+                h = 0xCBF29CE484222325
+                for j in range(rpb):
+                    h = ((h ^ int(sig[band * rpb + j])) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+                keys.append(h)
+            bkeys[did] = keys
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for d in ids:
+            if d % 2 == 0:
+                for band, h in enumerate(bkeys[d]):
+                    buckets[(band, h)].append(d)
+        rows = []
+        for d in ids:
+            if d % 2 == 0:
+                continue
+            cands: set[int] = set()
+            for band, h in enumerate(bkeys[d]):
+                cands.update(buckets.get((band, h), ()))
+            best = None
+            for c in sorted(cands):
+                est = float(np.count_nonzero(sigs[d] == sigs[c])) / H
+                if est >= thr and (best is None or est > best[1]):
+                    best = (c, est)
+            if best is not None:
+                rows.append((d, best[0], best[1]))
+        rows.sort()
+        df = pd.DataFrame(rows, columns=["doc_id", "matched_prior", "est_jaccard"])
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["matched_prior"] = df["matched_prior"].astype("int64")
+        df["est_jaccard"] = round_like_duckdb(
+            df["est_jaccard"].to_numpy(dtype=np.float64), 6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "minhash_incremental_ref.parquet"), build
+    )
+
+
+SQL_MINHASH_INCREMENTAL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(matched_prior AS BIGINT) AS matched_prior, est_jaccard
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/minhash_incremental_ref.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_minhash_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental near-dup: even-id docs build the LSH band state, odd-id
     docs arrive as the 'new crawl' and match against it without re-reading
-    prior text (rows-only: MinHash randomness; planted-truth pytest)."""
+    prior text.  Oracle: the independent per-doc reference derivation
+    (``ensure_minhash_incremental_parquet``) — MinHash is seed-deterministic,
+    so the distributed co-group and the scalar greedy reference must emit
+    identical match sets."""
     from ..functions.dedup import minhash_dedup_against_state
 
+    ensure_minhash_incremental_parquet(sf_dir)
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def half(par: int):
@@ -4592,14 +4681,54 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY status ORDER BY sta
 """
 
 
+def ensure_zlib_sizes_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``compression_quality``: per-doc zlib sizes from
+    a straight driver-side loop.  SQL cannot deflate, but deflate is
+    deterministic stdlib — what the oracle then CHECKS end-to-end is the
+    distributed routing, per-source aggregation and the integer
+    cross-multiply flag logic against DuckDB's GROUP BY."""
+    import os as _os
+    import zlib as _zlib
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        raw, comp = [], []
+        for s in t["text"].to_pylist():
+            b = (s or "").encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(_zlib.compress(b, 6)))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+        })
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "zlib_sizes.parquet"), build)
+
+
+SQL_COMPRESSION_QUALITY = f"""
+WITH z AS (SELECT * FROM read_parquet('{ORACLE_ARTIFACT_DIR}/zlib_sizes.parquet'))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(z.raw_bytes) AS BIGINT) AS raw_bytes,
+       CAST(SUM(z.compressed_bytes) AS BIGINT) AS compressed_bytes,
+       CAST(SUM(CASE WHEN z.compressed_bytes * 100 < z.raw_bytes * 45
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM documents d JOIN z USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def q_compression_quality(sf_dir: str) -> pd.DataFrame:
     """Entropy quality proxy (Gopher/C4-family cleaning stack): per-source
     zlib compression totals and docs flagged as boilerplate-repetitive
     (compressed*100 < raw*45 — integer cross-multiply, no float boundary).
-    Rows-only: SQL has no deflate; the kernel is pytest-gated on planted
-    repetitive vs high-entropy docs."""
+    Oracle: per-doc zlib sizes ride a Parquet artifact (deflate is
+    deterministic stdlib); DuckDB replays the per-source aggregation and
+    flag logic."""
     from ..functions.text import compression_ratio_batch
 
+    ensure_zlib_sizes_parquet(sf_dir)
     ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -9689,8 +9818,8 @@ REGISTRY: dict[str, QuerySpec] = {
         "dense dimension-grid fill: cross join + left join coalesce over one fact agg",
     ),
     "minhash_incremental": QuerySpec(
-        q_minhash_incremental, None,
-        "new-batch near-dup vs persisted LSH band state (rows-only)",
+        q_minhash_incremental, SQL_MINHASH_INCREMENTAL,
+        "new-batch near-dup vs persisted LSH band state (independent-reference oracle)",
     ),
     "corpus_diff": QuerySpec(
         q_corpus_diff,
@@ -9698,8 +9827,8 @@ REGISTRY: dict[str, QuerySpec] = {
         "snapshot diff: unchanged/modified/removed/added via fp combiners + one doc_id exchange",
     ),
     "compression_quality": QuerySpec(
-        q_compression_quality, None,
-        "zlib entropy quality proxy per source (rows-only: SQL has no deflate)",
+        q_compression_quality, SQL_COMPRESSION_QUALITY,
+        "zlib entropy quality proxy per source (per-doc sizes artifact, SQL aggregation)",
     ),
     "padding_waste": QuerySpec(
         q_padding_waste,
@@ -10126,3 +10255,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_curation_parquet(sf_dir)
     ensure_bpe_merges_parquet(sf_dir)
     ensure_bpe_encoded_parquet(sf_dir)
+    ensure_zlib_sizes_parquet(sf_dir)
+    ensure_minhash_incremental_parquet(sf_dir)
