@@ -501,3 +501,191 @@ def substring_dedup_rewrite(
         return pa.table(cols)
 
     return docs.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """EXACT n-gram-set Jaccard near-dup pairs (the brief's third dedup
+    family next to MinHash-estimated and SimHash-banded): every doc pair
+    whose distinct-word-k-gram sets satisfy |A∩B| / |A∪B| >= threshold.
+
+    Grams with document frequency > ``max_df`` are excluded from BOTH the
+    intersections and the set sizes (boilerplate grams carry no
+    discriminative signal and would otherwise make pair generation
+    Σ C(df,2) on stop-gram buckets — the standard df-cap of exact all-pairs
+    similarity search, e.g. Bayardo et al. WWW'07 prefix filtering).
+
+    Distributed shape, everything collected is OUTPUT-bounded:
+    1. per-batch distinct ``(gram_hash, doc)`` combiner rows — ONE gram
+       exchange puts every gram's full posting in one bucket, so df is
+       exact in-bucket; each bucket emits pair-intersection partials and
+       per-doc filtered-size partials;
+    2. pair partials reduce on ``(a, b)`` (bounded by candidate pairs);
+    3. size partials reduce on ``doc``, then only CANDIDATE docs' sizes
+       (broadcast id set from step 2) are collected.
+    Gram identity is 64-bit hash equality, same contract as the rest of the
+    gram family (collisions ~2^-64 per pair would only ever overcount)."""
+    import ray
+
+    from .relational import bucketed_group_reduce
+
+    mix = _gram_mix(k, seed)
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"g": pa.array([], pa.uint64()),
+                             "doc": pa.array([], pa.int64())})
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix, pad_short=False)
+        totals = np.diff(g_starts)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), totals)
+        order = np.lexsort((grams, doc_idx))
+        di, gr = doc_idx[order], grams[order]
+        keep = np.r_[True, (di[1:] != di[:-1]) | (gr[1:] != gr[:-1])] if len(di) else np.zeros(0, bool)
+        return pa.table({"g": pa.array(gr[keep], pa.uint64()),
+                         "doc": pa.array(ids[di[keep]].astype(np.int64))})
+
+    rows = docs.map_batches(
+        distinct_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["g", "doc"])
+        df = df[df.groupby("g")["doc"].transform("size") <= max_df]
+        outs = []
+        sizes = df.groupby("doc", as_index=False).size()
+        outs.append(pd.DataFrame({"a": sizes["doc"].to_numpy(),
+                                  "b": np.int64(-1), "n": sizes["size"].to_numpy()}))
+        multi = df[df.groupby("g")["doc"].transform("size") > 1]
+        for _, grp in multi.groupby("g", sort=False):
+            d = np.sort(grp["doc"].to_numpy())
+            ii, jj = np.triu_indices(len(d), 1)
+            outs.append(pd.DataFrame({"a": d[ii], "b": d[jj], "n": np.int64(1)}))
+        out = pd.concat(outs, ignore_index=True)
+        return out.groupby(["a", "b"], as_index=False)["n"].sum()
+
+    mixed = bucketed_group_reduce(rows, ["g"], fold).materialize()
+
+    pair_rows = mixed.filter(expr="b >= 0")
+    pairs = bucketed_group_reduce(
+        pair_rows, ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False)["n"].sum(),
+    ).to_pandas()
+    empty = pd.DataFrame({
+        "doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+        "n_shared": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        return empty
+    cand_docs = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    cand_ref = ray.put(cand_docs)
+
+    def cand_sizes(t: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        keep = np.isin(t["a"].to_numpy(zero_copy_only=False), cd)
+        return t.filter(pa.array(keep))
+
+    sizes = (
+        mixed.filter(expr="b < 0")
+        .map_batches(cand_sizes, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas().groupby("a", as_index=False)["n"].sum()
+        .set_index("a")["n"]
+    )
+    inter = pairs["n"].to_numpy()
+    sa = sizes.loc[pairs["a"]].to_numpy()
+    sb = sizes.loc[pairs["b"]].to_numpy()
+    jac = inter / (sa + sb - inter)
+    out = pd.DataFrame({
+        "doc_a": pairs["a"].astype("int64"), "doc_b": pairs["b"].astype("int64"),
+        "n_shared": pairs["n"].astype("int64"), "jaccard": jac})
+    out = out[out["jaccard"] >= threshold]
+    out["jaccard"] = _round6(out["jaccard"].to_numpy())
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    from .rounding import round_like_duckdb
+
+    return round_like_duckdb(x, 6)
+
+
+def winnowing_stats(
+    docs: Dataset,
+    k: int = 3,
+    w: int = 4,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): over each doc's
+    word-k-gram rolling-hash sequence, every window of ``w`` consecutive
+    hashes selects its RIGHTMOST minimum; the distinct selected positions
+    are the doc's fingerprints (guarantee: any shared substring of
+    ``w + k - 1`` words is caught by at least one shared fingerprint).
+
+    Fully streaming — fingerprints are per-doc local state, so the only
+    exchange is the tiny per-``group_col`` stat fold.  Docs with fewer than
+    ``w`` grams emit no fingerprints (and are excluded from ``n_docs``),
+    mirroring the SQL oracle's window arithmetic.  Returns per-group
+    ``(n_docs, n_selected, n_distinct)`` where n_selected counts distinct
+    selected POSITIONS and n_distinct distinct selected HASHES per doc."""
+    mix = _gram_mix(k, seed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_selected": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        grams, g_starts = gram_hash_stream(t["text"].to_pylist(), k, mix, pad_short=False)
+        totals = np.diff(g_starts)
+        n = len(grams)
+        if n < w:
+            return empty
+        sw = np.lib.stride_tricks.sliding_window_view(grams, w)
+        right_off = (w - 1) - sw[:, ::-1].argmin(axis=1)  # rightmost min per window
+        cnts = np.maximum(totals - w + 1, 0)  # windows fully inside each doc
+        doc_idx = np.repeat(np.arange(len(totals)), cnts)
+        base = np.repeat(g_starts[:-1], cnts)
+        head = np.repeat(np.cumsum(np.r_[0, cnts[:-1]]), cnts)
+        starts = base + (np.arange(int(cnts.sum())) - head)
+        sel = starts + right_off[starts]
+        # distinct selected positions per doc
+        key = np.unique(doc_idx.astype(np.int64) * np.int64(n) + sel)
+        d_sel, p_sel = key // n, key % n
+        n_selected = np.bincount(d_sel, minlength=len(totals))
+        # distinct selected hashes per doc
+        order = np.lexsort((grams[p_sel], d_sel))
+        ds, hs = d_sel[order], grams[p_sel][order]
+        uniq = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])] if len(ds) else np.zeros(0, bool)
+        n_distinct = np.bincount(ds[uniq], minlength=len(totals))
+        has = (n_selected > 0).astype(np.int64)
+        g = pa.table({
+            group_col: t[group_col],
+            "n_docs": pa.array(has),
+            "n_selected": pa.array(n_selected.astype(np.int64)),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+        }).group_by([group_col]).aggregate(
+            [("n_docs", "sum"), ("n_selected", "sum"), ("n_distinct", "sum")])
+        return g.rename_columns([group_col, "n_docs", "n_selected", "n_distinct"])
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "n_selected": pd.Series(dtype="int64"),
+                             "n_distinct": pd.Series(dtype="int64")})
+    out = parts.groupby(group_col, as_index=False).sum().sort_values(group_col, ignore_index=True)
+    # a group whose docs are all too short to fingerprint is absent, matching
+    # the SQL oracle's inner join on fingerprinting docs
+    out = out[out["n_docs"] > 0].reset_index(drop=True)
+    for c in ("n_docs", "n_selected", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out

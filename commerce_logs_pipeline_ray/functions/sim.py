@@ -348,3 +348,77 @@ def lloyd_kmeans(
     ).to_pandas()
     counts = final.groupby("cluster", as_index=False)["n"].sum()
     return C, counts
+
+
+def kcenter_coreset(
+    ds: "Dataset", k: int = 16, id_col: str = "vec_id", col: str = "embedding"
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    classic 2-approximation (Gonzalez 1985) used for diversity-aware
+    training-subset selection over an embedding column.
+
+    Fully deterministic: the seed center is the smallest id; each round
+    picks the point with the LARGEST min-squared-distance to the chosen
+    set (ties → smallest id).  Distributed shape: the newest center is the
+    only broadcast each round; one streaming pass updates the carried
+    per-point ``dmin`` column (so round r costs one pass, not r center
+    distances) and folds a per-block top-1; the driver sees one candidate
+    row per block.  The per-round ``materialize()`` is the iteration
+    checkpoint, exactly like BPE training.
+
+    Returns ``(sel_order, vec_id, dist)`` with ``dist`` the selected
+    point's min squared distance at selection time (0.0 for the seed)."""
+    import ray
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select([id_col, col])
+        i = int(np.argmin(t[id_col].to_numpy(zero_copy_only=False)))
+        return t.select([id_col, col]).slice(i, 1)
+
+    cands = ds.map_batches(seed_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"sel_order": pd.Series(dtype="int64"),
+                             id_col: pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+    row = cands.loc[cands[id_col].idxmin()]
+    center_vec = np.asarray(row[col], dtype=np.float64)
+    chosen = [(0, int(row[id_col]), 0.0)]
+
+    def with_dmin(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dmin", pa.array(np.full(len(t), np.inf), pa.float64()))
+
+    cur = ds.map_batches(with_dmin, batch_format="pyarrow", zero_copy_batch=True)
+
+    for r in range(1, k):
+        cref = ray.put(center_vec)
+
+        def update(t: pa.Table, *, _c=cref) -> pa.Table:
+            c = ray.get(_c)
+            X = _to_matrix(t, col).astype(np.float64)
+            d = ((X - c) ** 2).sum(axis=1)
+            dmin = np.minimum(t["dmin"].to_numpy(zero_copy_only=False), d)
+            return t.set_column(
+                t.schema.get_field_index("dmin"), "dmin", pa.array(dmin, pa.float64()))
+
+        cur = cur.map_batches(update, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+        def top1(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            dm = t["dmin"].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            best = np.lexsort((ids, -dm))[0]  # max dist, tie → smallest id
+            return t.slice(int(best), 1)
+
+        cand = cur.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        cand = cand.sort_values([ "dmin", id_col], ascending=[False, True], kind="stable")
+        sel = cand.iloc[0]
+        chosen.append((r, int(sel[id_col]), float(sel["dmin"])))
+        center_vec = np.asarray(sel[col], dtype=np.float64)
+
+    out = pd.DataFrame(chosen, columns=["sel_order", id_col, "dist"])
+    out["sel_order"] = out["sel_order"].astype("int64")
+    out[id_col] = out[id_col].astype("int64")
+    return out
