@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "video_content_dedup",
     "temperature_resample",
     "minhash_incremental",
+    "ngram_jaccard_pairs",
+    "winnowing_fingerprints",
+    "kcenter_coreset",
     "events_by_type",
     "events_per_hour",
     "top_users_by_value",

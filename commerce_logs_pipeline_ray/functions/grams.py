@@ -551,22 +551,32 @@ def ngram_jaccard_pairs(
         return pa.table({"g": pa.array(gr[keep], pa.uint64()),
                          "doc": pa.array(ids[di[keep]].astype(np.int64))})
 
-    rows = docs.map_batches(
-        distinct_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    rows = docs.map_batches(distinct_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["g", "doc"])
-        df = df[df.groupby("g")["doc"].transform("size") <= max_df]
+        df = df.drop_duplicates(["g", "doc"]).sort_values(["g", "doc"], kind="stable")
+        gs = df["g"].to_numpy()
+        docs_arr = df["doc"].to_numpy()
+        new = np.r_[True, gs[1:] != gs[:-1]] if len(gs) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(gs)])
+        keep_grp = sizes <= max_df
+        keep_row = np.repeat(keep_grp, sizes)
         outs = []
-        sizes = df.groupby("doc", as_index=False).size()
-        outs.append(pd.DataFrame({"a": sizes["doc"].to_numpy(),
-                                  "b": np.int64(-1), "n": sizes["size"].to_numpy()}))
-        multi = df[df.groupby("g")["doc"].transform("size") > 1]
-        for _, grp in multi.groupby("g", sort=False):
-            d = np.sort(grp["doc"].to_numpy())
-            ii, jj = np.triu_indices(len(d), 1)
-            outs.append(pd.DataFrame({"a": d[ii], "b": d[jj], "n": np.int64(1)}))
+        sz = pd.DataFrame({"doc": docs_arr[keep_row]}).groupby(
+            "doc", as_index=False).size()
+        outs.append(pd.DataFrame({"a": sz["doc"].to_numpy(),
+                                  "b": np.int64(-1), "n": sz["size"].to_numpy()}))
+        # pair expansion vectorized PER DISTINCT GROUP SIZE (≤ max_df numpy
+        # rounds total, never a Python loop over grams): docs are sorted
+        # within each group, so a < b falls out of triu indices
+        psizes, pstarts = sizes[keep_grp & (sizes > 1)], starts[keep_grp & (sizes > 1)]
+        for s in np.unique(psizes):
+            heads = pstarts[psizes == s]
+            ii, jj = np.triu_indices(int(s), 1)
+            a = docs_arr[(heads[:, None] + ii[None, :]).ravel()]
+            b = docs_arr[(heads[:, None] + jj[None, :]).ravel()]
+            outs.append(pd.DataFrame({"a": a, "b": b, "n": np.int64(1)}))
         out = pd.concat(outs, ignore_index=True)
         return out.groupby(["a", "b"], as_index=False)["n"].sum()
 

@@ -359,64 +359,74 @@ def kcenter_coreset(
 
     Fully deterministic: the seed center is the smallest id; each round
     picks the point with the LARGEST min-squared-distance to the chosen
-    set (ties → smallest id).  Distributed shape: the newest center is the
-    only broadcast each round; one streaming pass updates the carried
-    per-point ``dmin`` column (so round r costs one pass, not r center
-    distances) and folds a per-block top-1; the driver sees one candidate
-    row per block.  The per-round ``materialize()`` is the iteration
-    checkpoint, exactly like BPE training.
+    set (ties → smallest id).
+
+    Distributed shape — this is the documented raw-Ray last-resort case
+    (an ITERATIVE global argmax, not a per-record transform): the Dataset
+    is staged ONCE into per-block ``(ids, matrix)`` object refs; each of
+    the k-1 rounds launches one tiny task per block that folds the newest
+    center into that block's plasma-resident ``dmin`` vector and returns
+    only its local top-1 (id, dist, vector).  Per-round traffic is one
+    64-float center down and one candidate row per block up — no dataset
+    re-execution, no driver-side data.  The same loop on a Dataset would
+    pay two streaming-executor spin-ups per round; here a round is a
+    millisecond-scale task wave, and at 100 TB each block task is still
+    one vectorized (rows × dim) pass.
 
     Returns ``(sel_order, vec_id, dist)`` with ``dist`` the selected
     point's min squared distance at selection time (0.0 for the seed)."""
     import ray
 
-    def seed_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t.select([id_col, col])
-        i = int(np.argmin(t[id_col].to_numpy(zero_copy_only=False)))
-        return t.select([id_col, col]).slice(i, 1)
+    def prep(t: pa.Table) -> pa.Table:
+        return t.select([id_col, col])
 
-    cands = ds.map_batches(seed_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    if len(cands) == 0:
+    block_refs = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    if not block_refs:
         return pd.DataFrame({"sel_order": pd.Series(dtype="int64"),
                              id_col: pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="float64")})
-    row = cands.loc[cands[id_col].idxmin()]
-    center_vec = np.asarray(row[col], dtype=np.float64)
-    chosen = [(0, int(row[id_col]), 0.0)]
 
-    def with_dmin(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "dmin", pa.array(np.full(len(t), np.inf), pa.float64()))
+    @ray.remote(num_returns=2)
+    def stage(tbl: pa.Table):
+        ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        X = _to_matrix(tbl, col)
+        seed_i = int(np.argmin(ids)) if len(ids) else -1
+        seed = (int(ids[seed_i]), X[seed_i]) if len(ids) else None
+        return (ids, X, np.full(len(ids), np.inf)), seed
 
-    cur = ds.map_batches(with_dmin, batch_format="pyarrow", zero_copy_batch=True)
+    @ray.remote
+    def round_task(state, center: np.ndarray):
+        ids, X, dmin = state
+        if len(ids) == 0:
+            return (ids, X, dmin), None
+        d = ((X - center) ** 2).sum(axis=1)
+        dmin = np.minimum(dmin, d)
+        best = int(np.lexsort((ids, -dmin))[0])  # max dist, tie → smallest id
+        return (ids, X, dmin), (int(ids[best]), float(dmin[best]), X[best])
 
+    staged = [stage.remote(b) for b in block_refs]
+    states = [s for s, _ in staged]
+    seeds = [s for s in ray.get([sd for _, sd in staged]) if s is not None]
+    if not seeds:
+        return pd.DataFrame({"sel_order": pd.Series(dtype="int64"),
+                             id_col: pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+    seed_id, center_vec = min(seeds, key=lambda s: s[0])
+    chosen = [(0, seed_id, 0.0)]
     for r in range(1, k):
-        cref = ray.put(center_vec)
-
-        def update(t: pa.Table, *, _c=cref) -> pa.Table:
-            c = ray.get(_c)
-            X = _to_matrix(t, col).astype(np.float64)
-            d = ((X - c) ** 2).sum(axis=1)
-            dmin = np.minimum(t["dmin"].to_numpy(zero_copy_only=False), d)
-            return t.set_column(
-                t.schema.get_field_index("dmin"), "dmin", pa.array(dmin, pa.float64()))
-
-        cur = cur.map_batches(update, batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-        def top1(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return t
-            dm = t["dmin"].to_numpy(zero_copy_only=False)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            best = np.lexsort((ids, -dm))[0]  # max dist, tie → smallest id
-            return t.slice(int(best), 1)
-
-        cand = cur.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        cand = cand.sort_values([ "dmin", id_col], ascending=[False, True], kind="stable")
-        sel = cand.iloc[0]
-        chosen.append((r, int(sel[id_col]), float(sel["dmin"])))
-        center_vec = np.asarray(sel[col], dtype=np.float64)
+        # two return slots: the updated block state STAYS in the object
+        # store (only its ref comes back); the driver fetches just the
+        # one-candidate-per-block tuples
+        pairs = [round_task.options(num_returns=2).remote(st, center_vec) for st in states]
+        states = [p[0] for p in pairs]
+        cands = [c for c in ray.get([p[1] for p in pairs]) if c is not None]
+        if not cands:
+            break
+        best = min(cands, key=lambda c: (-c[1], c[0]))  # max dist, tie min id
+        chosen.append((r, best[0], best[1]))
+        center_vec = best[2]
 
     out = pd.DataFrame(chosen, columns=["sel_order", id_col, "dist"])
     out["sel_order"] = out["sel_order"].astype("int64")
