@@ -1175,12 +1175,18 @@ FROM documents GROUP BY source
 
 
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs (not SQL-expressible → rows-only check;
-    validated against planted ground truth in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs.  Oracle: the independent per-doc
+    reference derivation (``ensure_neardup_pairs_parquet``) — MinHash is
+    seed-deterministic, so the distributed flat-stream/co-group pipeline
+    and the scalar dict-bucketed reference must emit identical pair sets
+    with bitwise-equal est/exact Jaccard (also planted-truth-tested in
+    tests/test_dedup.py)."""
     from ..functions.dedup import minhash_lsh_pairs
 
+    ensure_neardup_pairs_parquet(sf_dir)
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
+    out = minhash_lsh_pairs(ds, threshold=0.5)
+    return _i64(out, ["doc_a", "doc_b"])
 
 
 _DERIVED_CACHE: dict[str, pa.Table] = {}
@@ -4597,6 +4603,136 @@ def q_minhash_incremental(sf_dir: str) -> pd.DataFrame:
                              "est_jaccard": pd.Series(dtype="float64")})
     out = matches.sort_values("doc_id", ignore_index=True)
     return _i64(out, ["doc_id", "matched_prior"])
+
+
+def ensure_neardup_pairs_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``minhash_neardup`` / ``neardup_cluster_dedup``:
+    the full expected near-dup pair set re-derived by an INDEPENDENT per-doc
+    reference implementation — scalar FNV word hashes, per-doc gram and
+    signature construction, dict-bucketed candidate enumeration, Python-set
+    exact Jaccard — not the flat-stream ``np.minimum.reduceat`` kernel and
+    bucketed co-group the distributed path uses.  MinHash is
+    seed-deterministic, so both compositions must agree row-for-row, with
+    est/jaccard bitwise equal (same IEEE divisions, same round_like_duckdb)."""
+    import os as _os
+    from itertools import combinations
+
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from ..functions.dedup import _PAD_WORD_HASH, MERSENNE_61, _hash_params
+        from ..functions.hashing import fnv1a64_single
+        from ..functions.rounding import round_like_duckdb
+
+        H, bands, k, seed, thr = 64, 16, 3, 42, 0.5
+        rpb = H // bands
+        a, b = _hash_params(H, seed)
+        mix = np.random.default_rng(seed + 1).integers(1, 1 << 62, size=k, dtype=np.uint64)
+        M = np.uint64(MERSENNE_61)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = [int(x) for x in t["doc_id"].to_pylist()]
+        sigs: dict[int, np.ndarray] = {}
+        shingle_sets: dict[int, set[int]] = {}
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for did, s in zip(ids, t["text"].to_pylist()):
+            words = (s or "").split(" ")
+            wh = np.array([fnv1a64_single(w) for w in words], dtype=np.uint64)
+            n = len(wh)
+            with np.errstate(over="ignore"):
+                if n >= k:
+                    grams = np.zeros(n - k + 1, dtype=np.uint64)
+                    for j in range(k):
+                        grams += mix[j] * wh[j : j + len(grams)]
+                else:
+                    padded = np.concatenate([wh, np.full(k - n, _PAD_WORD_HASH, np.uint64)])
+                    grams = np.array([np.sum(mix * padded, dtype=np.uint64)])
+                sig = ((grams[:, None] * a + b) % M).min(axis=0)
+            sigs[did] = sig
+            if n < k:
+                sgrams = [" ".join(words)]
+            else:
+                sgrams = [" ".join(words[i : i + k]) for i in range(n - k + 1)]
+            shingle_sets[did] = {int(fnv1a64_single(g)) for g in sgrams}
+            for band in range(bands):
+                h = 0xCBF29CE484222325
+                for j in range(rpb):
+                    h = ((h ^ int(sig[band * rpb + j])) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+                buckets[(band, h)].append(did)
+        cand: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            if len(members) > 1:
+                cand.update(combinations(sorted(set(members)), 2))
+        rows = []
+        for da, db in sorted(cand):
+            est = float(np.count_nonzero(sigs[da] == sigs[db])) / H
+            if est < thr:
+                continue
+            sa, sb = shingle_sets[da], shingle_sets[db]
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 1.0
+            rows.append((da, db, est, j))
+        df = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard", "jaccard"])
+        for c in ("doc_a", "doc_b"):
+            df[c] = df[c].astype("int64")
+        for c in ("est_jaccard", "jaccard"):
+            df[c] = round_like_duckdb(df[c].to_numpy(dtype=np.float64), 6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "neardup_pairs_ref.parquet"), build
+    )
+
+
+SQL_MINHASH_NEARDUP = f"""
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       est_jaccard, jaccard
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/neardup_pairs_ref.parquet')
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_NEARDUP_CLUSTER_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/neardup_pairs_ref.parquet')
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach AS (
+  SELECT a AS n, b AS r FROM sym
+  UNION
+  SELECT reach.n, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster,
+       CAST(n = LEAST(n, MIN(r)) AS BIGINT) AS kept
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
+def q_neardup_cluster_dedup(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup cluster dedup: MinHash LSH pairs → distributed
+    connected components (large-star/small-star rounds, graph.py) →
+    canonical keep = min doc_id per cluster.  The oracle's recursive-CTE
+    min-label transitive closure over the independent reference pair
+    artifact verifies BOTH stages: the distributed pair emission and the
+    distributed CC must together reproduce a from-scratch closure."""
+    from ..functions.dedup import minhash_lsh_pairs
+    from ..functions.graph import connected_components
+
+    ensure_neardup_pairs_parquet(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, verify=False)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int64"),
+                             "kept": pd.Series(dtype="int64")})
+    edges = rd.from_pandas(pd.DataFrame({
+        "u": pairs["doc_a"].astype("int64"),
+        "v": pairs["doc_b"].astype("int64"),
+    }))
+    cc = connected_components(edges)
+    out = cc.rename(columns={"node": "doc_id", "component": "cluster"})
+    out["kept"] = (out["doc_id"] == out["cluster"]).astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def q_corpus_diff(sf_dir: str) -> pd.DataFrame:
@@ -10167,7 +10303,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "jaccard_neardup": QuerySpec(
         q_jaccard_neardup, SQL_JACCARD_NEARDUP, "exact n-gram Jaccard similarity join"
     ),
-    "minhash_neardup": QuerySpec(q_minhash_neardup, None, "MinHash+LSH near-dup (rows-only)"),
+    "minhash_neardup": QuerySpec(
+        q_minhash_neardup,
+        SQL_MINHASH_NEARDUP,
+        "MinHash+LSH near-dup pairs vs independent scalar reference artifact",
+    ),
+    "neardup_cluster_dedup": QuerySpec(
+        q_neardup_cluster_dedup,
+        SQL_NEARDUP_CLUSTER_DEDUP,
+        "LSH pairs → distributed CC → canonical keep, vs recursive-CTE closure",
+    ),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters, SQL_DEDUP_CLUSTERS, "near-dup pairs → connected components (star contraction)"
     ),

@@ -261,3 +261,34 @@ def test_minhash_incremental_hot_bucket_tiled(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         tiled.sort_values("doc_id", ignore_index=True),
         whole.sort_values("doc_id", ignore_index=True))
+
+
+def test_neardup_cluster_dedup_transitive_chain(ray_session):
+    """A~B and B~C (A and C differ in two words) must land in ONE cluster
+    via connected components even if the A-C pair itself never surfaces;
+    canonical keep is the min doc_id.  Singletons stay out of the frame."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, size=50)) for _ in range(30)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    wa = base[3].split(" ")
+    wb = list(wa); wb[7] = "XX"
+    wc = list(wb); wc[31] = "YY"
+    rows.append({"doc_id": 500, "text": " ".join(wb)})
+    rows.append({"doc_id": 501, "text": " ".join(wc)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, verify=False)
+    edges = rd.from_pandas(
+        pd.DataFrame({"u": pairs["doc_a"].astype("int64"),
+                      "v": pairs["doc_b"].astype("int64")}))
+    cc = connected_components(edges)
+    comp = dict(zip(cc["node"], cc["component"]))
+    assert comp[3] == comp[500] == comp[501] == 3
+    kept = {n for n, c in comp.items() if n == c}
+    assert 3 in kept and 500 not in kept and 501 not in kept
+    # no unrelated doc joined the cluster
+    assert sum(1 for c in comp.values() if c == 3) == 3
