@@ -3471,14 +3471,59 @@ GROUP BY media_type
 """
 
 
+def ensure_simhash_ref_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``simhash_fingerprints``: per-doc fingerprints
+    re-derived by an INDEPENDENT reference path — scalar FNV word hashes
+    (not the Arrow-buffer vectorized pass) and per-doc bit-count scoring
+    (not the flat ±1-contribution matrix + ``np.add.reduceat``).  SimHash
+    is fully deterministic, so both compositions must agree bit-for-bit."""
+    import os as _os
+
+    def build() -> pa.Table:
+        from ..functions.hashing import fnv1a64_single
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        bits = np.arange(64, dtype=np.uint64)
+        out_id: list[int] = []
+        out_fp: list[str] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (s or "").split(" ")
+            hs = np.array([fnv1a64_single(w) for w in words], dtype=np.uint64)
+            ones = ((hs[:, None] >> bits) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+            # score_b = (+1 per set bit, -1 per clear bit) = 2*ones - n
+            score = 2 * ones - len(words)
+            fp = 0
+            for b in np.flatnonzero(score > 0):
+                fp |= 1 << int(b)
+            out_id.append(int(did))
+            out_fp.append(f"{fp:016x}")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "simhash": pa.array(out_fp, pa.string())})
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "simhash_ref.parquet"), build
+    )
+
+
+SQL_SIMHASH_FINGERPRINTS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/simhash_ref.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Per-doc 64-bit SimHash (rows-only; determinism tested in pytest)."""
+    """Per-doc 64-bit SimHash.  Oracle: the independent scalar-FNV /
+    per-doc-scoring reference artifact (``ensure_simhash_ref_parquet``) —
+    the distributed Arrow-FNV + reduceat kernel must reproduce every
+    fingerprint bit-for-bit regardless of block slicing."""
     from ..functions.dedup import SimHasher
 
+    ensure_simhash_ref_parquet(sf_dir)
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(SimHasher(), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out["simhash"] = out["simhash"].map(lambda v: f"{int(v):016x}")
-    return _i64(out, ["doc_id"])
+    return _i64(out, ["doc_id"]).sort_values("doc_id", ignore_index=True)
 
 
 def ensure_simhash_parquet(sf_dir: str) -> str:
@@ -10319,7 +10364,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         q_dedup_survivors, SQL_DEDUP_SURVIVORS, "keep-one-per-cluster over the full corpus"
     ),
-    "simhash_fingerprints": QuerySpec(q_simhash_fingerprints, None, "SimHash fingerprints (rows-only)"),
+    "simhash_fingerprints": QuerySpec(
+        q_simhash_fingerprints,
+        SQL_SIMHASH_FINGERPRINTS,
+        "SimHash fingerprints vs independent scalar-FNV reference artifact",
+    ),
     "simhash_hamming_buckets": QuerySpec(
         q_simhash_hamming_buckets, SQL_SIMHASH_HAMMING, "SimHash popcount histogram vs reference"
     ),
