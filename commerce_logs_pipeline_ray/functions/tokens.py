@@ -659,3 +659,174 @@ def cms_heavy_hitters(
         f"{n_total / capacity:.1f} — raise capacity for exactness"
     )
     return out[["token", "count"]]
+
+
+# ---------------------------------------------------------------------------
+# GPT-style concat-and-chunk training layout
+# ---------------------------------------------------------------------------
+
+def concat_chunk_tokens(
+    ds: Dataset,
+    seq_len: int = 2048,
+    eos_id: int = 2_147_483_647,
+    num_buckets: int = 64,
+    emit_tokens: bool = False,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """GPT-style concat-and-chunk: documents ordered by ``doc_id`` are
+    concatenated into one logical token stream (one ``eos_id`` after each
+    doc) and cut into fixed ``seq_len`` blocks that SPAN document
+    boundaries — the standard pretraining layout, complementing
+    ``pack_sequences`` (which keeps docs whole).
+
+    Distributed shape (100-TB-safe):
+
+    1. *offset pass* — only ``(doc_id, n_tok)`` 16-byte rows move: range
+       buckets from sampled ``doc_id`` boundaries, per-bucket exact
+       exclusive cumsum (sorted within bucket), bucket bases from one tiny
+       driver-side scan of per-bucket totals;
+    2. *piece pass* — each doc slices its own tokens at chunk boundaries
+       locally (vectorized over the flat Arrow values buffer; the pieces of
+       a batch tile its extended buffer, so the list column is ONE
+       zero-copy offsets rebind, no token copy);
+    3. *assembly* — the only token-byte exchange: pieces group by
+       ``chunk_id`` (bucketed reduce), concatenate in ``start_in_chunk``
+       order.  Repacking is inherently an all-to-all of token bytes; this
+       moves each byte exactly once.
+
+    The doc→offset attach is a broadcast join (offsets are 16-byte rows;
+    fine to ~10M docs per run) — swap in ``relational.hash_join`` for a
+    larger catalog.  Output rows: ``chunk_id, n_tokens, n_doc_starts,
+    token_sum`` (+ ``tokens`` when ``emit_tokens``); the final chunk may be
+    shorter than ``seq_len`` (no padding — the trainer's collator owns pad
+    policy).
+    """
+    import ray.data as _rd
+
+    from .rank import _sample_boundaries
+    from .relational import broadcast_join, bucketed_group_reduce
+
+    L = int(seq_len)
+    proj = ds.select_columns([id_col, "n_tok"])
+    boundaries = _sample_boundaries(proj, id_col, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(boundaries, k, side="right").astype(np.int64)
+        return t.append_column("__b", pa.array(b))
+
+    bucketed = proj.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    # bucket totals: per-batch partials -> tiny driver frame -> exclusive scan
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        b = t["__b"].to_numpy(zero_copy_only=False)
+        ext = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        tot = np.bincount(b, weights=ext, minlength=len(boundaries) + 1)
+        nz = np.flatnonzero(tot)
+        return pa.table({"__b": pa.array(nz, pa.int64()),
+                         "tot": pa.array(tot[nz].astype(np.int64))})
+
+    tot_df = (
+        bucketed.map_batches(bucket_totals, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    n_b = len(boundaries) + 1
+    totals = np.zeros(n_b, dtype=np.int64)
+    if len(tot_df):
+        agg = tot_df.groupby("__b")["tot"].sum()
+        totals[agg.index.to_numpy()] = agg.to_numpy()
+    base = np.concatenate([[0], np.cumsum(totals[:-1])])
+
+    def per_bucket_offsets(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        ext = df["n_tok"].to_numpy(np.int64) + 1
+        local = np.concatenate([[0], np.cumsum(ext[:-1])]) if len(df) else np.zeros(0, np.int64)
+        b = int(df["__b"].iloc[0])
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "_off": base[b] + local})
+
+    off_pd = (
+        bucketed.groupby("__b")
+        .map_groups(per_bucket_offsets, batch_format="pandas")
+        .to_pandas()
+    )
+    off_tbl = pa.Table.from_pandas(off_pd, preserve_index=False)
+    joined = broadcast_join(ds, off_tbl, id_col, include=["_off"])
+
+    def pieces(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "chunk_id": pa.array([], pa.int64()),
+            "start_in_chunk": pa.array([], pa.int64()),
+            "is_doc_start": pa.array([], pa.int8()),
+            "toks": pa.LargeListArray.from_arrays(
+                pa.array([0], pa.int64()), pa.array([], pa.int32())),
+        })
+        n = t.num_rows
+        if n == 0:
+            return empty
+        values, offs = _flat_tokens(t)
+        lens = np.diff(offs)
+        off = t["_off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ext_len = lens + 1
+        ext_starts = np.concatenate([[0], np.cumsum(ext_len)])
+        ext = np.full(int(ext_starts[-1]), eos_id, dtype=np.int32)
+        region = values[offs[0]: offs[-1]]
+        if len(region):
+            lo = (offs - offs[0]).astype(np.int64)
+            doc_of_val = np.repeat(np.arange(n), lens)
+            within = np.arange(len(region), dtype=np.int64) - lo[:-1][doc_of_val]
+            ext[ext_starts[:-1][doc_of_val] + within] = region
+        first_chunk = off // L
+        n_pieces = (off + ext_len - 1) // L - first_chunk + 1
+        pstarts = np.concatenate([[0], np.cumsum(n_pieces)])
+        total_p = int(pstarts[-1])
+        pdoc = np.repeat(np.arange(n), n_pieces)
+        wip = np.arange(total_p, dtype=np.int64) - pstarts[:-1][pdoc]
+        gstart = np.where(wip == 0, off[pdoc], (first_chunk[pdoc] + wip) * L)
+        gend = np.minimum((first_chunk[pdoc] + wip + 1) * L, off[pdoc] + ext_len[pdoc])
+        plen = gend - gstart
+        loffs = np.concatenate([[0], np.cumsum(plen)])
+        toks = pa.LargeListArray.from_arrays(pa.array(loffs, pa.int64()),
+                                             pa.array(ext, pa.int32()))
+        return pa.table({
+            "chunk_id": pa.array(gstart // L, pa.int64()),
+            "start_in_chunk": pa.array(gstart % L, pa.int64()),
+            "is_doc_start": pa.array((wip == 0).astype(np.int8)),
+            "toks": toks,
+        })
+
+    piece_ds = joined.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {"chunk_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "n_doc_starts": pd.Series(dtype="int64"),
+                    "token_sum": pd.Series(dtype="int64")}
+            if emit_tokens:
+                cols["tokens"] = pd.Series(dtype="object")
+            return pd.DataFrame(cols)
+        df = df.sort_values(["chunk_id", "start_in_chunk"], kind="stable")
+        cid = df["chunk_id"].to_numpy(np.int64)
+        change = np.r_[True, cid[1:] != cid[:-1]]
+        starts = np.flatnonzero(change)
+        cells = [np.asarray(x, dtype=np.int64) for x in df["toks"]]
+        lens = np.fromiter((len(x) for x in cells), np.int64, len(df))
+        flat = np.concatenate(cells) if cells else np.zeros(0, np.int64)
+        tok_bounds = np.concatenate([[0], np.cumsum(lens)])
+        out = pd.DataFrame({
+            "chunk_id": cid[starts],
+            "n_tokens": np.add.reduceat(lens, starts),
+            "n_doc_starts": np.add.reduceat(
+                df["is_doc_start"].to_numpy(np.int64), starts),
+            "token_sum": np.add.reduceat(flat, tok_bounds[starts])
+            if len(flat) else np.zeros(len(starts), np.int64),
+        })
+        if emit_tokens:
+            out["tokens"] = [
+                flat[tok_bounds[s]: tok_bounds[s] + nt].astype(np.int32)
+                for s, nt in zip(starts, out["n_tokens"].to_numpy())
+            ]
+        return out
+
+    return bucketed_group_reduce(piece_ds, ["chunk_id"], assemble)

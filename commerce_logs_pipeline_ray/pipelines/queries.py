@@ -1267,6 +1267,45 @@ FROM z GROUP BY 1, 2 ORDER BY "count" DESC, token_a, token_b LIMIT 20
 """
 
 
+def q_training_chunks(sf_dir: str) -> pd.DataFrame:
+    """GPT-style concat-and-chunk training layout: docs ordered by doc_id
+    concatenate into one token stream (EOS after each doc) cut into exact
+    1024-token blocks spanning doc boundaries.  Per-chunk stats gate the
+    whole distributed composition — offset prefix-sum exchange, local piece
+    slicing, chunk assembly — against a window-function SQL mirror."""
+    from ..functions.tokens import concat_chunk_tokens
+
+    ds = rd.read_parquet(
+        ensure_derived_parquet(sf_dir), columns=["doc_id", "tokens", "n_tok"],
+        override_num_blocks=8,
+    )
+    out = concat_chunk_tokens(ds, seq_len=1024).to_pandas()
+    out = out.sort_values("chunk_id", ignore_index=True)
+    return _i64(out, ["chunk_id", "n_tokens", "n_doc_starts", "token_sum"])
+
+
+SQL_TRAINING_CHUNKS = f"""
+WITH seq AS (
+  SELECT doc_id, tokens, n_tok,
+         COALESCE(SUM(CAST(n_tok AS BIGINT) + 1) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS base
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')
+),
+flat AS (
+  SELECT base + gs.i - 1 AS pos,
+         CASE WHEN gs.i <= n_tok THEN tokens[gs.i] ELSE 2147483647 END AS tok,
+         CASE WHEN gs.i = 1 THEN 1 ELSE 0 END AS is_start
+  FROM seq, unnest(generate_series(1, CAST(n_tok AS BIGINT) + 1)) AS gs(i)
+)
+SELECT CAST(pos // 1024 AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(is_start) AS BIGINT) AS n_doc_starts,
+       CAST(SUM(CAST(tok AS HUGEINT)) AS BIGINT) AS token_sum
+FROM flat GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_length_histogram(sf_dir: str) -> pd.DataFrame:
     """Sequence-length buckets (width 16) over the derived corpus."""
     from ..functions.tokens import length_histogram
@@ -10384,6 +10423,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "packing_stats": QuerySpec(
         q_packing_stats, SQL_PACKING_STATS, "per-source FFD packing vs reference + conservation"
+    ),
+    "training_chunks": QuerySpec(
+        q_training_chunks,
+        SQL_TRAINING_CHUNKS,
+        "GPT concat-and-chunk layout (prefix-sum offsets, boundary-spanning blocks)",
     ),
     "dedup_sequences": QuerySpec(
         q_dedup_sequences, SQL_DEDUP_SEQUENCES, "bit-exact token-array dedup counts per source"

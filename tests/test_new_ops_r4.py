@@ -87,3 +87,57 @@ def test_kcenter_coreset_planted_geometry(ray_session):
     assert len(set(picked_clusters)) == 3
     # dist column is the selection-time farthest distance: decreasing-ish
     assert got["dist"].iloc[1] >= got["dist"].iloc[2] >= 0
+
+
+def test_concat_chunk_tokens_planted(ray_session):
+    """3 docs, seq_len=4, EOS=99: stream = d0(3)+EOS, d1(6)+EOS, d2(1)+EOS
+    = [1,2,3,99,10,11,12,13,14,15,99,20,99] -> chunks
+    [1,2,3,99] [10,11,12,13] [14,15,99,20] [99]."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import concat_chunk_tokens
+
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "tokens": [[1, 2, 3], [10, 11, 12, 13, 14, 15], [20]],
+        "n_tok": [3, 6, 1],
+    })
+    out = (
+        concat_chunk_tokens(rd.from_pandas(docs), seq_len=4, eos_id=99,
+                            emit_tokens=True)
+        .to_pandas().sort_values("chunk_id", ignore_index=True)
+    )
+    want = [[1, 2, 3, 99], [10, 11, 12, 13], [14, 15, 99, 20], [99]]
+    assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert [list(x) for x in out["tokens"]] == want
+    assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert out["n_doc_starts"].tolist() == [1, 1, 1, 0]
+    assert out["token_sum"].tolist() == [sum(c) for c in want]
+    # conservation: every token + one EOS per doc, each exactly once
+    assert out["n_tokens"].sum() == 3 + 6 + 1 + 3
+
+
+def test_concat_chunk_tokens_block_invariance(ray_session):
+    """Chunk stats must not depend on input block slicing."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.tokens import concat_chunk_tokens
+
+    rng = np.random.default_rng(5)
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(60)],
+        "tokens": [rng.integers(0, 1000, size=rng.integers(1, 40)).tolist()
+                   for _ in range(60)],
+    })
+    docs["n_tok"] = docs["tokens"].map(len)
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(docs).repartition(blocks)
+        o = (concat_chunk_tokens(ds, seq_len=64, eos_id=-1)
+             .to_pandas().sort_values("chunk_id", ignore_index=True))
+        outs.append(o[["chunk_id", "n_tokens", "n_doc_starts", "token_sum"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
