@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "user_sessions",
     "error_prior_purchase",
     "minhash_neardup",
+    "neardup_cluster_dedup",
+    "simhash_fingerprints",
+    "training_chunks",
     "embedding_neardup",
     "value_median_per_type",
     "span_assembly",

@@ -3956,12 +3956,82 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def ensure_kmv_overlap_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``kmv_user_overlap``: the four estimates
+    re-derived by an INDEPENDENT reference — pure-Python scalar FNV +
+    fmix64 per distinct user (not the Arrow-buffer vectorized pass),
+    Python ``sorted`` bottom-k over set algebra (not the per-batch
+    ``np.unique`` blob merge).  A KMV sketch is a pure function of the
+    distinct-value set, so both compositions must agree exactly
+    (same IEEE estimator divisions on the same k-th minima)."""
+    import os as _os
+
+    def build() -> pa.Table:
+        from ..functions.hashing import fnv1a64_single
+
+        def fmix64(x: int) -> int:
+            m = (1 << 64) - 1
+            x ^= x >> 33
+            x = (x * 0xFF51AFD7ED558CCD) & m
+            x ^= x >> 33
+            x = (x * 0xC4CEB9FE1A85EC53) & m
+            x ^= x >> 33
+            return x
+
+        k = 2048
+        ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        users = {"purchase": set(), "error": set()}
+        for uid, et in zip(ev["user_id"].to_pylist(), ev["event_type"].to_pylist()):
+            if et in users and uid is not None:
+                users[et].add(str(uid))
+        bottoms = {
+            side: sorted(fmix64(int(fnv1a64_single(u))) for u in vals)[:k]
+            for side, vals in users.items()
+        }
+
+        def est(vals: list[int]) -> float:
+            if len(vals) < k:
+                return float(len(vals))
+            return (k - 1) / ((float(vals[k - 1]) + 1.0) / 2.0**64)
+
+        sa, sb = bottoms["purchase"], bottoms["error"]
+        union_bottom = sorted(set(sa) | set(sb))[:k]
+        union_e = est(union_bottom)
+        both = set(sa) & set(sb)
+        jac = (sum(1 for v in union_bottom if v in both) / len(union_bottom)
+               if union_bottom else 0.0)
+        return pa.table({
+            "purchasers_est": pa.array([int(round(est(sa)))], pa.int64()),
+            "error_users_est": pa.array([int(round(est(sb)))], pa.int64()),
+            "union_est": pa.array([int(round(union_e))], pa.int64()),
+            "both_est": pa.array([int(round(jac * union_e))], pa.int64()),
+        })
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "kmv_overlap_ref.parquet"), build
+    )
+
+
+SQL_KMV_USER_OVERLAP = f"""
+SELECT CAST(purchasers_est AS BIGINT) AS purchasers_est,
+       CAST(error_users_est AS BIGINT) AS error_users_est,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(both_est AS BIGINT) AS both_est
+FROM read_parquet('{ORACLE_ARTIFACT_DIR}/kmv_overlap_ref.parquet')
+"""
+
+
 def q_kmv_user_overlap(sf_dir: str) -> pd.DataFrame:
     """KMV (bottom-k) sketch set algebra: distinct purchasers, distinct
     error-users, their union and INTERSECTION — the set operation HLL
-    cannot do — from two mergeable per-batch sketch streams (rows-only;
-    error bounds pytest-gated)."""
+    cannot do — from two mergeable per-batch sketch streams.  Oracle: the
+    independent pure-Python reference (``ensure_kmv_overlap_parquet``) —
+    bottom-k state is order-independent, so the distributed blob merge
+    must land on the identical four estimates (error bounds additionally
+    pytest-gated)."""
     from ..functions.sketch import kmv_column_sketch
+
+    ensure_kmv_overlap_parquet(sf_dir)
 
     def side(kind: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -10354,7 +10424,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_mg_heavy_users, None, "Misra-Gries one-pass heavy hitters (rows-only)"
     ),
     "kmv_user_overlap": QuerySpec(
-        q_kmv_user_overlap, None, "KMV bottom-k sketch set algebra incl. intersection (rows-only)"
+        q_kmv_user_overlap,
+        SQL_KMV_USER_OVERLAP,
+        "KMV bottom-k set algebra incl. intersection vs pure-Python reference",
     ),
     "type_overlap_matrix": QuerySpec(
         q_type_overlap_matrix,

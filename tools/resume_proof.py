@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INPUT = "/tmp/clp_bench/seq_sf0.1_r9600000"
 UNITS_TOTAL = 192  # 64 files x 3 row groups at unit_target_bytes=20MB
 KILL_AT = 106      # mid-shard 4 (shards are 24 units each)
+# routed output goes to tmpfs: each run writes ~6 GB and consecutive runs
+# on the shared disk are write-back-contention-dominated (measured cold
+# walls 12.7 -> 17.9 s across one experiment on /tmp; the wall comparison
+# must isolate resume logic, not the box's dirty-page flusher)
+OUT_BASE = "/dev/shm/clp_resume_proof"
+COLD_DIR = OUT_BASE + "/sf1_cold"
+RES_DIR = OUT_BASE + "/sf1_res"
 
 
 def run_phase(out_dir: str) -> dict:
@@ -90,17 +97,17 @@ def main() -> None:
                 pass
     colds = []
     for _ in (0, 1):  # min over reps; wipe between them (a completed dir resumes)
-        shutil.rmtree("/tmp/sf1_cold", ignore_errors=True)
-        colds.append(timed("/tmp/sf1_cold"))
+        shutil.rmtree(COLD_DIR, ignore_errors=True)
+        colds.append(timed(COLD_DIR))
     cold = min(colds, key=lambda r: r["wall"])
-    shutil.rmtree("/tmp/sf1_cold", ignore_errors=True)
+    shutil.rmtree(COLD_DIR, ignore_errors=True)
 
-    shutil.rmtree("/tmp/sf1_res", ignore_errors=True)
-    p = spawn("/tmp/sf1_res")
+    shutil.rmtree(RES_DIR, ignore_errors=True)
+    p = spawn(RES_DIR)
     t0 = time.time()
     committed = 0
     while True:
-        committed = len(glob.glob("/tmp/sf1_res/manifest/shard-*-units/*.json"))
+        committed = len(glob.glob(RES_DIR + "/manifest/shard-*-units/*.json"))
         if committed >= KILL_AT or p.poll() is not None:
             break
         time.sleep(0.15)
@@ -108,17 +115,17 @@ def main() -> None:
     p.send_signal(signal.SIGKILL)
     p.wait()
 
-    resume = timed("/tmp/sf1_res")
+    resume = timed(RES_DIR)
     remaining_frac = 1 - resume["units_resumed"] / UNITS_TOTAL - resume["shards_skipped"] * 24 / UNITS_TOTAL
     overhead = (resume["wall"] - cold["wall"] * remaining_frac) / cold["wall"]
 
     # output equality: resumed aggregates == cold aggregates
     import pyarrow.parquet as pq
 
-    shutil.rmtree("/tmp/sf1_cold", ignore_errors=True)
-    cold2 = timed("/tmp/sf1_cold")
-    a = pq.read_table("/tmp/sf1_cold/aggregates.parquet")
-    b = pq.read_table("/tmp/sf1_res/aggregates.parquet")
+    shutil.rmtree(COLD_DIR, ignore_errors=True)
+    cold2 = timed(COLD_DIR)
+    a = pq.read_table(COLD_DIR + "/aggregates.parquet")
+    b = pq.read_table(RES_DIR + "/aggregates.parquet")
     key = lambda t: t.sort_by([(c, "ascending") for c in t.column_names])
     agg_equal = key(a).equals(key(b))
 
@@ -145,8 +152,8 @@ def main() -> None:
         "cold_walls": [c["wall"] for c in colds],
         "cold2_wall": cold2["wall"],
     }))
-    shutil.rmtree("/tmp/sf1_cold", ignore_errors=True)
-    shutil.rmtree("/tmp/sf1_res", ignore_errors=True)
+    shutil.rmtree(COLD_DIR, ignore_errors=True)
+    shutil.rmtree(RES_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":
