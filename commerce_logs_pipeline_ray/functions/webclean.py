@@ -1,0 +1,264 @@
+"""Canonical public web-curation filters over a line-structured corpus:
+Gopher repetition signals and quality rules (Rae et al. 2021, appendix A1),
+and C4 line-level cleaning (Raffel et al. 2020 §2.2).
+
+All kernels are vectorized per-batch functions over ``(doc_id, source,
+text)`` where ``text`` is newline-joined lines: Arrow split/regex kernels to
+flatten lines/words, ``pandas.factorize`` + ``np.unique(axis=0)`` for exact
+per-doc gram identity (no hashing, no collision risk), ``np.bincount`` for
+per-doc sums.  Every emitted partial is an integer, so per-source reductions
+are order-insensitive and bitwise stable; ratios are taken once, driver-side,
+from integer sums (the repo-wide oracle-parity convention).
+
+Reference parity: the reference pipeline has no web-cleaning stage (its
+corpus is machine logs); these operators are part of the training-data
+suite the brief adds on top (cf. quality_batch in text.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import STOPWORD_PATTERN
+
+# Gopher-style gates, expressed as exact integer comparisons (never float):
+#   words in [MIN_WORDS, MAX_WORDS]; mean word length in [3, 10];
+#   symbol-word ratio <= 0.1; bullet-line ratio <= 0.9; ellipsis-line
+#   ratio <= 0.3; alpha-word ratio >= 0.8; stopword hits >= 2.
+MIN_WORDS, MAX_WORDS = 20, 100_000
+TERMINAL_CHARS = (".", "!", "?", '"')
+
+
+def _flatten_list(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """list<string> column → (flat python-str numpy array, doc_idx per item)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    flat = col.flatten()
+    return flat, doc_idx
+
+
+def _split_lines(text: pa.ChunkedArray) -> pa.Array:
+    return pc.split_pattern(pc.fill_null(text, ""), "\n")
+
+
+def _split_words(text: pa.ChunkedArray) -> pa.Array:
+    flat = pc.replace_substring(pc.fill_null(text, ""), "\n", " ")
+    return pc.split_pattern(flat, " ")
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+def gopher_repetition_partial(t: pa.Table) -> pa.Table:
+    """Per-source integer partials for the four Gopher repetition fractions:
+
+    * duplicate-line fraction         (lines - distinct lines) / lines
+    * duplicate-line CHAR fraction    chars in occurrences beyond the first
+    * top-2-gram char fraction        chars covered by the most frequent
+                                      word bigram (ties: lexicographically
+                                      smallest bigram)
+    * duplicated-5-gram char fraction chars at positions covered by any
+                                      5-gram occurring more than once
+
+    plus ``flagged`` = docs tripping any of the integer-exact gates
+    dup-line > 0.3, top-2-gram chars > 0.2, dup-5-gram chars > 0.15.
+    Ratios are computed corpus-level from these sums (never per-doc floats).
+    """
+    n_docs = len(t)
+    # ---- lines ----
+    lines_col = _split_lines(t["text"])
+    lflat, ldoc = _flatten_list(lines_col)
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    lcode, _ = pd.factorize(lflat.to_numpy(zero_copy_only=False))
+    key = np.stack([ldoc, lcode], axis=1)
+    uniq, uidx, ucnt = np.unique(key, axis=0, return_index=True, return_counts=True)
+    n_lines = np.bincount(ldoc, minlength=n_docs).astype(np.int64)
+    n_distinct = np.bincount(uniq[:, 0], minlength=n_docs).astype(np.int64)
+    line_chars = np.bincount(ldoc, weights=llen, minlength=n_docs).astype(np.int64)
+    dup_line_chars = np.bincount(
+        uniq[:, 0], weights=(ucnt - 1) * llen[uidx], minlength=n_docs
+    ).astype(np.int64)
+
+    # ---- words ----
+    words_col = _split_words(t["text"])
+    wflat, wdoc = _flatten_list(words_col)
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    wstr = wflat.to_numpy(zero_copy_only=False)
+    vocab, wrank = np.unique(wstr, return_inverse=True)  # rank == sorted order
+    word_chars = np.bincount(wdoc, weights=wlen, minlength=n_docs).astype(np.int64)
+
+    # ---- top 2-gram chars per doc ----
+    top2_chars = np.zeros(n_docs, dtype=np.int64)
+    if len(wstr) >= 2:
+        same2 = wdoc[:-1] == wdoc[1:]
+        g2 = np.stack([wdoc[:-1][same2], wrank[:-1][same2], wrank[1:][same2]], axis=1)
+        g2chars = (wlen[:-1][same2] + wlen[1:][same2]).astype(np.int64)
+        if len(g2):
+            u2, i2, c2 = np.unique(g2, axis=0, return_index=True, return_counts=True)
+            # order by (doc, -count, rank1, rank2): first row per doc wins;
+            # word-tuple rank order == 'w1 w2' string order (space < alnum)
+            order = np.lexsort((u2[:, 2], u2[:, 1], -c2, u2[:, 0]))
+            u2o, c2o, ch2o = u2[order], c2[order], g2chars[i2][order]
+            first = np.ones(len(u2o), dtype=bool)
+            first[1:] = u2o[1:, 0] != u2o[:-1, 0]
+            top2_chars[u2o[first, 0]] = c2o[first] * ch2o[first]
+
+    # ---- duplicated-5-gram coverage per doc ----
+    dup5_chars = np.zeros(n_docs, dtype=np.int64)
+    if len(wstr) >= 5:
+        same5 = wdoc[:-4] == wdoc[4:]
+        starts = np.nonzero(same5)[0]
+        if len(starts):
+            g5 = np.stack(
+                [wdoc[starts]] + [wrank[starts + k] for k in range(5)], axis=1
+            )
+            _, inv5, c5 = np.unique(g5, axis=0, return_inverse=True, return_counts=True)
+            dup_starts = starts[c5[inv5] > 1]
+            covered = np.zeros(len(wstr), dtype=bool)
+            for k in range(5):
+                covered[dup_starts + k] = True
+            dup5_chars = np.bincount(
+                wdoc, weights=np.where(covered, wlen, 0), minlength=n_docs
+            ).astype(np.int64)
+
+    flagged = (
+        (10 * (n_lines - n_distinct) > 3 * n_lines)
+        | (5 * top2_chars > word_chars)
+        | (20 * dup5_chars > 3 * word_chars)
+    )
+    part = pa.table(
+        {
+            "source": t["source"],
+            "n_docs": pa.array(np.ones(n_docs, dtype=np.int64)),
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_distinct),
+            "line_chars": pa.array(line_chars),
+            "dup_line_chars": pa.array(dup_line_chars),
+            "word_chars": pa.array(word_chars),
+            "top2_chars": pa.array(top2_chars),
+            "dup5_chars": pa.array(dup5_chars),
+            "flagged": pa.array(flagged.astype(np.int64)),
+        }
+    )
+    cols = [c for c in part.column_names if c != "source"]
+    g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+    return g.rename_columns(["source"] + cols)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+def gopher_quality_partial(t: pa.Table) -> pa.Table:
+    """Per-source counts of docs failing each Gopher-style quality rule and
+    docs passing all, from integer-exact per-doc gates."""
+    n_docs = len(t)
+    text = pc.fill_null(t["text"], "")
+    lines_col = _split_lines(text)
+    lflat, ldoc = _flatten_list(lines_col)
+    n_lines = np.bincount(ldoc, minlength=n_docs).astype(np.int64)
+    bullet = pc.starts_with(lflat, "- ").to_numpy(zero_copy_only=False)
+    ellip = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(ldoc, weights=bullet, minlength=n_docs).astype(np.int64)
+    n_ellip = np.bincount(ldoc, weights=ellip, minlength=n_docs).astype(np.int64)
+
+    words_col = _split_words(text)
+    wflat, wdoc = _flatten_list(words_col)
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.bincount(wdoc, minlength=n_docs).astype(np.int64)
+    sum_len = np.bincount(wdoc, weights=wlen, minlength=n_docs).astype(np.int64)
+    sym = pc.or_(
+        pc.match_substring(wflat, "#"), pc.match_substring(wflat, "...")
+    ).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(wflat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+    n_sym = np.bincount(wdoc, weights=sym, minlength=n_docs).astype(np.int64)
+    n_alpha = np.bincount(wdoc, weights=alpha, minlength=n_docs).astype(np.int64)
+    stop_hits = (
+        pc.count_substring_regex(text, STOPWORD_PATTERN)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    fail_words = (n_words < MIN_WORDS) | (n_words > MAX_WORDS)
+    fail_wordlen = (sum_len < 3 * n_words) | (sum_len > 10 * n_words)
+    fail_symbol = 10 * n_sym > n_words
+    fail_bullet = 10 * n_bullet > 9 * n_lines
+    fail_ellipsis = 10 * n_ellip > 3 * n_lines
+    fail_alpha = 5 * n_alpha < 4 * n_words
+    fail_stop = stop_hits < 2
+    n_pass = ~(
+        fail_words | fail_wordlen | fail_symbol | fail_bullet | fail_ellipsis
+        | fail_alpha | fail_stop
+    )
+    part = pa.table(
+        {
+            "source": t["source"],
+            "n_docs": pa.array(np.ones(n_docs, dtype=np.int64)),
+            "fail_words": pa.array(fail_words.astype(np.int64)),
+            "fail_wordlen": pa.array(fail_wordlen.astype(np.int64)),
+            "fail_symbol": pa.array(fail_symbol.astype(np.int64)),
+            "fail_bullet": pa.array(fail_bullet.astype(np.int64)),
+            "fail_ellipsis": pa.array(fail_ellipsis.astype(np.int64)),
+            "fail_alpha": pa.array(fail_alpha.astype(np.int64)),
+            "fail_stop": pa.array(fail_stop.astype(np.int64)),
+            "n_pass": pa.array(n_pass.astype(np.int64)),
+        }
+    )
+    cols = [c for c in part.column_names if c != "source"]
+    g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+    return g.rename_columns(["source"] + cols)
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning
+# ---------------------------------------------------------------------------
+
+def c4_line_filter_partial(t: pa.Table) -> pa.Table:
+    """C4-style cleaning stats per source: docs dropped outright (lorem
+    ipsum / curly brace), and over surviving docs the line-level keep rule
+    (terminal punctuation AND >= 5 words AND no 'javascript'), chars kept,
+    and docs retaining >= 3 kept lines."""
+    n_docs = len(t)
+    text = pc.fill_null(t["text"], "")
+    low = pc.utf8_lower(text)
+    dropped = pc.or_(
+        pc.match_substring(low, "lorem ipsum"), pc.match_substring(text, "{")
+    ).to_numpy(zero_copy_only=False)
+
+    lines_col = _split_lines(text)
+    lflat, ldoc = _flatten_list(lines_col)
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    terminal = np.zeros(len(lflat), dtype=bool)
+    for ch in TERMINAL_CHARS:
+        terminal |= pc.ends_with(lflat, ch).to_numpy(zero_copy_only=False)
+    wc = pc.add(pc.count_substring(lflat, " "), 1).to_numpy(zero_copy_only=False)
+    no_js = pc.invert(
+        pc.match_substring(pc.utf8_lower(lflat), "javascript")
+    ).to_numpy(zero_copy_only=False)
+    kept = terminal & (wc >= 5) & no_js & ~dropped[ldoc]
+
+    surviving = ~dropped
+    lines_total = np.bincount(ldoc, weights=surviving[ldoc], minlength=n_docs).astype(np.int64)
+    lines_kept = np.bincount(ldoc, weights=kept, minlength=n_docs).astype(np.int64)
+    chars_kept = np.bincount(ldoc, weights=np.where(kept, llen, 0), minlength=n_docs).astype(np.int64)
+
+    part = pa.table(
+        {
+            "source": t["source"],
+            "docs_in": pa.array(np.ones(n_docs, dtype=np.int64)),
+            "docs_dropped": pa.array(dropped.astype(np.int64)),
+            "lines_total": pa.array(lines_total),
+            "lines_kept": pa.array(lines_kept),
+            "chars_kept": pa.array(chars_kept),
+            "docs_kept3": pa.array((lines_kept >= 3).astype(np.int64)),
+        }
+    )
+    cols = [c for c in part.column_names if c != "source"]
+    g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+    return g.rename_columns(["source"] + cols)
