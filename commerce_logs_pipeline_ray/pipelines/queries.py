@@ -10183,6 +10183,91 @@ FROM per ORDER BY doc_id
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC scan over per-subspace codebooks)
+# ---------------------------------------------------------------------------
+
+def ensure_pq_ref_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``pq_ann_topk``: the expected ADC top-10 derived
+    by an INDEPENDENT scalar-loop replay of the PQ determinism contract
+    (per-pair distance loops, explicit tie-break mins) — no shared code with
+    the vectorized engine path (functions/sim.py)."""
+    import os as _os
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_pylist()
+        vecs = [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        ids = [ids[i] for i in order]
+        vecs = [vecs[i] for i in order]
+        m, kc, iters = 8, 16, 10
+        sub = len(vecs[0]) // m
+        books: list[list[np.ndarray]] = []
+        for j in range(m):
+            xj = [x[j * sub : (j + 1) * sub] for x in vecs]
+            cents = [xj[c].copy() for c in range(kc)]
+            for _ in range(iters):
+                assign = []
+                for x in xj:
+                    d2 = [float(((x - cents[c]) ** 2).sum()) for c in range(kc)]
+                    assign.append(min(range(kc), key=lambda c: (d2[c], c)))
+                for c in range(kc):
+                    members = [xj[i] for i, a in enumerate(assign) if a == c]
+                    if members:
+                        cents[c] = np.mean(np.stack(members), axis=0)
+            books.append(cents)
+        qv = vecs[ids.index(0)]
+        lut = [
+            [float(((qv[j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum()) for c in range(kc)]
+            for j in range(m)
+        ]
+        dists = []
+        for x in vecs:
+            s = 0.0
+            for j in range(m):
+                xj = x[j * sub : (j + 1) * sub]
+                d2 = [float(((xj - books[j][c]) ** 2).sum()) for c in range(kc)]
+                s += lut[j][min(range(kc), key=lambda c: (d2[c], c))]
+            dists.append(s)
+        top = sorted(range(len(ids)), key=lambda i: (dists[i], ids[i]))[:10]
+        return pa.table(
+            {
+                "vec_id": pa.array([ids[i] for i in top], pa.int64()),
+                "adc": pa.array(_rd(np.array([dists[i] for i in top]), 6)),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "pq_ref.parquet"), build)
+
+
+def q_pq_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 by PQ Asymmetric Distance Computation (Jégou et al. 2011):
+    8 subspace codebooks × 16 codes trained deterministically, per-batch
+    encode + LUT-gather scan, distributed top-k merge
+    (functions/sim.py::train_pq_codebooks / pq_adc_topk)."""
+    from ..functions.sim import pq_adc_topk, train_pq_codebooks
+
+    ensure_pq_ref_parquet(sf_dir)
+    emb0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pads.field("vec_id") == 0,
+    )
+    qvec = np.asarray(emb0["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, kc=16, iters=10)
+    out = pq_adc_topk(ds, books, qvec, k=10)
+    out["adc"] = out["adc"].pipe(_rd)
+    return _i64(out, ["vec_id"])
+
+
+SQL_PQ_ANN_TOPK = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc
+FROM read_parquet('{AD}/pq_ref.parquet') ORDER BY adc, vec_id
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -11075,6 +11160,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_DSIR_IMPORTANCE,
         "DSIR hashed-bigram importance weights (target=en), two streaming passes",
     ),
+    "pq_ann_topk": QuerySpec(
+        q_pq_ann_topk,
+        SQL_PQ_ANN_TOPK,
+        "product-quantization ADC top-10 vs independent scalar-loop reference",
+    ),
 }
 
 
@@ -11095,3 +11185,4 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_kcenter_parquet(sf_dir)
     ensure_web_docs_parquet(sf_dir)
     ensure_dsir_buckets_parquet(sf_dir)
+    ensure_pq_ref_parquet(sf_dir)
