@@ -192,3 +192,61 @@ def word_bigrams(t: pa.Table, text_col: str = "text", group_col: str | None = No
     if group_col is not None:
         cols[group_col] = pc.take(t[group_col], pa.array(p[idx] if len(idx) else idx))
     return pa.table(cols)
+
+
+def bm25_topk(
+    ds: Dataset,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009) with ZERO shuffle:
+
+    pass 1 — per-batch scalar partials (doc count, total length, per-term
+    document frequency: a few ints per batch);
+    pass 2 — per-doc scores from vectorized exact-word-count kernels
+    (``\\b...\\b`` RE2 counts == DuckDB ``list_filter`` counts on the
+    single-spaced corpus) + the distributed top-k merge.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1); per-term gate tf > 0; terms
+    summed in the given order so the float path matches the SQL oracle
+    term-for-term."""
+    import re as _re
+
+    from .relational import topk as _topk
+
+    pats = [rf"\b{_re.escape(t)}\b" for t in terms]
+
+    def _tf_dl(t: pa.Table):
+        text = pc.fill_null(t[text_col], "")
+        dl = pc.add(pc.count_substring(text, " "), 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = [
+            pc.count_substring_regex(text, p).to_numpy(zero_copy_only=False).astype(np.int64)
+            for p in pats
+        ]
+        return dl, tfs
+
+    def partial(t: pa.Table) -> pa.Table:
+        dl, tfs = _tf_dl(t)
+        row = {"n": [np.int64(len(t))], "total_dl": [dl.sum()]}
+        for i, tf in enumerate(tfs):
+            row[f"df{i}"] = [np.int64((tf > 0).sum())]
+        return pa.table(row)
+
+    g = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas().sum()
+    n, total_dl = np.float64(g["n"]), np.float64(g["total_dl"])
+    idf = [float(np.log((n - g[f"df{i}"] + 0.5) / (g[f"df{i}"] + 0.5) + 1)) for i in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl, tfs = _tf_dl(t)
+        norm = (1.0 - b) + b * dl * n / total_dl
+        s = np.zeros(len(t), dtype=np.float64)
+        for i, tf in enumerate(tfs):
+            s = s + np.where(tf > 0, idf[i] * (tf * (k1 + 1.0)) / (tf + k1 * norm), 0.0)
+        return pa.table({id_col: t[id_col], "score": pa.array(s)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk(scored, ["score", id_col], [True, False], k).to_pandas()

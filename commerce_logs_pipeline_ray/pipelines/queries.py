@@ -10268,6 +10268,56 @@ FROM read_parquet('{AD}/pq_ref.parquet') ORDER BY adc, vec_id
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 for the query {table, scan, merge} over documents —
+    zero-shuffle two-pass ranker (functions/search.py::bm25_topk): scalar
+    corpus stats partials, then vectorized per-doc scoring + distributed
+    top-k."""
+    from ..functions.search import bm25_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(ds, ["table", "scan", "merge"], k=10)
+    out["score"] = out["score"].pipe(_rd)
+    return _i64(out, ["doc_id"])
+
+
+SQL_BM25_SEARCH = """
+WITH per AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, x -> x = 'table')) AS tf1,
+         len(list_filter(ws, x -> x = 'scan'))  AS tf2,
+         len(list_filter(ws, x -> x = 'merge')) AS tf3
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_dl,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM per
+),
+s AS (
+  SELECT doc_id,
+    (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+         * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl * n / total_dl))
+         ELSE 0 END)
+    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5) / (df2 + 0.5) + 1)
+         * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl * n / total_dl))
+         ELSE 0 END)
+    + (CASE WHEN tf3 > 0 THEN ln((n - df3 + 0.5) / (df3 + 0.5) + 1)
+         * (tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl * n / total_dl))
+         ELSE 0 END) AS score
+  FROM per CROSS JOIN g
+)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -11164,6 +11214,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_pq_ann_topk,
         SQL_PQ_ANN_TOPK,
         "product-quantization ADC top-10 vs independent scalar-loop reference",
+    ),
+    "bm25_search": QuerySpec(
+        q_bm25_search,
+        SQL_BM25_SEARCH,
+        "BM25 ranked retrieval: zero-shuffle two-pass scoring + distributed top-k",
     ),
 }
 

@@ -57,3 +57,46 @@ def test_pmi_matches_counter_reference(ray_session):
         np.testing.assert_allclose(
             out["pmi"].to_numpy(), np.round([p for p, *_ in ref], 6), atol=1e-9
         )
+
+
+def test_bm25_ranks_rarer_terms_higher():
+    """BM25: a doc matching a rare term outranks one matching a common term
+    with equal tf; idf/df arithmetic checked against a scalar reference."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.search import bm25_topk
+
+    rows = []
+    # 'common' appears in every doc; 'rare' only in doc 0
+    for i in range(20):
+        words = ["common"] * 3 + ["filler"] * 5
+        if i == 0:
+            words = ["rare"] * 3 + ["filler"] * 5
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = bm25_topk(ds, ["rare", "common"], k=20).set_index("doc_id")
+    assert out.index[0] == 0  # rare-term doc wins
+    # scalar reference for doc 0: N=20, df_rare=1, dl=8, avgdl=8
+    idf = math.log((20 - 1 + 0.5) / (1 + 0.5) + 1)
+    expect = idf * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert abs(out.loc[0, "score"] - expect) < 1e-9
+    # every other doc shares one identical 'common' score
+    others = out.drop(index=0)["score"]
+    assert others.nunique() == 1
+
+
+def test_bm25_batching_invariance():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.search import bm25_topk
+
+    rows = [{"doc_id": i, "text": " ".join(["alpha"] * (i % 4 + 1) + ["beta"] * 3)}
+            for i in range(30)]
+    t = pa.Table.from_pylist(rows)
+    a = bm25_topk(rd.from_arrow(t), ["alpha", "beta"], k=30)
+    b = bm25_topk(rd.from_arrow(t).repartition(7), ["alpha", "beta"], k=30)
+    assert a.equals(b)
