@@ -262,3 +262,72 @@ def c4_line_filter_partial(t: pa.Table) -> pa.Table:
     cols = [c for c in part.column_names if c != "source"]
     g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
     return g.rename_columns(["source"] + cols)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (RefinedWeb-style: drop lines that recur across
+# >= threshold distinct documents corpus-wide, then rewrite)
+# ---------------------------------------------------------------------------
+
+def dup_lines_dataset(ds, threshold: int = 3):
+    """One exchange: per-batch (line, distinct-doc-count) combiners (a line
+    counts once per doc however often it repeats inside it) → grouped sum →
+    filter >= threshold.  Returns a Dataset[(line, docs)]."""
+    from .relational import grouped_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        lflat, ldoc = _flatten_list(_split_lines(pc.fill_null(t["text"], "")))
+        lcode, uniq_lines = pd.factorize(lflat.to_numpy(zero_copy_only=False))
+        pairs = np.unique(np.stack([ldoc, lcode], axis=1), axis=0)
+        counts = np.bincount(pairs[:, 1], minlength=len(uniq_lines)).astype(np.int64)
+        return pa.table({"line": pa.array(uniq_lines, pa.string()), "docs": pa.array(counts)})
+
+    agg = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["line"], {"docs": "docs"},
+    )
+    return agg.filter(lambda r: r["docs"] >= threshold)
+
+
+def line_dedup_rewrite_stats(ds, threshold: int = 3) -> pd.DataFrame:
+    """Rewrite every doc with corpus-duplicated lines removed; per-source
+    stats (docs, lines/chars removed, docs emptied).  The dup-line set is
+    broadcast once (``ray.put``); above broadcast scale the same set rides
+    a tagged exchange like the substring-dedup prior (functions/grams.py)."""
+    import ray as _ray
+
+    dup = dup_lines_dataset(ds, threshold).to_pandas()
+    # empty filtered Datasets come back schema-less — guard the column
+    dup_set = set(dup["line"].tolist()) if len(dup) and "line" in dup.columns else set()
+    dup_ref = _ray.put(dup_set)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dup_set = _ray.get(dup_ref)
+        n = len(t)
+        lflat, ldoc = _flatten_list(_split_lines(pc.fill_null(t["text"], "")))
+        lstr = lflat.to_numpy(zero_copy_only=False)
+        llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(dup_set):
+            is_dup = pc.is_in(
+                lflat, value_set=pa.array(sorted(dup_set), pa.string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            is_dup = np.zeros(len(lstr), dtype=bool)
+        n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
+        removed = np.bincount(ldoc, weights=is_dup, minlength=n).astype(np.int64)
+        chars_rm = np.bincount(ldoc, weights=np.where(is_dup, llen, 0), minlength=n).astype(np.int64)
+        part = pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+                "lines_removed": pa.array(removed),
+                "chars_removed": pa.array(chars_rm),
+                "docs_emptied": pa.array((removed == n_lines).astype(np.int64)),
+            }
+        )
+        cols = [c for c in part.column_names if c != "source"]
+        g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["source"] + cols)
+
+    agg = ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return agg.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)

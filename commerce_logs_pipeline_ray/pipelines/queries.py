@@ -10318,6 +10318,43 @@ FROM s ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_line_dedup_rewrite(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style cross-document line dedup: one (line → distinct-doc
+    count) exchange finds lines recurring in >= 3 docs corpus-wide, a second
+    pass rewrites docs with them removed — per-source removal stats
+    (functions/webclean.py::line_dedup_rewrite_stats)."""
+    from ..functions.webclean import line_dedup_rewrite_stats
+
+    src = ensure_web_docs_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["doc_id", "source", "text"], override_num_blocks=8)
+    out = line_dedup_rewrite_stats(ds, threshold=3)
+    return _i64(out, ["n_docs", "lines_removed", "chars_removed", "docs_emptied"])
+
+
+SQL_LINE_DEDUP_REWRITE = """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS ls
+  FROM read_parquet('{AD}/web_docs.parquet')
+),
+l AS (SELECT doc_id, source, unnest(ls) AS line FROM d),
+dup AS (
+  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS docs FROM l GROUP BY 1)
+  WHERE docs >= 3
+),
+per AS (
+  SELECT doc_id, source, COUNT(*) AS n_lines,
+         SUM(CASE WHEN line IN (SELECT line FROM dup) THEN 1 ELSE 0 END) AS removed,
+         SUM(CASE WHEN line IN (SELECT line FROM dup) THEN length(line) ELSE 0 END) AS chars_rm
+  FROM l GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(removed) AS BIGINT) AS lines_removed,
+       CAST(SUM(chars_rm) AS BIGINT) AS chars_removed,
+       CAST(SUM(CASE WHEN removed = n_lines THEN 1 ELSE 0 END) AS BIGINT) AS docs_emptied
+FROM per GROUP BY 1 ORDER BY 1
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -11219,6 +11256,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_bm25_search,
         SQL_BM25_SEARCH,
         "BM25 ranked retrieval: zero-shuffle two-pass scoring + distributed top-k",
+    ),
+    "line_dedup_rewrite": QuerySpec(
+        q_line_dedup_rewrite,
+        SQL_LINE_DEDUP_REWRITE,
+        "cross-doc line dedup (>=3 docs) + rewrite, per-source removal stats",
     ),
 }
 

@@ -158,3 +158,48 @@ def test_batch_invariance(web):
 
     split = pd.concat(parts).groupby("source").sum()
     assert (whole.sort_index() == split.sort_index()).all().all()
+
+
+def test_line_dedup_rewrite_planted():
+    """Plant a boilerplate line in many docs; the rewrite removes exactly
+    its occurrences and nothing from below-threshold lines."""
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.webclean import (
+        dup_lines_dataset,
+        line_dedup_rewrite_stats,
+    )
+
+    rows = []
+    boiler = "subscribe to our newsletter"
+    for i in range(24):
+        lines = [f"unique line {i} alpha", f"unique line {i} beta"]
+        if i % 2 == 0:
+            lines.append(boiler)
+        if i in (0, 6):
+            lines.append(boiler)  # repeated within the doc too
+        if i < 2:
+            lines.append("rare pair line")  # only 2 docs — below threshold
+        rows.append({"doc_id": i, "source": f"s{i % 3}", "text": "\n".join(lines)})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    dup = dup_lines_dataset(ds, threshold=3).to_pandas()
+    assert dup["line"].tolist() == [boiler]
+    assert int(dup["docs"].iloc[0]) == 12  # distinct docs, not occurrences
+
+    out = line_dedup_rewrite_stats(ds, threshold=3)
+    tot = out.drop(columns=["source"]).sum()
+    assert tot["n_docs"] == 24
+    assert tot["lines_removed"] == 14  # 12 docs + 2 in-doc repeats
+    assert tot["chars_removed"] == 14 * len(boiler)
+    assert tot["docs_emptied"] == 0
+
+
+def test_line_dedup_no_dups_is_noop():
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.webclean import line_dedup_rewrite_stats
+
+    rows = [{"doc_id": i, "source": "s0", "text": f"only line {i}"} for i in range(5)]
+    out = line_dedup_rewrite_stats(rd.from_arrow(pa.Table.from_pylist(rows)), threshold=3)
+    assert out["lines_removed"].sum() == 0 and out["docs_emptied"].sum() == 0
