@@ -527,3 +527,71 @@ def pq_adc_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return _topk(scored, ["adc", id_col], [False, False], k).to_pandas()
+
+
+def knn_label_consistency(
+    ds: "Dataset",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    label_col: str = "label",
+    tile: int = 1024,
+) -> pd.DataFrame:
+    """Leave-one-out 1-NN label consistency (the classic label-noise audit):
+    every vector's exact nearest neighbour (squared L2 rounded to 9, ties →
+    smallest id, self excluded) votes on its label; per-label accuracy.
+
+    The corpus rides the object store once (``ray.put``) and each streamed
+    batch scans it in bounded tiles — exact all-pairs is inherently
+    quadratic, so at real scale this plugs in behind the IVF/LSH candidate
+    generators above; the kernel (tile scan + running (d2, id) min merge)
+    is unchanged there."""
+    import ray as _ray
+
+    ref_df = ds.to_pandas().sort_values(id_col, ignore_index=True)
+    R = np.stack([np.asarray(v, dtype=np.float64) for v in ref_df[col]])
+    rids = ref_df[id_col].to_numpy(np.int64)
+    rlabels = ref_df[label_col].to_numpy(np.int64)
+    rnorm2 = (R * R).sum(axis=1)
+    ref = _ray.put((R, rids, rlabels, rnorm2))
+
+    def nn(t: pa.Table) -> pa.Table:
+        Rm, ridv, rlab, rn2 = _ray.get(ref)
+        X = _to_matrix(t, col)
+        xids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xn2 = (X * X).sum(axis=1)
+        best_d = np.full(len(X), np.inf)
+        best_id = np.full(len(X), np.iinfo(np.int64).max, dtype=np.int64)
+        best_lab = np.zeros(len(X), dtype=np.int64)
+        for s in range(0, len(Rm), tile):
+            Rt = Rm[s : s + tile]
+            d2 = xn2[:, None] + rn2[None, s : s + tile] - 2.0 * (X @ Rt.T)
+            d2 = _rd(d2, 9)
+            tid = ridv[s : s + tile]
+            d2[xids[:, None] == tid[None, :]] = np.inf  # exclude self
+            m = d2.min(axis=1)
+            cand_ids = np.where(d2 == m[:, None], tid[None, :], np.iinfo(np.int64).max)
+            aid = cand_ids.min(axis=1)
+            take = (m < best_d) | ((m == best_d) & (aid < best_id))
+            best_d = np.where(take, m, best_d)
+            # ids are globally sorted; clip guards the never-taken MAXID rows
+            new_lab = rlab[np.clip(np.searchsorted(ridv, aid), 0, len(ridv) - 1)]
+            best_lab = np.where(take, new_lab, best_lab)
+            best_id = np.where(take, aid, best_id)
+        own = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(own),
+                "n": pa.array(np.ones(len(X), dtype=np.int64)),
+                "nn_same": pa.array((best_lab == own).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(nn, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("label", as_index=False)
+        .sum()
+        .sort_values("label", ignore_index=True)
+    )
+    agg["acc"] = _rd((agg["nn_same"] / agg["n"]).to_numpy(), 6)
+    return agg

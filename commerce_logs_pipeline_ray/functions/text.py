@@ -92,3 +92,88 @@ def compression_ratio_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
          "compressed_bytes": pa.array(comp),
          "compression_ratio": pa.array(ratio)}
     )
+
+
+def ngram_diversity(ds, ns=(1, 2, 3), group_col: str = "source"):
+    """N-gram diversity per group (self-repetition audit): distinct word
+    n-grams / total n-grams for each n — the type/token curve the corpus
+    diversity dashboards plot.  One tagged (group, n, gram) combiner
+    exchange carries ALL sizes at once (per-batch distinct rows with
+    counts); a second KB-sized pass counts distinct and total per (group,
+    n).  Returns one row per group with total_n / distinct_n / div_n."""
+    import pandas as pd
+
+    from .rounding import round_like_duckdb as _rd6
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(words), dtype=np.int64), counts)
+        flat = words.flatten()
+        grp = (
+            t[group_col].combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col]
+        ).to_numpy(zero_copy_only=False)
+        frames = []
+        cur = flat
+        for n in ns:
+            if n > 1:
+                m = len(flat) - (n - 1)
+                if m <= 0:
+                    continue
+                parts = [flat.slice(k, m) for k in range(n)]
+                cur = pc.binary_join_element_wise(*parts, " ")
+                same = doc_idx[: m] == doc_idx[n - 1 :]
+            else:
+                same = np.ones(len(flat), dtype=bool)
+            sub = pa.table(
+                {
+                    group_col: pa.array(grp[doc_idx[: len(cur)]][same]),
+                    "n": pa.array(np.full(int(same.sum()), n, dtype=np.int64)),
+                    "gram": pa.array(
+                        cur.to_numpy(zero_copy_only=False)[same], pa.string()
+                    ),
+                }
+            )
+            df = sub.to_pandas().groupby([group_col, "n", "gram"], as_index=False).size()
+            frames.append(df.rename(columns={"size": "cnt"}))
+        out = pd.concat(frames, ignore_index=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from .relational import grouped_sums
+
+    per_gram = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "n", "gram"],
+        {"cnt": "cnt"},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby([group_col, "n"], as_index=False).agg(
+            distinct=("gram", "size"), total=("cnt", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        per_gram.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby([group_col, "n"], as_index=False)
+        .sum()
+    )
+    rows = {}
+    for _, r in agg.iterrows():
+        rows.setdefault(r[group_col], {})[int(r["n"])] = (int(r["total"]), int(r["distinct"]))
+    recs = []
+    for grp in sorted(rows):
+        rec = {group_col: grp}
+        for n in ns:
+            total, distinct = rows[grp].get(n, (0, 0))
+            rec[f"total_{n}"] = total
+            rec[f"distinct_{n}"] = distinct
+            rec[f"div_{n}"] = float(_rd6(np.array([distinct / total if total else 0.0]), 6)[0])
+        recs.append(rec)
+    return pd.DataFrame(recs)

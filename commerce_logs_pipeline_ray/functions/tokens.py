@@ -830,3 +830,110 @@ def concat_chunk_tokens(
         return out
 
     return bucketed_group_reduce(piece_ds, ["chunk_id"], assemble)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window (strided, overlapping) chunking — the retrieval-corpus
+# layout (window W, stride S < W → W-S token overlap between neighbours)
+# ---------------------------------------------------------------------------
+
+def stride_window_stats(
+    ds: Dataset, window: int = 32, stride: int = 24, group_col: str = "source"
+) -> pd.DataFrame:
+    """Per-group stats of the strided chunking (chunk k of a doc covers
+    token positions [k·S, k·S + min(W, n−k·S))): chunk count, total chunk
+    tokens (overlap counted), full-window chunks, and an edge checksum
+    (Σ first+last token of every chunk) that pins the slicing arithmetic.
+    Offsets-only per-batch math over the shared token buffer; integer
+    partials reduce driver-side."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        starts = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(starts)
+        vals = values[offsets[0] : offsets[-1]].astype(np.int64)
+        pos = lens > 0
+        k_count = np.where(pos, (np.maximum(lens, 1) - 1) // stride + 1, 0)
+        row_idx = np.repeat(np.arange(len(t)), k_count)
+        within = np.arange(len(row_idx)) - np.repeat(np.cumsum(k_count) - k_count, k_count)
+        s = within * stride
+        clen = np.minimum(window, lens[row_idx] - s)
+        first = vals[starts[row_idx] + s]
+        last = vals[starts[row_idx] + s + clen - 1]
+        grp = (
+            t[group_col].combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col]
+        )
+        part = pa.table(
+            {
+                group_col: pc.take(grp, pa.array(row_idx, type=pa.int64())),
+                "n_chunks": pa.array(np.ones(len(row_idx), dtype=np.int64)),
+                "chunk_tokens": pa.array(clen.astype(np.int64)),
+                "full_chunks": pa.array((clen == window).astype(np.int64)),
+                "edge_checksum": pa.array(first + last),
+            }
+        )
+        cols = [c for c in part.column_names if c != group_col]
+        g = part.group_by([group_col]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns([group_col] + cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return agg.groupby(group_col, as_index=False).sum().sort_values(group_col, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle layout (Bavarian et al. 2022): deterministically split
+# every sequence into prefix/middle/suffix and reorder to PSM
+# ---------------------------------------------------------------------------
+
+def fim_layout_stats(ds: Dataset, min_len: int = 12, group_col: str = "source") -> pd.DataFrame:
+    """PSM reorder [prefix][suffix][middle] with integer-deterministic cuts
+    (c1 = n//4 + t₁ mod 5, c2 = min(c1 + n//2 − t₂ mod 3, n−1), docs with
+    n ≥ min_len).  Emits per-group segment token sums and a position-weighted
+    checksum Σ pos·token over the REORDERED stream — any slicing or ordering
+    bug shifts it.  Pure offset arithmetic; nothing is re-materialized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _flat_tokens(t)
+        starts = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(starts)
+        vals = values[offsets[0] : offsets[-1]].astype(np.int64)
+        elig = lens >= min_len
+        head = starts[:-1]
+        t1 = np.where(lens > 0, vals[np.minimum(head, max(len(vals) - 1, 0))], 0)
+        t2 = np.where(lens > 1, vals[np.minimum(head + 1, max(len(vals) - 1, 0))], 0)
+        c1 = lens // 4 + t1 % 5
+        c2 = np.minimum(c1 + lens // 2 - t2 % 3, lens - 1)
+        # per-token reordered position: j<=c1 → j; j>c2 → c1 + j - c2;
+        # else → c1 + (n - c2) + (j - c1)
+        row_idx = np.repeat(np.arange(len(t)), lens)
+        j = np.arange(len(vals)) - starts[row_idx] + 1
+        c1r, c2r, nr = c1[row_idx], c2[row_idx], lens[row_idx]
+        pos = np.where(
+            j <= c1r, j, np.where(j > c2r, c1r + j - c2r, c1r + (nr - c2r) + (j - c1r))
+        )
+        contrib = np.where(elig[row_idx], pos * vals, 0)
+        checksum = np.bincount(row_idx, weights=contrib, minlength=len(t)).astype(np.int64)
+        grp = (
+            t[group_col].combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col]
+        )
+        e = elig.astype(np.int64)
+        part = pa.table(
+            {
+                group_col: grp,
+                "n_docs_fim": pa.array(e),
+                "prefix_tokens": pa.array(np.where(elig, c1, 0)),
+                "middle_tokens": pa.array(np.where(elig, c2 - c1, 0)),
+                "suffix_tokens": pa.array(np.where(elig, lens - c2, 0)),
+                "fim_checksum": pa.array(checksum),
+            }
+        )
+        cols = [c for c in part.column_names if c != group_col]
+        g = part.group_by([group_col]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns([group_col] + cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return agg.groupby(group_col, as_index=False).sum().sort_values(group_col, ignore_index=True)
