@@ -385,3 +385,40 @@ class VideoDigest:
         return pa.table(
             {"media_id": t["media_id"], "digest": pa.array(digests, pa.string())}
         )
+
+
+class AudioDownsample:
+    """Actor-pool stage: WAV payload → 2:1 decimated PCM summary.  Adjacent
+    sample pairs average with floor division ((s₀+s₁)//2, trailing odd
+    sample dropped), halving the rate — the cheap anti-aliased-enough
+    resample a feature-extraction pipeline runs before fingerprinting.
+    Codec bound once per actor; per-clip integer checksum pins the math
+    against the independent stdlib-``wave`` reference decoder
+    (queries.ensure_audio_resample_parquet)."""
+
+    def __init__(self, factor: int = 2):
+        from ..functions.media_codecs import decode_wav
+
+        assert factor == 2, "only 2:1 implemented"
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        in_n, out_n, out_rate, checksum = [], [], [], []
+        for p in t["payload"].to_pylist():
+            rate, pcm = self._decode(p)
+            pcm = np.asarray(pcm, dtype=np.int64)
+            m = len(pcm) // 2
+            down = (pcm[0 : 2 * m : 2] + pcm[1 : 2 * m : 2]) // 2
+            in_n.append(len(pcm))
+            out_n.append(m)
+            out_rate.append(rate // 2)
+            checksum.append(int(down.sum()))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "in_samples": pa.array(in_n, pa.int64()),
+                "out_samples": pa.array(out_n, pa.int64()),
+                "out_rate": pa.array(out_rate, pa.int64()),
+                "checksum": pa.array(checksum, pa.int64()),
+            }
+        )
