@@ -10269,10 +10269,10 @@ FROM read_parquet('{AD}/pq_ref.parquet') ORDER BY adc, vec_id
 
 
 # ---------------------------------------------------------------------------
-# BM25 ranked retrieval
+# BM25 ranked retrieval (two-pass, zero-shuffle variant)
 # ---------------------------------------------------------------------------
 
-def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+def q_bm25_two_pass(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 for the query {table, scan, merge} over documents —
     zero-shuffle two-pass ranker (functions/search.py::bm25_topk): scalar
     corpus stats partials, then vectorized per-doc scoring + distributed
@@ -10285,7 +10285,7 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return _i64(out, ["doc_id"])
 
 
-SQL_BM25_SEARCH = """
+SQL_BM25_TWO_PASS = """
 WITH per AS (
   SELECT doc_id, len(ws) AS dl,
          len(list_filter(ws, x -> x = 'table')) AS tf1,
@@ -11599,9 +11599,9 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_PQ_ANN_TOPK,
         "product-quantization ADC top-10 vs independent scalar-loop reference",
     ),
-    "bm25_search": QuerySpec(
-        q_bm25_search,
-        SQL_BM25_SEARCH,
+    "bm25_two_pass": QuerySpec(
+        q_bm25_two_pass,
+        SQL_BM25_TWO_PASS,
         "BM25 ranked retrieval: zero-shuffle two-pass scoring + distributed top-k",
     ),
     "line_dedup_rewrite": QuerySpec(
