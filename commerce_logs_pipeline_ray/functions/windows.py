@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from .rounding import round_like_duckdb as _rd
@@ -280,3 +282,95 @@ def range_window_peak(
 
     out = bucketed_group_reduce(events, [key], per_bucket).to_pandas()
     return out.sort_values(key, ignore_index=True).astype({out_name: "int64"})
+
+
+def linear_attribution(
+    events,
+    window_us: int = 24 * 3_600_000_000,
+    key: str = "user_id",
+) -> "pd.DataFrame":
+    """Multi-touch LINEAR attribution with integer-exact credit: every
+    purchase's value (in cents) is split across the user's view events in
+    the strictly-preceding ``window_us`` — each view gets cents // n and the
+    EARLIEST view (ts, then event_id) takes the remainder, so credits are
+    integers that sum exactly to the purchase and no float order can drift.
+
+    One user-bucketed exchange; inside each bucket the per-purchase view
+    windows come from two searchsorted calls and the view-expansion is the
+    vectorized repeat/cumsum range trick — no per-purchase Python.
+    Returns hour-of-day → (n_views credited, attributed_cents)."""
+    import pandas as pd
+
+    from .relational import bucketed_group_reduce
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_n, out_c = [], [], []
+        for _, g in df.groupby(key, sort=False):
+            v = g[g["event_type"] == "view"].sort_values(["ts_us", "event_id"])
+            p = g[g["event_type"] == "purchase"]
+            if not len(v) or not len(p):
+                continue
+            vts = v["ts_us"].to_numpy(np.int64)
+            vhr = ((vts // 3_600_000_000) % 24).astype(np.int64)
+            pts = p["ts_us"].to_numpy(np.int64)
+            cents = p["cents"].to_numpy(np.int64)
+            lo = np.searchsorted(vts, pts - window_us, side="left")
+            hi = np.searchsorted(vts, pts, side="left")
+            n = hi - lo
+            keep = n > 0
+            lo, hi, n, cents = lo[keep], hi[keep], n[keep], cents[keep]
+            if not len(n):
+                continue
+            # expand [lo_i, hi_i) ranges: repeat/cumsum trick
+            total = int(n.sum())
+            idx = np.repeat(lo, n) + (
+                np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+            )
+            base = np.repeat(cents // n, n)
+            credit = base.copy()
+            firsts = np.cumsum(n) - n  # position of each purchase's first view
+            credit[firsts] += cents % n
+            hrs = vhr[idx]
+            out_h.append(hrs)
+            out_n.append(np.ones(total, dtype=np.int64))
+            out_c.append(credit)
+        if not out_h:
+            return pd.DataFrame({"hour": pd.Series(dtype="int64"),
+                                 "n_views": pd.Series(dtype="int64"),
+                                 "attributed_cents": pd.Series(dtype="int64")})
+        part = pd.DataFrame(
+            {"hour": np.concatenate(out_h), "n_views": np.concatenate(out_n),
+             "attributed_cents": np.concatenate(out_c)}
+        )
+        return part.groupby("hour", as_index=False).sum()
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        # normalize to µs whatever the input unit (parquet is us, pandas ns)
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                key: t[key],
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "ts_us": ts_us,
+                "cents": cents,
+            }
+        )
+
+    prepped = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = bucketed_group_reduce(prepped, [key], per_bucket).to_pandas()
+    if not len(agg) or "hour" not in agg.columns:
+        return pd.DataFrame({"hour": pd.Series(dtype="int64"),
+                             "n_views": pd.Series(dtype="int64"),
+                             "attributed_cents": pd.Series(dtype="int64")})
+    return (
+        agg.groupby("hour", as_index=False)
+        .sum()
+        .sort_values("hour", ignore_index=True)
+        .astype({"hour": "int64", "n_views": "int64", "attributed_cents": "int64"})
+    )

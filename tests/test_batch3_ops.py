@@ -51,3 +51,56 @@ def test_blocklist_scan_counts(ray_session):
     arr = pa.array([txt])
     assert pc.count_substring(arr, "slow")[0].as_py() == txt.count("slow")
     assert pc.count_substring(arr, "window sort")[0].as_py() == 1
+
+
+def test_linear_attribution_integer_exact(ray_session):
+    """Planted sessions: credits sum exactly to the purchase cents and the
+    earliest view takes the remainder."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.windows import linear_attribution
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = []
+    # user 1: purchase 10.01 (1001 cents) with 3 prior views at hours 7, 8, 9
+    for k, hr in enumerate((7, 8, 9)):
+        rows.append({"event_id": k, "ts": base.replace(hour=hr), "user_id": 1,
+                     "event_type": "view", "value": 0.0})
+    rows.append({"event_id": 10, "ts": base, "user_id": 1,
+                 "event_type": "purchase", "value": 10.01})
+    # user 2: view AFTER the purchase → no credit
+    rows.append({"event_id": 20, "ts": base, "user_id": 2,
+                 "event_type": "purchase", "value": 5.0})
+    rows.append({"event_id": 21, "ts": base.replace(hour=11), "user_id": 2,
+                 "event_type": "view", "value": 0.0})
+    # user 3: view 25h before → outside window
+    rows.append({"event_id": 30, "ts": base - pd.Timedelta(hours=25), "user_id": 3,
+                 "event_type": "view", "value": 0.0})
+    rows.append({"event_id": 31, "ts": base, "user_id": 3,
+                 "event_type": "purchase", "value": 7.0})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = linear_attribution(ds).set_index("hour")
+    assert int(out["attributed_cents"].sum()) == 1001  # only user 1 credits
+    # 1001 // 3 = 333 each; earliest view (hour 7) takes +2 remainder
+    assert out.loc[7, "attributed_cents"] == 335
+    assert out.loc[8, "attributed_cents"] == 333
+    assert out.loc[9, "attributed_cents"] == 333
+
+
+def test_vocab_coverage_monotone(ray_session):
+    from commerce_logs_pipeline_ray.pipelines.queries import q_vocab_coverage
+
+    out = q_vocab_coverage("/root/testdata/sf0.001").iloc[0]
+    assert out["k50"] <= out["k90"] <= out["k99"] <= out["vocab_size"]
+    assert out["k50"] >= 1
+
+
+def test_partition_skew_matches_scalar_fnv(ray_session):
+    from commerce_logs_pipeline_ray.functions.hashing import fnv1a32, fnv1a32_single
+    import pyarrow as pa
+
+    ids = [str(u) for u in (0, 1, 42, 999999, 123456789)]
+    vec = fnv1a32(pa.array(ids))
+    for s, h in zip(ids, vec):
+        assert int(h) == fnv1a32_single(s)
