@@ -595,3 +595,69 @@ def knn_label_consistency(
     )
     agg["acc"] = _rd((agg["nn_same"] / agg["n"]).to_numpy(), 6)
     return agg
+
+
+def contrastive_pairs(
+    ds: "Dataset",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    label_col: str = "label",
+    tile: int = 1024,
+) -> pd.DataFrame:
+    """Contrastive pair mining (metric-learning data prep): for every anchor
+    the nearest SAME-label vector (positive) and nearest DIFFERENT-label
+    vector (hard negative) by squared L2 (rounded to 9, ties → smallest id,
+    self excluded), with margin = neg_d2 − pos_d2.  Anchors whose label has
+    no second member are dropped.  Same broadcast-corpus + bounded-tile scan
+    as knn_label_consistency, two running (d2, id) minima per anchor."""
+    import ray as _ray
+
+    ref_df = ds.to_pandas().sort_values(id_col, ignore_index=True)
+    R = np.stack([np.asarray(v, dtype=np.float64) for v in ref_df[col]])
+    rids = ref_df[id_col].to_numpy(np.int64)
+    rlabels = ref_df[label_col].to_numpy(np.int64)
+    rnorm2 = (R * R).sum(axis=1)
+    ref = _ray.put((R, rids, rlabels, rnorm2))
+    MAXID = np.iinfo(np.int64).max
+
+    def mine(t: pa.Table) -> pa.Table:
+        Rm, ridv, rlab, rn2 = _ray.get(ref)
+        X = _to_matrix(t, col)
+        xids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xlab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xn2 = (X * X).sum(axis=1)
+        best = {
+            "pos": (np.full(len(X), np.inf), np.full(len(X), MAXID, dtype=np.int64)),
+            "neg": (np.full(len(X), np.inf), np.full(len(X), MAXID, dtype=np.int64)),
+        }
+        for s in range(0, len(Rm), tile):
+            d2 = xn2[:, None] + rn2[None, s : s + tile] - 2.0 * (X @ Rm[s : s + tile].T)
+            d2 = _rd(d2, 9)
+            tid = ridv[s : s + tile]
+            d2[xids[:, None] == tid[None, :]] = np.inf
+            same = xlab[:, None] == rlab[None, s : s + tile]
+            for kind, mask in (("pos", same), ("neg", ~same)):
+                dk = np.where(mask, d2, np.inf)
+                m = dk.min(axis=1)
+                cand = np.where(dk == m[:, None], tid[None, :], MAXID)
+                aid = cand.min(axis=1)
+                bd, bi = best[kind]
+                take = (m < bd) | ((m == bd) & (aid < bi))
+                best[kind] = (np.where(take, m, bd), np.where(take, aid, bi))
+        pos_d, pos_i = best["pos"]
+        neg_d, neg_i = best["neg"]
+        keep = np.isfinite(pos_d) & np.isfinite(neg_d)
+        return pa.table(
+            {
+                id_col: pa.array(xids[keep]),
+                "label": pa.array(xlab[keep]),
+                "pos_id": pa.array(pos_i[keep]),
+                "neg_id": pa.array(neg_i[keep]),
+                "margin": pa.array(_rd(neg_d[keep] - pos_d[keep], 6)),
+            }
+        )
+
+    out = ds.map_batches(mine, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values(id_col, ignore_index=True).astype(
+        {id_col: "int64", "label": "int64", "pos_id": "int64", "neg_id": "int64"}
+    )

@@ -252,3 +252,69 @@ def build_video_dup_table(n_base: int, seed: int = 42) -> pa.Table:
             "dup_of": pa.array(dup_of, pa.string()),
         }
     )
+
+
+def _gray_grid_dhash(img: np.ndarray) -> int:
+    """Scalar reference dHash: integer luma → 9×8 nearest-neighbor grid →
+    64 row-gradient sign bits.  Pure Python loops (synthesis-truth side,
+    independent of the vectorized stage kernel)."""
+    h, w = img.shape[0], img.shape[1]
+    bits = 0
+    grid = [[0] * 9 for _ in range(8)]
+    for r in range(8):
+        for c in range(9):
+            sr, sc = (r * h) // 8, (c * w) // 9
+            px = img[sr, sc]
+            grid[r][c] = (int(px[0]) + int(px[1]) + int(px[2])) // 3 if img.ndim == 3 else int(px)
+    k = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c + 1] > grid[r][c]:
+                bits |= 1 << k
+            k += 1
+    return bits
+
+
+def build_image_scale_dup_table(n_base: int, seed: int = 42) -> pa.Table:
+    """Perceptual-dup image corpus with persisted truth: every second base
+    image gets a 2× PIXEL-DOUBLED copy (different bytes AND different pixel
+    dims — exact content dedup cannot group it; nearest-neighbor dHash
+    provably samples the identical 9×8 grid) and every third a +1-brightness
+    copy (gradient signs unchanged ⇒ dHash-equal).  ``dup_of`` comes from
+    the scalar reference dHash at synthesis time."""
+    from ..functions.media_codecs import encode_png
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, imgs = [], [], []
+    for i in range(n_base):
+        w, h = 18 + i % 15, 16 + i % 13
+        img = (
+            np.add.outer(np.arange(h), np.arange(w))[..., None] * [7, 2, 5]
+            + rng.integers(0, 200, size=(h, w, 3))
+        ).astype(np.uint8)
+        base_id = f"simg{i:05d}"
+        ids.append(base_id)
+        payloads.append(encode_png(img))
+        imgs.append(img)
+        if i % 2 == 0:
+            ids.append(f"{base_id}s2")
+            payloads.append(encode_png(np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)))
+            imgs.append(np.repeat(np.repeat(img, 2, axis=0), 2, axis=1))
+        if i % 3 == 0:
+            bright = np.minimum(img.astype(np.int32) + 1, 255).astype(np.uint8)
+            ids.append(f"{base_id}b1")
+            payloads.append(encode_png(bright))
+            imgs.append(bright)
+    hashes = [_gray_grid_dhash(im) for im in imgs]
+    first: dict[int, str] = {}
+    dup_of = []
+    for mid, hsh in zip(ids, hashes):
+        first.setdefault(hsh, mid)
+        dup_of.append(first[hsh])
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "dup_of": pa.array(dup_of, pa.string()),
+        }
+    )

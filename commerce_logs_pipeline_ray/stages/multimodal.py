@@ -422,3 +422,43 @@ class AudioDownsample:
                 "checksum": pa.array(checksum, pa.int64()),
             }
         )
+
+
+class ImagePHash:
+    """Actor-pool stage: PNG payload → 64-bit perceptual dHash (integer
+    luma → 9×8 nearest-neighbor grid → row-gradient sign bits).  Catches
+    what exact pixel-digest dedup cannot: rescaled and brightness-shifted
+    re-encodes hash identically (nearest sampling of a pixel-doubled image
+    reproduces the same grid; +k brightness preserves gradient signs).
+    Vectorized per image: one fancy-index gather + one comparison."""
+
+    def __init__(self):
+        from ..functions.media_codecs import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes = []
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+        for p in t["payload"].to_pylist():
+            img = self._decode(p)
+            h, w = img.shape[0], img.shape[1]
+            rs = (np.arange(8, dtype=np.int64) * h) // 8
+            cs = (np.arange(9, dtype=np.int64) * w) // 9
+            patch = img[rs[:, None], cs[None, :]]
+            if patch.ndim == 3:
+                gray = (
+                    patch[..., 0].astype(np.int64)
+                    + patch[..., 1].astype(np.int64)
+                    + patch[..., 2].astype(np.int64)
+                ) // 3
+            else:
+                gray = patch.astype(np.int64)
+            bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64)
+            hashes.append(int((bits * weights).sum()))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "phash": pa.array(np.array(hashes, dtype=np.uint64)),
+            }
+        )

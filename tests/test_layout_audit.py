@@ -131,3 +131,53 @@ def test_knn_label_consistency_blobs():
     # the planted point's NN is a cluster-0 member → inconsistent
     assert out.loc[2, "n"] == 31 and out.loc[2, "nn_same"] == 30
     assert out.loc[2, "acc"] < 1.0
+
+
+def test_image_phash_groups_scaled_and_bright():
+    from commerce_logs_pipeline_ray.sources.media import (
+        _gray_grid_dhash,
+        build_image_scale_dup_table,
+    )
+    from commerce_logs_pipeline_ray.stages.multimodal import ImagePHash
+
+    t = build_image_scale_dup_table(12)
+    out = ImagePHash()(t.select(["media_id", "payload"])).to_pandas()
+    out = out.merge(t.select(["media_id", "dup_of"]).to_pandas(), on="media_id")
+    # engine phash grouping must equal the scalar-truth grouping exactly
+    by_hash = out.groupby("phash")["media_id"].min()
+    out["engine_dup"] = out["phash"].map(by_hash)
+    assert (out["engine_dup"] == out["dup_of"]).all()
+    # the 2x copy is pixel- AND byte-different yet hash-equal
+    a = out.set_index("media_id")
+    assert a.loc["simg00000", "phash"] == a.loc["simg00000s2", "phash"]
+    assert a.loc["simg00000", "phash"] == a.loc["simg00000b1", "phash"]
+    # scalar reference agrees with the vectorized kernel bit-for-bit
+    from commerce_logs_pipeline_ray.functions.media_codecs import decode_png
+
+    for mid in ("simg00001", "simg00002s2"):
+        img = decode_png(t.to_pandas().set_index("media_id").loc[mid, "payload"])
+        assert _gray_grid_dhash(img) == int(a.loc[mid, "phash"])
+
+
+def test_contrastive_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import contrastive_pairs
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(2, 8)) * 10
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        rows.append({"vec_id": i, "label": lab,
+                     "embedding": (centers[lab] + rng.normal(size=8) * 0.05).tolist()})
+    out = contrastive_pairs(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3), tile=13
+    ).set_index("vec_id")
+    assert len(out) == 40
+    # positives share the anchor's label parity, negatives the other
+    assert ((out.index % 2) == (out["pos_id"] % 2)).all()
+    assert ((out.index % 2) != (out["neg_id"] % 2)).all()
+    # well-separated blobs → every margin strongly positive
+    assert (out["margin"] > 0).all()
+    assert (out["pos_id"] != out.index).all()
