@@ -286,7 +286,12 @@ def dup_lines_dataset(ds, threshold: int = 3):
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["line"], {"docs": "docs"},
     )
-    return agg.filter(lambda r: r["docs"] >= threshold)
+    # vectorized batch filter (a row-lambda filter would fall back to Python)
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["docs"], threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def line_dedup_rewrite_stats(ds, threshold: int = 3) -> pd.DataFrame:

@@ -10189,52 +10189,48 @@ FROM per ORDER BY doc_id
 
 def ensure_pq_ref_parquet(sf_dir: str) -> str:
     """Oracle artifact for ``pq_ann_topk``: the expected ADC top-10 derived
-    by an INDEPENDENT scalar-loop replay of the PQ determinism contract
-    (per-pair distance loops, explicit tie-break mins) — no shared code with
-    the vectorized engine path (functions/sim.py)."""
+    by an INDEPENDENT replay of the PQ determinism contract — per-CENTROID
+    column loops (``((X - C[c])**2).sum(1)``) instead of the engine's
+    3-tensor broadcast, explicit first-min tie-breaks, plain argsort top-k.
+    Bit-equal because both formulations square elementwise and sum the same
+    8 contiguous float64 lanes (functions/sim.py)."""
     import os as _os
 
     def build() -> pa.Table:
         t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        ids = t["vec_id"].to_pylist()
-        vecs = [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        ids = [ids[i] for i in order]
-        vecs = [vecs[i] for i in order]
+        order = np.argsort(np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)), kind="stable")
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))[order]
+        X = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])[order]
         m, kc, iters = 8, 16, 10
-        sub = len(vecs[0]) // m
-        books: list[list[np.ndarray]] = []
+        sub = X.shape[1] // m
+        books = []
         for j in range(m):
-            xj = [x[j * sub : (j + 1) * sub] for x in vecs]
-            cents = [xj[c].copy() for c in range(kc)]
+            Xj = X[:, j * sub : (j + 1) * sub]
+            C = Xj[:kc].copy()
             for _ in range(iters):
-                assign = []
-                for x in xj:
-                    d2 = [float(((x - cents[c]) ** 2).sum()) for c in range(kc)]
-                    assign.append(min(range(kc), key=lambda c: (d2[c], c)))
+                d2 = np.empty((len(Xj), kc))
                 for c in range(kc):
-                    members = [xj[i] for i, a in enumerate(assign) if a == c]
-                    if members:
-                        cents[c] = np.mean(np.stack(members), axis=0)
-            books.append(cents)
-        qv = vecs[ids.index(0)]
-        lut = [
-            [float(((qv[j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum()) for c in range(kc)]
-            for j in range(m)
-        ]
-        dists = []
-        for x in vecs:
-            s = 0.0
-            for j in range(m):
-                xj = x[j * sub : (j + 1) * sub]
-                d2 = [float(((xj - books[j][c]) ** 2).sum()) for c in range(kc)]
-                s += lut[j][min(range(kc), key=lambda c: (d2[c], c))]
-            dists.append(s)
-        top = sorted(range(len(ids)), key=lambda i: (dists[i], ids[i]))[:10]
+                    d2[:, c] = ((Xj - C[c]) ** 2).sum(axis=1)
+                a = d2.argmin(axis=1)  # first min == lowest code on ties
+                for c in range(kc):
+                    if (a == c).any():
+                        C[c] = Xj[a == c].mean(axis=0)
+            books.append(C)
+        qv = X[int(np.nonzero(ids == 0)[0][0])]
+        dists = np.zeros(len(X))
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = np.empty((len(Xj), kc))
+            lut = np.empty(kc)
+            for c in range(kc):
+                d2[:, c] = ((Xj - books[j][c]) ** 2).sum(axis=1)
+                lut[c] = ((qv[j * sub : (j + 1) * sub] - books[j][c]) ** 2).sum()
+            dists = dists + lut[d2.argmin(axis=1)]
+        top = np.lexsort((ids, dists))[:10]
         return pa.table(
             {
-                "vec_id": pa.array([ids[i] for i in top], pa.int64()),
-                "adc": pa.array(_rd(np.array([dists[i] for i in top]), 6)),
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "adc": pa.array(_rd(dists[top], 6)),
             }
         )
 
