@@ -179,6 +179,26 @@ BENCH_QUERIES = [
     "price_p99_exact",
     "return_rate_monthly",
     "weekend_lift",
+    # round-4 session-3 operators
+    "gopher_repetition",
+    "gopher_quality_rules",
+    "c4_line_filter",
+    "line_dedup_rewrite",
+    "dsir_importance",
+    "pq_ann_topk",
+    "bm25_two_pass",
+    "stride_chunks",
+    "fim_layout",
+    "ngram_diversity",
+    "knn_label_consistency",
+    "blocklist_scan",
+    "budget_apportionment",
+    "audio_downsample",
+    "linear_attribution",
+    "vocab_coverage",
+    "partition_skew_audit",
+    "image_phash_dedup",
+    "contrastive_pairs",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
