@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "partition_skew_audit",
     "image_phash_dedup",
     "contrastive_pairs",
+    "cusum_changepoint",
+    "twap_user_value",
+    "webclean_pipeline",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -336,3 +336,197 @@ def line_dedup_rewrite_stats(ds, threshold: int = 3) -> pd.DataFrame:
 
     agg = ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return agg.groupby("source", as_index=False).sum().sort_values("source", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end web-cleaning pipeline:
+#   C4 doc kill → C4 line filter (+ >= 3 kept lines) → Gopher quality gates
+#   → cross-doc line dedup (>= 3 docs) rewrite → cleaned corpus + funnel
+# ---------------------------------------------------------------------------
+
+def _c4_keep_mask(lflat: pa.Array) -> np.ndarray:
+    terminal = np.zeros(len(lflat), dtype=bool)
+    for ch in TERMINAL_CHARS:
+        terminal |= pc.ends_with(lflat, ch).to_numpy(zero_copy_only=False)
+    wc = pc.add(pc.count_substring(lflat, " "), 1).to_numpy(zero_copy_only=False)
+    no_js = pc.invert(
+        pc.match_substring(pc.utf8_lower(lflat), "javascript")
+    ).to_numpy(zero_copy_only=False)
+    return terminal & (wc >= 5) & no_js
+
+
+def _rebuild_text(lflat: pa.Array, ldoc: np.ndarray, keep: np.ndarray, n_docs: int):
+    """Filter flat lines by mask (order preserved) and re-join per doc with
+    newlines — one arrow filter + offsets rebuild + binary_join."""
+    kept_counts = np.bincount(ldoc, weights=keep, minlength=n_docs).astype(np.int64)
+    kept_lines = lflat.filter(pa.array(keep))
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_lines)
+    return pc.binary_join(lists, "\n"), kept_counts
+
+
+def _gopher_pass_mask(text: pa.Array) -> np.ndarray:
+    """Per-doc boolean: passes ALL Gopher gates (same integer-exact rules as
+    gopher_quality_partial, over the supplied text)."""
+    n_docs = len(text)
+    lflat, ldoc = _flatten_list(_split_lines(text))
+    n_lines = np.bincount(ldoc, minlength=n_docs).astype(np.int64)
+    bullet = pc.starts_with(lflat, "- ").to_numpy(zero_copy_only=False)
+    ellip = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(ldoc, weights=bullet, minlength=n_docs).astype(np.int64)
+    n_ellip = np.bincount(ldoc, weights=ellip, minlength=n_docs).astype(np.int64)
+    wflat, wdoc = _flatten_list(_split_words(text))
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.bincount(wdoc, minlength=n_docs).astype(np.int64)
+    sum_len = np.bincount(wdoc, weights=wlen, minlength=n_docs).astype(np.int64)
+    sym = pc.or_(
+        pc.match_substring(wflat, "#"), pc.match_substring(wflat, "...")
+    ).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(wflat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+    n_sym = np.bincount(wdoc, weights=sym, minlength=n_docs).astype(np.int64)
+    n_alpha = np.bincount(wdoc, weights=alpha, minlength=n_docs).astype(np.int64)
+    stop_hits = (
+        pc.count_substring_regex(text, STOPWORD_PATTERN)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return ~(
+        (n_words < MIN_WORDS) | (n_words > MAX_WORDS)
+        | (sum_len < 3 * n_words) | (sum_len > 10 * n_words)
+        | (10 * n_sym > n_words)
+        | (10 * n_bullet > 9 * n_lines)
+        | (10 * n_ellip > 3 * n_lines)
+        | (5 * n_alpha < 4 * n_words)
+        | (stop_hits < 2)
+    )
+
+
+def webclean_pipeline(ds, dedup_threshold: int = 3, out_dir: str | None = None):
+    """The composed cleaning flow every web-scale curation run performs,
+    streaming end to end (each stage a map_batches rewrite; the only
+    exchange is the dedup line-count combiner):
+
+    1. C4 doc kill (lorem-ipsum / curly brace);
+    2. C4 line filter + require >= 3 kept lines (the "3 sentences" rule);
+    3. Gopher quality gates over the CLEANED text;
+    4. cross-doc line dedup (>= threshold surviving docs) rewrite.
+
+    Returns (per-source funnel DataFrame, cleaned Dataset); with
+    ``out_dir`` the cleaned corpus is also written Hive-partitioned by
+    source.  Per-stage counts ride each batch as integer partials.
+    """
+    import pandas as pd
+
+    def stage_a(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        low = pc.utf8_lower(text)
+        killed = pc.or_(
+            pc.match_substring(low, "lorem ipsum"), pc.match_substring(text, "{")
+        ).to_numpy(zero_copy_only=False)
+        n = len(t)
+        lflat, ldoc = _flatten_list(_split_lines(text))
+        keep_line = _c4_keep_mask(lflat) & ~killed[ldoc]
+        cleaned, kept_counts = _rebuild_text(lflat, ldoc, keep_line, n)
+        doc_ok = ~killed & (kept_counts >= 3)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "text": cleaned,
+                "__killed": pa.array(killed),
+                "__short": pa.array(~killed & (kept_counts < 3)),
+                "__ok": pa.array(doc_ok),
+            }
+        )
+        return out
+
+    def stage_c(t: pa.Table) -> pa.Table:
+        ok = t["__ok"].to_numpy(zero_copy_only=False)
+        gp = _gopher_pass_mask(pc.fill_null(t["text"], "")) & ok
+        return t.set_column(
+            t.schema.get_field_index("__ok"), "__ok", pa.array(gp)
+        ).append_column("__qfail", pa.array(ok & ~gp))
+
+    tagged = ds.map_batches(stage_a, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        stage_c, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    survivors = tagged.map_batches(
+        lambda t: t.filter(t["__ok"]).select(["doc_id", "source", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dup = dup_lines_dataset(survivors, dedup_threshold).to_pandas()
+    dup_set = set(dup["line"].tolist()) if len(dup) and "line" in dup.columns else set()
+    import ray as _ray
+
+    dup_ref = _ray.put(dup_set)
+
+    def stage_d(t: pa.Table) -> pa.Table:
+        dset = _ray.get(dup_ref)
+        n = len(t)
+        text = pc.fill_null(t["text"], "")
+        lflat, ldoc = _flatten_list(_split_lines(text))
+        if len(dset):
+            is_dup = pc.is_in(
+                lflat, value_set=pa.array(sorted(dset), pa.string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            is_dup = np.zeros(len(lflat), dtype=bool)
+        cleaned, kept_counts = _rebuild_text(lflat, ldoc, ~is_dup, n)
+        removed = np.bincount(ldoc, weights=is_dup, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "text": cleaned,
+                "__dedup_removed": pa.array(removed),
+            }
+        )
+
+    final = survivors.map_batches(stage_d, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # funnel partials
+    def funnel_a(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "source": t["source"],
+                "docs_in": pa.array(np.ones(len(t), dtype=np.int64)),
+                "docs_killed": pc.cast(t["__killed"], pa.int64()),
+                "docs_short": pc.cast(t["__short"], pa.int64()),
+                "docs_quality_fail": pc.cast(t["__qfail"], pa.int64()),
+            }
+        )
+        cols = [c for c in part.column_names if c != "source"]
+        g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["source"] + cols)
+
+    def funnel_d(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "source": t["source"],
+                "docs_out": pa.array(np.ones(len(t), dtype=np.int64)),
+                "lines_dedup_removed": t["__dedup_removed"],
+                "chars_out": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+        cols = [c for c in part.column_names if c != "source"]
+        g = part.group_by(["source"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["source"] + cols)
+
+    fa = tagged.map_batches(funnel_a, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    fd = final.map_batches(funnel_d, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    stats = (
+        fa.groupby("source", as_index=False).sum()
+        .merge(fd.groupby("source", as_index=False).sum(), on="source", how="left")
+        .fillna(0)
+        .sort_values("source", ignore_index=True)
+    )
+    for c in stats.columns:
+        if c != "source":
+            stats[c] = stats[c].astype("int64")
+    if out_dir:
+        final.drop_columns(["__dedup_removed"]).write_parquet(
+            out_dir, partition_cols=["source"], mode="overwrite"
+        )
+    return stats, final

@@ -10956,6 +10956,264 @@ WHERE pos.rn = 1 ORDER BY pos.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan + time-weighted average (session-3 batch 6)
+# ---------------------------------------------------------------------------
+
+def q_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint scan per event type over the hourly count series:
+    cumulative deviation from the overall hourly mean, kept INTEGER by
+    cross-multiplication (cum_k = Σ n_i·H − k·N stays exact — no float
+    drift), argmax |cusum| with ties to the earliest hour.  One (type,
+    hour) combiner exchange; the per-type series fold is driver-side over
+    the tiny hourly grid."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour_id = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"hour_id": hour_id, "event_type": t["event_type"]})
+
+    hourly = grouped_sums(
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour_id"], {}, "n",
+    ).to_pandas()
+    rows = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        g = g.sort_values("hour_id", ignore_index=True)
+        n = g["n"].to_numpy(np.int64)
+        hours = g["hour_id"].to_numpy(np.int64)
+        H, N = len(n), int(n.sum())
+        # cum_k = Σ_{i<=k} (n_i*H - N)  ==  H*prefix_k - (k+1)*N   (exact ints)
+        cum = np.cumsum(n * H) - (np.arange(1, H + 1, dtype=np.int64)) * N
+        k = int(np.argmax(np.abs(cum)))  # first max == earliest hour
+        rows.append((et, H, N, int(hours[k]), int(cum[k])))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_hours", "n_events", "peak_hour", "peak_cusum"]
+    )
+    return _i64(out, ["n_hours", "n_events", "peak_hour", "peak_cusum"])
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, hour_id, n,
+         COUNT(*) OVER (PARTITION BY event_type) AS nh,
+         SUM(n) OVER (PARTITION BY event_type) AS tot,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY hour_id
+                      ROWS UNBOUNDED PRECEDING) AS pre,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_id) AS k
+  FROM h
+),
+c AS (
+  SELECT event_type, hour_id, nh, tot,
+         CAST(nh * pre - k * tot AS BIGINT) AS cusum
+  FROM s
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(cusum) DESC, hour_id ASC) AS rk
+  FROM c
+)
+SELECT event_type, CAST(nh AS BIGINT) AS n_hours, CAST(tot AS BIGINT) AS n_events,
+       hour_id AS peak_hour, cusum AS peak_cusum
+FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def q_twap_user_value(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average event value per user (top 20 by TWAP): each
+    event's value holds until the user's next event; weights are exact µs
+    gaps × exact cents, one integer dot product per user inside the
+    bucketed exchange.  Users with < 2 events are excluded (zero span)."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["ts_us", "event_id"])
+            ts = g["ts_us"].to_numpy(np.int64)
+            cents = g["cents"].to_numpy(np.int64)
+            gaps = np.diff(ts)
+            num = int((cents[:-1] * gaps).sum())
+            den = int(ts[-1] - ts[0])
+            rows.append((uid, len(g), num, den))
+        import pandas as _pd
+
+        return _pd.DataFrame(rows, columns=["user_id", "n_events", "num", "den"])
+
+    agg = bucketed_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], per_bucket,
+    ).to_pandas()
+    if not len(agg):
+        return pd.DataFrame(columns=["user_id", "n_events", "twap"])
+    agg = agg[agg["den"] > 0].copy()
+    agg["twap"] = _rd(agg["num"].to_numpy(np.float64) / agg["den"].to_numpy(np.float64) / 100.0, 6)
+    out = agg.sort_values(["twap", "user_id"], ascending=[False, True], ignore_index=True).head(20)
+    return _i64(out[["user_id", "n_events", "twap"]].copy(), ["user_id", "n_events"])
+
+
+SQL_TWAP_USER_VALUE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, event_id
+  FROM events
+),
+w AS (
+  SELECT user_id, cents, ts_us,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+  FROM e
+),
+a AS (
+  SELECT user_id, COUNT(*) + 1 AS n_events,
+         SUM(cents * (nxt - ts_us)) AS num,
+         MAX(nxt) - MIN(ts_us) AS den
+  FROM w WHERE nxt IS NOT NULL GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(num / CAST(den AS DOUBLE) / 100.0, 6) AS twap
+FROM a WHERE den > 0
+ORDER BY twap DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_webclean_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end web cleaning funnel (C4 doc kill → C4 line filter +
+    3-line rule → Gopher gates on the CLEANED text → cross-doc line dedup
+    rewrite) — streaming stage composition, one dedup combiner exchange
+    (functions/webclean.py::webclean_pipeline)."""
+    from ..functions.webclean import webclean_pipeline
+
+    src = ensure_web_docs_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["doc_id", "source", "text"], override_num_blocks=8)
+    stats, _final = webclean_pipeline(ds)
+    return stats
+
+
+SQL_WEBCLEAN_PIPELINE = r"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS ls,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS killed
+  FROM read_parquet('{AD}/web_docs.parquet')
+),
+l0 AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS li FROM d
+),
+lk AS (
+  SELECT doc_id, line, li,
+         ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
+          AND len(string_split(line, ' ')) >= 5
+          AND NOT contains(lower(line), 'javascript')) AS kept
+  FROM l0
+),
+ck AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS ctext, COUNT(*) AS kc
+  FROM lk WHERE kept GROUP BY 1
+),
+a AS (
+  SELECT d.doc_id, d.source, d.killed,
+         COALESCE(ck.ctext, '') AS ctext, COALESCE(ck.kc, 0) AS kc,
+         (NOT d.killed AND COALESCE(ck.kc, 0) >= 3) AS ok0,
+         (NOT d.killed AND COALESCE(ck.kc, 0) < 3) AS short
+  FROM d LEFT JOIN ck USING (doc_id)
+),
+gl AS (
+  SELECT doc_id, unnest(string_split(ctext, chr(10))) AS line FROM a WHERE ok0
+),
+glagg AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         SUM(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet,
+         SUM(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ellip
+  FROM gl GROUP BY 1
+),
+gw AS (
+  SELECT doc_id, unnest(string_split(replace(ctext, chr(10), ' '), ' ')) AS word
+  FROM a WHERE ok0
+),
+gwagg AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(length(word)) AS sum_len,
+         SUM(CASE WHEN contains(word, '#') OR contains(word, '...')
+                  THEN 1 ELSE 0 END) AS n_sym,
+         SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS n_alpha
+  FROM gw GROUP BY 1
+),
+gates AS (
+  SELECT a.doc_id,
+         NOT (n_words < 20 OR n_words > 100000
+              OR sum_len < 3 * n_words OR sum_len > 10 * n_words
+              OR 10 * n_sym > n_words
+              OR 10 * n_bullet > 9 * n_lines
+              OR 10 * n_ellip > 3 * n_lines
+              OR 5 * n_alpha < 4 * n_words
+              OR len(regexp_extract_all(a.ctext, '\b(?:the|a|of|and|to)\b')) < 2) AS gpass
+  FROM a JOIN glagg ON glagg.doc_id = a.doc_id JOIN gwagg ON gwagg.doc_id = a.doc_id
+  WHERE a.ok0
+),
+surv AS (
+  SELECT a.doc_id, a.source, a.ctext
+  FROM a JOIN gates ON gates.doc_id = a.doc_id WHERE gates.gpass
+),
+sl AS (
+  SELECT doc_id, source, unnest(string_split(ctext, chr(10))) AS line,
+         generate_subscripts(string_split(ctext, chr(10)), 1) AS li
+  FROM surv
+),
+dup AS (
+  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS c FROM sl GROUP BY 1)
+  WHERE c >= 3
+),
+fin AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN line IN (SELECT line FROM dup) THEN 1 ELSE 0 END) AS removed,
+         COALESCE(SUM(CASE WHEN line NOT IN (SELECT line FROM dup)
+                           THEN length(line) ELSE 0 END)
+                  + GREATEST(SUM(CASE WHEN line NOT IN (SELECT line FROM dup)
+                                      THEN 1 ELSE 0 END) - 1, 0), 0) AS chars_out
+  FROM sl GROUP BY 1, 2
+),
+fa AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN killed THEN 1 ELSE 0 END) AS BIGINT) AS docs_killed,
+         CAST(SUM(CASE WHEN short THEN 1 ELSE 0 END) AS BIGINT) AS docs_short,
+         CAST(SUM(CASE WHEN ok0 AND doc_id IN (SELECT doc_id FROM gates WHERE NOT gpass)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality_fail
+  FROM a GROUP BY 1
+),
+fd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_out,
+         CAST(SUM(removed) AS BIGINT) AS lines_dedup_removed,
+         CAST(SUM(chars_out) AS BIGINT) AS chars_out
+  FROM fin GROUP BY 1
+)
+SELECT fa.source, docs_in, docs_killed, docs_short, docs_quality_fail,
+       CAST(COALESCE(docs_out, 0) AS BIGINT) AS docs_out,
+       CAST(COALESCE(lines_dedup_removed, 0) AS BIGINT) AS lines_dedup_removed,
+       CAST(COALESCE(fd.chars_out, 0) AS BIGINT) AS chars_out
+FROM fa LEFT JOIN fd ON fd.source = fa.source ORDER BY 1
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -11922,6 +12180,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_contrastive_pairs,
         SQL_CONTRASTIVE_PAIRS,
         "contrastive pair mining: nearest positive + hard negative per anchor",
+    ),
+    "cusum_changepoint": QuerySpec(
+        q_cusum_changepoint,
+        SQL_CUSUM_CHANGEPOINT,
+        "CUSUM changepoint per event type, integer cross-multiplied deviations",
+    ),
+    "twap_user_value": QuerySpec(
+        q_twap_user_value,
+        SQL_TWAP_USER_VALUE,
+        "time-weighted average value per user (exact µs×cents dot product)",
+    ),
+    "webclean_pipeline": QuerySpec(
+        q_webclean_pipeline,
+        SQL_WEBCLEAN_PIPELINE,
+        "end-to-end web cleaning funnel: C4 kill/line → Gopher gates → line dedup",
     ),
 }
 

@@ -203,3 +203,31 @@ def test_line_dedup_no_dups_is_noop():
     rows = [{"doc_id": i, "source": "s0", "text": f"only line {i}"} for i in range(5)]
     out = line_dedup_rewrite_stats(rd.from_arrow(pa.Table.from_pylist(rows)), threshold=3)
     assert out["lines_removed"].sum() == 0 and out["docs_emptied"].sum() == 0
+
+
+def test_webclean_pipeline_funnel_and_write(tmp_path):
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.webclean import webclean_pipeline
+    from commerce_logs_pipeline_ray.sources.webdocs import build_web_docs
+
+    web = build_web_docs(_docs())
+    ds = rd.from_arrow(web).repartition(4)
+    out_dir = str(tmp_path / "cleaned")
+    stats, final = webclean_pipeline(ds, out_dir=out_dir)
+    tot = stats.drop(columns=["source"]).sum()
+    kill_ids = {i for i in range(60) if i % 17 == 0 or i % 19 == 0}
+    assert tot["docs_in"] == 60
+    assert tot["docs_killed"] == len(kill_ids)
+    # funnel is conservative: every doc lands in exactly one bucket or survives
+    assert (tot["docs_killed"] + tot["docs_short"] + tot["docs_quality_fail"]
+            + tot["docs_out"]) == 60
+    # written corpus row count matches the funnel
+    import pyarrow.dataset as pads2
+
+    written = pads2.dataset(out_dir, partitioning="hive").to_table()
+    assert written.num_rows == tot["docs_out"]
+    # cleaned text has no javascript lines and no lorem docs
+    for txt in written["text"].to_pylist():
+        assert "javascript" not in txt.lower()
+        assert "lorem ipsum" not in txt.lower()
