@@ -11214,6 +11214,57 @@ FROM fa LEFT JOIN fd ON fd.source = fa.source ORDER BY 1
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental aggregate maintenance (state/aggstate.py): the events
+    stream split into two runs at its median hour, each run folded into a
+    persisted per-(event_type) state WITHOUT rescanning history; re-applied
+    run ids are no-ops.  Result = state read-back; oracle = one-shot full
+    aggregate — equality proves fold ≡ recompute."""
+    import os as _os
+
+    from ..state.aggstate import IncrementalAgg, fold_run
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    # deterministic split point: integer midpoint of the µs range
+    import pyarrow.parquet as _pq
+
+    meta = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ts_us = pc.cast(pc.cast(meta["ts"], pa.timestamp("us")), pa.int64())
+    mid = (int(pc.min(ts_us).as_py()) + int(pc.max(ts_us).as_py())) // 2
+
+    def half(t: pa.Table, first: bool) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        mask = pc.less(us, mid) if first else pc.greater_equal(us, mid)
+        return t.filter(mask)
+
+    state_dir = _os.path.join(_corpus_dir(sf_dir), "agg_state_v1")
+    state = IncrementalAgg(state_dir, ["event_type"], ["cents"])
+    fold_run(
+        ds.map_batches(lambda t: half(t, True), batch_format="pyarrow", zero_copy_batch=True),
+        state, "run-1",
+    )
+    fold_run(
+        ds.map_batches(lambda t: half(t, False), batch_format="pyarrow", zero_copy_batch=True),
+        state, "run-2",
+    )
+    # idempotence: re-applying run-1 must be a no-op
+    fold_run(
+        ds.map_batches(lambda t: half(t, True), batch_format="pyarrow", zero_copy_batch=True),
+        state, "run-1",
+    )
+    out = state.read()
+    out["total_value"] = _rd(out["cents"].to_numpy(np.float64) / 100.0, 2)
+    return _i64(out[["event_type", "n", "total_value"]].copy(), ["n"])
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12195,6 +12246,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_webclean_pipeline,
         SQL_WEBCLEAN_PIPELINE,
         "end-to-end web cleaning funnel: C4 kill/line → Gopher gates → line dedup",
+    ),
+    "incremental_agg": QuerySpec(
+        q_incremental_agg,
+        SQL_INCREMENTAL_AGG,
+        "cross-run incremental aggregate state fold ≡ one-shot recompute",
     ),
 }
 
