@@ -11265,6 +11265,128 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value to even bit positions (the
+    classic Morton magic-number cascade) — mirrored bit-for-bit in SQL."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def q_zorder_locality(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering audit — the lakehouse layout question
+    "does interleaving (user, hour) let BOTH single-column predicates prune
+    blocks?".  Blocks are z-key prefixes (z >> 12), the unit a z-range file
+    covers; the single-key layout's blocks are hour-key prefixes.  Counts
+    of distinct (entity, block) pairs per layout come from one combiner
+    exchange each; the verdict row shows z-order balancing user- and
+    hour-predicate block counts while hour-sort strands user predicates."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        u16 = (t["user_id"].to_numpy(zero_copy_only=False) % 65536).astype(np.int64)
+        h16 = (hour % 65536).astype(np.int64)
+        z = (_spread16(u16) | (_spread16(h16) << np.uint64(1))).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u16),
+                "hour16": pa.array(h16),
+                "zblock": pa.array(z >> np.int64(12)),
+                "hblock": pa.array(h16 >> np.int64(4)),
+            }
+        )
+
+    kd = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_pairs(t: pa.Table, a: str, b: str) -> pa.Table:
+        pairs = np.unique(
+            np.stack(
+                [t[a].to_numpy(zero_copy_only=False), t[b].to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table({a: pa.array(pairs[:, 0]), b: pa.array(pairs[:, 1])})
+
+    def count_pairs(a: str, b: str) -> int:
+        dd = grouped_sums(
+            kd.map_batches(
+                lambda t, a=a, b=b: distinct_pairs(t, a, b),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            [a, b], {}, "dups",
+        )
+        return int(dd.count())
+
+    n_users = int(grouped_sums(kd.select_columns(["user_id"]), ["user_id"], {}, "n").count())
+    n_hours = int(grouped_sums(kd.select_columns(["hour16"]), ["hour16"], {}, "n").count())
+    out = pd.DataFrame(
+        [
+            {
+                "n_users": n_users,
+                "n_hours": n_hours,
+                "z_blocks_by_user": count_pairs("user_id", "zblock"),
+                "z_blocks_by_hour": count_pairs("hour16", "zblock"),
+                "h_blocks_by_user": count_pairs("user_id", "hblock"),
+                "h_blocks_by_hour": count_pairs("hour16", "hblock"),
+            }
+        ]
+    )
+    return out.astype("int64")
+
+
+SQL_ZORDER_LOCALITY = """
+WITH k AS (
+  SELECT user_id % 65536 AS u16,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 65536) AS h16
+  FROM events
+),
+-- spread16 Morton cascade, one stage per CTE (mirrors _spread16 exactly)
+s1 AS (
+  SELECT u16, h16,
+         (u16 | (u16 << 8)) & 16711935 AS ua, (h16 | (h16 << 8)) & 16711935 AS ha
+  FROM k
+),
+s2 AS (
+  SELECT u16, h16,
+         (ua | (ua << 4)) & 252645135 AS ub, (ha | (ha << 4)) & 252645135 AS hb
+  FROM s1
+),
+s3 AS (
+  SELECT u16, h16,
+         (ub | (ub << 2)) & 858993459 AS uc, (hb | (hb << 2)) & 858993459 AS hc
+  FROM s2
+),
+s AS (
+  SELECT u16, h16,
+         (uc | (uc << 1)) & 1431655765 AS su, (hc | (hc << 1)) & 1431655765 AS sh
+  FROM s3
+),
+z AS (
+  SELECT u16, h16, ((su | (sh << 1)) >> 12) AS zblock, (h16 >> 4) AS hblock FROM s
+)
+SELECT CAST(COUNT(DISTINCT u16) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT h16) AS BIGINT) AS n_hours,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT u16, zblock FROM z)) AS BIGINT)
+         AS z_blocks_by_user,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT h16, zblock FROM z)) AS BIGINT)
+         AS z_blocks_by_hour,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT u16, hblock FROM z)) AS BIGINT)
+         AS h_blocks_by_user,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT h16, hblock FROM z)) AS BIGINT)
+         AS h_blocks_by_hour
+FROM z
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12251,6 +12373,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_incremental_agg,
         SQL_INCREMENTAL_AGG,
         "cross-run incremental aggregate state fold ≡ one-shot recompute",
+    ),
+    "zorder_locality": QuerySpec(
+        q_zorder_locality,
+        SQL_ZORDER_LOCALITY,
+        "Z-order vs single-key layout: distinct blocks per user/hour predicate",
     ),
 }
 

@@ -104,3 +104,27 @@ def test_partition_skew_matches_scalar_fnv(ray_session):
     vec = fnv1a32(pa.array(ids))
     for s, h in zip(ids, vec):
         assert int(h) == fnv1a32_single(s)
+
+
+def test_spread16_matches_scalar():
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.pipelines.queries import _spread16
+
+    def scalar(v):
+        out = 0
+        for b in range(16):
+            out |= ((v >> b) & 1) << (2 * b)
+        return out
+
+    xs = np.array([0, 1, 2, 3, 255, 256, 65535, 12345], dtype=np.int64)
+    got = _spread16(xs)
+    for v, g in zip(xs, got):
+        assert int(g) == scalar(int(v))
+    # interleave is a bijection on 16+16 bits
+    u = np.arange(0, 65536, 257, dtype=np.int64)
+    h = np.arange(0, 65536, 263, dtype=np.int64)
+    m = min(len(u), len(h))
+    u, h = u[:m], h[:m]
+    z = _spread16(u) | (_spread16(h) << np.uint64(1))
+    assert len(set(z.tolist())) == len(u)
