@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "cusum_changepoint",
     "twap_user_value",
     "webclean_pipeline",
+    "incremental_agg",
+    "zorder_locality",
+    "histogram_split_finder",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -11387,6 +11387,117 @@ FROM z
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def q_histogram_split_finder(sf_dir: str) -> pd.DataFrame:
+    """GBDT histogram split finding (the LightGBM hot loop) over the event
+    stream: per-feature bucket histograms (count + exact cents sum) reduce
+    as integer partials in ONE tagged exchange; the variance-reduction gain
+    scan (SL²/nL + SR²/nR − S²/n) runs over prefix sums of the ~100-bucket
+    histogram driver-side.  Best split per feature, gain from exact ints,
+    ties → lowest bucket."""
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour24 = (
+            pc.divide(us, pa.scalar(3_600_000_000, pa.int64())).to_numpy(zero_copy_only=False)
+            % 24
+        ).astype(np.int64)
+        ubkt = (t["user_id"].to_numpy(zero_copy_only=False) % 64).astype(np.int64)
+        cents = (
+            pc.cast(pc.round(pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        frames = []
+        for feat, bkt, nb in (("hour24", hour24, 24), ("user64", ubkt, 64)):
+            n = np.bincount(bkt, minlength=nb).astype(np.int64)
+            s = np.bincount(bkt, weights=cents, minlength=nb).astype(np.int64)
+            frames.append(
+                pa.table(
+                    {
+                        "feature": pa.array([feat] * nb),
+                        "bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                        "n": pa.array(n),
+                        "s": pa.array(s),
+                    }
+                )
+            )
+        return pa.concat_tables(frames)
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["feature", "bucket"], as_index=False)
+        .sum()
+    )
+    h = h[h["n"] > 0]  # SQL's GROUP BY only yields populated buckets
+    rows = []
+    for feat, g in h.groupby("feature", sort=True):
+        g = g.sort_values("bucket", ignore_index=True)
+        n = g["n"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        N, S = int(n.sum()), int(s.sum())
+        nl = np.cumsum(n)[:-1].astype(np.float64)
+        sl = np.cumsum(s)[:-1].astype(np.float64)
+        nr, sr = N - nl, S - sl
+        valid = (nl > 0) & (nr > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gain = np.where(
+                valid, sl * sl / nl + sr * sr / nr - (S * float(S)) / N, -np.inf
+            )
+        gain = _rd(gain, 6)
+        k = int(np.argmax(gain))  # first max == lowest bucket
+        rows.append(
+            (feat, int(g["bucket"][k]), int(n[: k + 1].sum()), int(s[: k + 1].sum()), gain[k])
+        )
+    out = pd.DataFrame(
+        rows, columns=["feature", "split_bucket", "n_left", "sum_left_cents", "gain"]
+    )
+    return _i64(out, ["split_bucket", "n_left", "sum_left_cents"])
+
+
+SQL_HISTOGRAM_SPLIT_FINDER = """
+WITH e AS (
+  SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) AS hour24,
+         (user_id % 64) AS user64,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+h AS (
+  SELECT 'hour24' AS feature, hour24 AS bucket, COUNT(*) AS n, SUM(cents) AS s
+  FROM e GROUP BY 2
+  UNION ALL
+  SELECT 'user64' AS feature, user64 AS bucket, COUNT(*) AS n, SUM(cents) AS s
+  FROM e GROUP BY 2
+),
+p AS (
+  SELECT feature, bucket, n, s,
+         SUM(n) OVER (PARTITION BY feature ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(s) OVER (PARTITION BY feature ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(n) OVER (PARTITION BY feature) AS nt,
+         SUM(s) OVER (PARTITION BY feature) AS st,
+         MAX(bucket) OVER (PARTITION BY feature) AS maxb
+  FROM h
+),
+g AS (
+  SELECT feature, bucket, nl, sl,
+         ROUND(CAST(sl AS DOUBLE) * sl / nl
+               + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+               - CAST(st AS DOUBLE) * st / nt, 6) AS gain
+  FROM p WHERE bucket < maxb AND nl > 0 AND (nt - nl) > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                               ORDER BY gain DESC, bucket ASC) AS rk
+  FROM g
+)
+SELECT feature, bucket AS split_bucket, CAST(nl AS BIGINT) AS n_left,
+       CAST(sl AS BIGINT) AS sum_left_cents, gain
+FROM r WHERE rk = 1 ORDER BY feature
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12378,6 +12489,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_zorder_locality,
         SQL_ZORDER_LOCALITY,
         "Z-order vs single-key layout: distinct blocks per user/hour predicate",
+    ),
+    "histogram_split_finder": QuerySpec(
+        q_histogram_split_finder,
+        SQL_HISTOGRAM_SPLIT_FINDER,
+        "GBDT histogram split finding: integer partials + prefix-sum gain scan",
     ),
 }
 

@@ -128,3 +128,33 @@ def test_spread16_matches_scalar():
     u, h = u[:m], h[:m]
     z = _spread16(u) | (_spread16(h) << np.uint64(1))
     assert len(set(z.tolist())) == len(u)
+
+
+def test_split_finder_finds_planted_boundary(ray_session, tmp_path, monkeypatch):
+    """Variance-reduction split scan: build a toy events parquet where value
+    jumps at hour bucket 12 — the best hour24 split must be at bucket 11."""
+    import pandas as pd
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from commerce_logs_pipeline_ray.pipelines.queries import q_histogram_split_finder
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(2400):
+        hr = i % 24
+        rows.append({
+            "event_id": i,
+            "ts": base + pd.Timedelta(hours=hr) + pd.Timedelta(days=i // 24),
+            "user_id": i % 7,
+            "event_type": "view",
+            "value": 1.0 if hr < 12 else 9.0,
+            "props": "",
+        })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq2.write_table(pa2.Table.from_pandas(pd.DataFrame(rows)), d / "events.parquet")
+    out = q_histogram_split_finder(str(d)).set_index("feature")
+    assert int(out.loc["hour24", "split_bucket"]) == 11
+    assert out.loc["hour24", "gain"] > out.loc["user64", "gain"]
+    assert int(out.loc["hour24", "n_left"]) == 1200
