@@ -11498,6 +11498,62 @@ FROM r WHERE rk = 1 ORDER BY feature
 """
 
 
+def q_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
+    """Train/val leakage via near-duplicates (the eval-hygiene check every
+    benchmark split needs): the distributed MinHash+LSH pair set crossed
+    with the hash-fraction split — a near-dup pair straddling train and val
+    leaks eval signal.  Per category: pair count and an id checksum pinning
+    WHICH pairs (Σ doc_a + doc_b)."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    ensure_neardup_pairs_parquet(sf_dir)
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+
+    def split_of(ids: pd.Series) -> np.ndarray:
+        import hashlib as _hl
+
+        return np.array(
+            [
+                "val" if _hl.md5(f"{int(i)}:split".encode()).hexdigest() < "1a" else "train"
+                for i in ids
+            ]
+        )
+
+    sa, sb = split_of(pairs["doc_a"]), split_of(pairs["doc_b"])
+    cat = np.where(
+        sa == sb, np.where(sa == "train", "train-train", "val-val"), "train-val"
+    )
+    pairs = pairs.assign(category=cat)
+    pairs["idsum"] = pairs["doc_a"].astype("int64") + pairs["doc_b"].astype("int64")
+    out = (
+        pairs.groupby("category", as_index=False)
+        .agg(n_pairs=("idsum", "size"), id_checksum=("idsum", "sum"))
+        .sort_values("category", ignore_index=True)
+    )
+    return _i64(out, ["n_pairs", "id_checksum"])
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH p AS (
+  SELECT doc_a, doc_b FROM read_parquet('{AD}/neardup_pairs_ref.parquet')
+),
+c AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN md5(CAST(doc_a AS VARCHAR) || ':split') < '1a'
+              THEN 'val' ELSE 'train' END AS sa,
+         CASE WHEN md5(CAST(doc_b AS VARCHAR) || ':split') < '1a'
+              THEN 'val' ELSE 'train' END AS sb
+  FROM p
+)
+SELECT CASE WHEN sa = sb AND sa = 'train' THEN 'train-train'
+            WHEN sa = sb THEN 'val-val' ELSE 'train-val' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(doc_a + doc_b) AS BIGINT) AS id_checksum
+FROM c GROUP BY 1 ORDER BY 1
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12494,6 +12550,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_histogram_split_finder,
         SQL_HISTOGRAM_SPLIT_FINDER,
         "GBDT histogram split finding: integer partials + prefix-sum gain scan",
+    ),
+    "split_leakage_audit": QuerySpec(
+        q_split_leakage_audit,
+        SQL_SPLIT_LEAKAGE_AUDIT,
+        "train/val near-dup leakage: LSH pairs × hash-fraction split categories",
     ),
 }
 
