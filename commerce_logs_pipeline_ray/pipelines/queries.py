@@ -11554,6 +11554,50 @@ FROM c GROUP BY 1 ORDER BY 1
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def q_sort_merge_revenue(sf_dir: str) -> pd.DataFrame:
+    """Orders × customer THROUGH the sort-merge join (range-bucketed
+    co-group, searchsorted run expansion — functions/relational.py::
+    sort_merge_join): revenue and order count per market segment.  Same
+    result as the hash-join plan; the point is the key-ordered physical
+    operator the lakehouse range-clustered path wants."""
+    from ..functions.relational import sort_merge_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    joined = sort_merge_join(
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+    out = grouped_sums(joined, ["c_mktsegment"], {"cents": "cents"}, "n_orders").to_pandas()
+    out["revenue"] = _rd(out["cents"].to_numpy(np.float64) / 100.0, 2)
+    out = out[["c_mktsegment", "n_orders", "revenue"]].sort_values(
+        "c_mktsegment", ignore_index=True
+    )
+    return _i64(out, ["n_orders"])
+
+
+SQL_SORT_MERGE_REVENUE = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12555,6 +12599,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_split_leakage_audit,
         SQL_SPLIT_LEAKAGE_AUDIT,
         "train/val near-dup leakage: LSH pairs × hash-fraction split categories",
+    ),
+    "sort_merge_revenue": QuerySpec(
+        q_sort_merge_revenue,
+        SQL_SORT_MERGE_REVENUE,
+        "sort-merge physical join (range co-group + searchsorted runs)",
     ),
 }
 

@@ -209,3 +209,30 @@ def test_skew_join_right_hot_only_key_tiles(ray_session):
     )
     assert len(want) == 5 * 3000 + 2000 * 1
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_sort_merge_join_matches_hash_join(ray_session):
+    """Sort-merge and hash join produce identical row multisets, including
+    duplicate-key cross products and dropped non-matches."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.relational import hash_join, sort_merge_join
+
+    left = pd.DataFrame({"lk": [1, 2, 2, 3, 5, 5, 5], "lv": list("abcdefg")})
+    right = pd.DataFrame({"rk": [2, 2, 3, 4, 5], "rv": list("vwxyz")})
+    sm = sort_merge_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        on="lk", right_on="rk", num_ranges=3,
+    ).to_pandas()
+    hj = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="lk", right_on="rk"
+    ).to_pandas()
+    key = ["lk", "lv", "rv"]
+    a = sm[key].sort_values(key, ignore_index=True)
+    b = hj.rename(columns={"rk": "lk"})[key] if "rk" in hj.columns else hj[key]
+    b = b.sort_values(key, ignore_index=True)
+    assert a.equals(b)
+    # 2x2 cross product for key 2, 3x1 for key 5, key 1/4 dropped
+    assert len(a) == 2 * 2 + 1 + 3
