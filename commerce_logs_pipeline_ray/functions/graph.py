@@ -382,3 +382,66 @@ def bfs_levels(
             dist[n] = hop
     out = pd.DataFrame({"node": list(dist.keys()), "hops": list(dist.values())})
     return out.sort_values("node", ignore_index=True).astype("int64")
+
+
+def sssp_bellman_ford(
+    edges: Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """Single-source shortest paths with INTEGER edge weights by synchronous
+    Bellman-Ford rounds: the edge set stays distributed (materialized once,
+    one scan per round); the |V|-bounded distance map broadcasts into each
+    scan, which emits per-node min(dist[src] + w) candidate partials; the
+    driver folds mins and stops at the fixed point.  Deterministic and
+    exact — integer distances, order-free min folds.  (Corpus-scale |V|
+    swaps the broadcast for a dist-table join per round, same contract as
+    pagerank/bfs_levels.)"""
+    import ray as _ray
+
+    edges = edges.materialize()
+    dist: dict[int, int] = {int(source): 0}
+    for _ in range(max_rounds):
+        dk = np.fromiter(dist.keys(), np.int64, len(dist))
+        dv = np.fromiter(dist.values(), np.int64, len(dist))
+        order = np.argsort(dk)
+        dist_ref = _ray.put((dk[order], dv[order]))
+
+        def relax(t: pa.Table) -> pa.Table:
+            keys, vals = _ray.get(dist_ref)
+            s = t[src].to_numpy(zero_copy_only=False)
+            e = t[dst].to_numpy(zero_copy_only=False)
+            ww = t[w].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(keys, s), len(keys) - 1)
+            hit = keys[idx] == s
+            base = np.where(hit, vals[idx], -1)
+            ok = base >= 0
+            if not ok.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "cand": pa.array([], pa.int64())})
+            cand = base[ok] + ww[ok]
+            nodes = e[ok]
+            df = pd.DataFrame({"node": nodes, "cand": cand})
+            return pa.Table.from_pandas(
+                df.groupby("node", as_index=False)["cand"].min(), preserve_index=False
+            )
+
+        cands = (
+            edges.map_batches(relax, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        changed = False
+        if len(cands):
+            best = cands.groupby("node")["cand"].min()
+            for node, cand in best.items():
+                node, cand = int(node), int(cand)
+                if node not in dist or cand < dist[node]:
+                    dist[node] = cand
+                    changed = True
+        if not changed:
+            break
+    out = pd.DataFrame({"node": list(dist.keys()), "dist": list(dist.values())})
+    return out.sort_values("node", ignore_index=True).astype("int64")

@@ -11598,6 +11598,114 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _copurchase_weighted_edges(sf_dir: str):
+    """Distinct co-purchase edges with integer weights w = max(1, 10 − c)
+    (stronger ties are shorter), symmetrized — the SSSP input."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        # count ORDERS per pair (a pair recurring across the bucket's orders
+        # must keep its multiplicity — the co-purchase strength weight)
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return g.rename(
+            columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "c"}
+        )
+
+    edges = grouped_sums(
+        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {"c": "c"}
+    )
+
+    def weight_sym(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(1, 10 - c)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    return edges.map_batches(weight_sym, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ensure_sssp_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``sssp_copurchase``: expected distances from an
+    INDEPENDENT scalar derivation — itertools pair expansion per order and a
+    heapq Dijkstra, vs the engine's bucketed pair combiners and synchronous
+    Bellman-Ford rounds."""
+    import heapq as _heapq
+    import os as _os
+    from collections import defaultdict
+    from itertools import combinations
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        by_order: dict[int, set[int]] = defaultdict(set)
+        for o, p in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+            by_order[int(o)].add(int(p))
+        counts: dict[tuple[int, int], int] = defaultdict(int)
+        for parts in by_order.values():
+            for a, b in combinations(sorted(parts), 2):
+                counts[(a, b)] += 1
+        adj: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for (a, b), c in counts.items():
+            wt = max(1, 10 - c)
+            adj[a].append((b, wt))
+            adj[b].append((a, wt))
+        source = min(adj)
+        dist = {source: 0}
+        heap = [(0, source)]
+        while heap:
+            d, u = _heapq.heappop(heap)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, wt in adj[u]:
+                nd = d + wt
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    _heapq.heappush(heap, (nd, v))
+        nodes = sorted(dist)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "dist": pa.array([dist[n] for n in nodes], pa.int64()),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "sssp_ref.parquet"), build)
+
+
+def q_sssp_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Weighted single-source shortest paths over the co-purchase graph
+    (functions/graph.py::sssp_bellman_ford — synchronous relax rounds,
+    integer distances, broadcast dist map) from the smallest part id;
+    oracle = independent heapq Dijkstra."""
+    from ..functions.graph import sssp_bellman_ford
+
+    ensure_sssp_parquet(sf_dir)
+    edges = _copurchase_weighted_edges(sf_dir).materialize()
+    source = int(
+        edges.map_batches(
+            lambda t: pa.table({"m": pa.array([pc.min(t["src"]).as_py()], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()["m"].min()
+    )
+    return sssp_bellman_ford(edges, source)
+
+
+SQL_SSSP_COPURCHASE = """
+SELECT node, dist FROM read_parquet('{AD}/sssp_ref.parquet') ORDER BY node
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12604,6 +12712,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sort_merge_revenue,
         SQL_SORT_MERGE_REVENUE,
         "sort-merge physical join (range co-group + searchsorted runs)",
+    ),
+    "sssp_copurchase": QuerySpec(
+        q_sssp_copurchase,
+        SQL_SSSP_COPURCHASE,
+        "weighted SSSP (Bellman-Ford rounds) vs independent Dijkstra reference",
     ),
 }
 

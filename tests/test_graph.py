@@ -218,3 +218,30 @@ def test_triangle_membership_paths_agree(ray_session):
     b = triangle_stats(rd.from_pandas(edges), num_buckets=8, membership="broadcast")
     s = triangle_stats(rd.from_pandas(edges), num_buckets=8, membership="shuffle")
     pd.testing.assert_frame_equal(b, s)
+
+
+def test_sssp_bellman_ford_planted(ray_session):
+    """Planted weighted graph: the short multi-hop route must beat the
+    heavy direct edge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import sssp_bellman_ford
+
+    edges = pd.DataFrame(
+        [
+            (0, 1, 10),  # heavy direct
+            (0, 2, 1), (2, 3, 1), (3, 1, 1),  # light detour: dist(1) == 3
+            (1, 4, 2),
+            (5, 6, 1),  # disconnected from 0
+        ],
+        columns=["src", "dst", "w"],
+    )
+    sym = pd.concat(
+        [edges, edges.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+    )
+    out = sssp_bellman_ford(
+        rd.from_pandas(sym).repartition(3), source=0
+    ).set_index("node")["dist"]
+    assert out.to_dict() == {0: 0, 1: 3, 2: 1, 3: 2, 4: 5}
+    assert 5 not in out.index and 6 not in out.index
