@@ -205,6 +205,10 @@ BENCH_QUERIES = [
     "incremental_agg",
     "zorder_locality",
     "histogram_split_finder",
+    "split_leakage_audit",
+    "sort_merge_revenue",
+    "sssp_copurchase",
+    "image_channel_stats",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

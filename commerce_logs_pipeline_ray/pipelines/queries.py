@@ -11706,6 +11706,108 @@ SELECT node, dist FROM read_parquet('{AD}/sssp_ref.parquet') ORDER BY node
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def ensure_channel_stats_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``image_channel_stats``: per-image channel sums
+    recorded at SYNTHESIS time from the source pixel arrays — fully
+    independent of the PNG decoder the engine must invert to reproduce
+    them."""
+    import os as _os
+
+    def build() -> pa.Table:
+        from ..functions.media_codecs import encode_png
+
+        rng = np.random.default_rng(7)
+        sf = _sf_of(sf_dir)
+        n = max(30, min(3000, int(3000 * sf)))
+        ids, payloads, rs, gs, bs, px = [], [], [], [], [], []
+        for i in range(n):
+            w, h = 14 + i % 19, 12 + i % 15
+            img = (
+                np.add.outer(np.arange(h), np.arange(w))[..., None] * [3, 11, 5]
+                + rng.integers(0, 180, size=(h, w, 3))
+            ).astype(np.uint8)
+            ids.append(f"cimg{i:05d}")
+            payloads.append(encode_png(img))
+            rs.append(int(img[..., 0].sum()))
+            gs.append(int(img[..., 1].sum()))
+            bs.append(int(img[..., 2].sum()))
+            px.append(h * w)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "n_pixels": pa.array(px, pa.int64()),
+                "sum_r": pa.array(rs, pa.int64()),
+                "sum_g": pa.array(gs, pa.int64()),
+                "sum_b": pa.array(bs, pa.int64()),
+            }
+        )
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "channel_stats.parquet"), build
+    )
+
+
+def q_image_channel_stats(sf_dir: str) -> pd.DataFrame:
+    """Dataset normalization statistics (the mean-pixel preflight every
+    vision training run computes): decode each PNG in an actor pool, sum
+    pixels per channel as integers, reduce corpus-wide, divide once —
+    checked against synthesis-time source-array sums the decoder never saw."""
+    from ..functions.media_codecs import decode_png
+
+    src = ensure_channel_stats_parquet(sf_dir)
+    ds = rd.read_parquet(src, columns=["media_id", "payload"])
+
+    class ChannelSums:
+        def __init__(self):
+            self._decode = decode_png
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n_px = np.zeros(1, np.int64)
+            sums = np.zeros(3, np.int64)
+            for p in t["payload"].to_pylist():
+                img = self._decode(p)
+                n_px[0] += img.shape[0] * img.shape[1]
+                sums += img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            return pa.table(
+                {
+                    "n_pixels": pa.array(n_px),
+                    "sum_r": pa.array(sums[:1]),
+                    "sum_g": pa.array(sums[1:2]),
+                    "sum_b": pa.array(sums[2:3]),
+                }
+            )
+
+    agg = (
+        ds.map_batches(
+            ChannelSums, batch_format="pyarrow", batch_size=64, concurrency=2,
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sum()
+    )
+    out = pd.DataFrame(
+        [
+            {
+                "n_pixels": int(agg["n_pixels"]),
+                "mean_r": float(_rd(np.array([agg["sum_r"] / agg["n_pixels"]]), 6)[0]),
+                "mean_g": float(_rd(np.array([agg["sum_g"] / agg["n_pixels"]]), 6)[0]),
+                "mean_b": float(_rd(np.array([agg["sum_b"] / agg["n_pixels"]]), 6)[0]),
+            }
+        ]
+    )
+    return _i64(out, ["n_pixels"])
+
+
+SQL_IMAGE_CHANNEL_STATS = """
+SELECT CAST(SUM(n_pixels) AS BIGINT) AS n_pixels,
+       ROUND(CAST(SUM(sum_r) AS DOUBLE) / CAST(SUM(n_pixels) AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST(SUM(sum_g) AS DOUBLE) / CAST(SUM(n_pixels) AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST(SUM(sum_b) AS DOUBLE) / CAST(SUM(n_pixels) AS DOUBLE), 6) AS mean_b
+FROM read_parquet('{AD}/channel_stats.parquet')
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12717,6 +12819,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sssp_copurchase,
         SQL_SSSP_COPURCHASE,
         "weighted SSSP (Bellman-Ford rounds) vs independent Dijkstra reference",
+    ),
+    "image_channel_stats": QuerySpec(
+        q_image_channel_stats,
+        SQL_IMAGE_CHANNEL_STATS,
+        "per-channel pixel means via actor-pool decode vs synthesis-time sums",
     ),
 }
 
