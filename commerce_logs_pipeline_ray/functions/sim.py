@@ -661,3 +661,48 @@ def contrastive_pairs(
     return out.sort_values(id_col, ignore_index=True).astype(
         {id_col: "int64", "label": "int64", "pos_id": "int64", "neg_id": "int64"}
     )
+
+
+def als_user_step(
+    interactions: "Dataset",
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 4,
+    lam: float = 0.1,
+) -> pd.DataFrame:
+    """One ALS half-step (implicit feedback, Hu-Koren-Volinsky shape): with
+    item factors FIXED to a deterministic integer-derived grid, solve every
+    user's ridge system (VᵤᵀVᵤ + λI)x = Vᵤᵀ1 inside the user-bucketed
+    exchange — the building block a full alternating loop repeats per side.
+
+    Determinism contract (replayed by the scalar oracle artifact): item
+    factor j of item p is ((p·Pⱼ) mod 1000)/1000 − 0.5 with P = first k odd
+    primes; each user's normal equations accumulate over DISTINCT items in
+    ascending item order; LAPACK solves identical systems identically.
+    Returns (user, n_items, norm2) with norm2 = ‖x‖² rounded to 6."""
+    from .relational import bucketed_group_reduce
+    from .rounding import round_like_duckdb as _rd6
+
+    primes = np.array([3, 5, 7, 11, 13, 17, 19, 23][:k], dtype=np.int64)
+
+    def factors_of(items: np.ndarray) -> np.ndarray:
+        return ((items[:, None] * primes[None, :]) % 1000) / 1000.0 - 0.5
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby(user_col, sort=False):
+            items = np.unique(g[item_col].to_numpy(np.int64))  # sorted ascending
+            V = factors_of(items)
+            A = V.T @ V + lam * np.eye(k)
+            b = V.T @ np.ones(len(items))
+            x = np.linalg.solve(A, b)
+            rows.append((int(uid), len(items), float((x * x).sum())))
+        return pd.DataFrame(rows, columns=[user_col, "n_items", "norm2"])
+
+    out = bucketed_group_reduce(
+        interactions.select_columns([user_col, item_col]), [user_col], per_bucket
+    ).to_pandas()
+    out["norm2"] = _rd6(out["norm2"].to_numpy(np.float64), 6)
+    return out.sort_values(user_col, ignore_index=True).astype(
+        {user_col: "int64", "n_items": "int64"}
+    )

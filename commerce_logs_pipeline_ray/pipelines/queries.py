@@ -11808,6 +11808,68 @@ FROM read_parquet('{AD}/channel_stats.parquet')
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def ensure_als_ref_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``als_user_step``: the expected per-user ridge
+    solutions replayed with an independent pandas-merge/loop derivation of
+    the (customer, part) interactions — same determinism contract
+    (ascending distinct items, identical BLAS kernels on identical
+    inputs)."""
+    import os as _os
+
+    def build() -> pa.Table:
+        li = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ).to_pandas()
+        od = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).to_pandas()
+        inter = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        k, lam = 4, 0.1
+        primes = np.array([3, 5, 7, 11], dtype=np.int64)
+        from ..functions.rounding import round_like_duckdb as _rd6
+
+        rows = []
+        for uid, g in inter.groupby("o_custkey", sort=True):
+            items = np.unique(g["l_partkey"].to_numpy(np.int64))
+            V = ((items[:, None] * primes[None, :]) % 1000) / 1000.0 - 0.5
+            A = V.T @ V + lam * np.eye(k)
+            b = V.T @ np.ones(len(items))
+            x = np.linalg.solve(A, b)
+            rows.append((int(uid), len(items), float((x * x).sum())))
+        out = pd.DataFrame(rows, columns=["user_id", "n_items", "norm2"])
+        out["norm2"] = _rd6(out["norm2"].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "als_ref.parquet"), build)
+
+
+def q_als_user_step(sf_dir: str) -> pd.DataFrame:
+    """ALS user half-step over the (customer, part) interaction graph —
+    fixed integer-derived item factors, per-user ridge solves inside the
+    bucketed exchange (functions/sim.py::als_user_step); interactions via
+    the hash-partitioned lineitem ⋈ orders join."""
+    from ..functions.relational import hash_join
+    from ..functions.sim import als_user_step
+
+    ensure_als_ref_parquet(sf_dir)
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    inter = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["o_custkey"], "item_id": t["l_partkey"]})
+
+    inter = inter.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    out = als_user_step(inter, user_col="user_id", item_col="item_id")
+    return _i64(out, ["user_id", "n_items"])
+
+
+SQL_ALS_USER_STEP = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_items AS BIGINT) AS n_items, norm2
+FROM read_parquet('{AD}/als_ref.parquet') ORDER BY user_id
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12825,6 +12887,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_IMAGE_CHANNEL_STATS,
         "per-channel pixel means via actor-pool decode vs synthesis-time sums",
     ),
+    "als_user_step": QuerySpec(
+        q_als_user_step,
+        SQL_ALS_USER_STEP,
+        "ALS user half-step: per-user ridge solves in the bucketed exchange",
+    ),
 }
 
 
@@ -12849,3 +12916,6 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_audio_resample_parquet(sf_dir)
     ensure_user_partition_parquet(sf_dir)
     ensure_scale_dups_parquet(sf_dir)
+    ensure_channel_stats_parquet(sf_dir)
+    ensure_sssp_parquet(sf_dir)
+    ensure_als_ref_parquet(sf_dir)

@@ -232,3 +232,31 @@ def test_semantic_dedup_planted_truth(ray_session, tmp_path):
     # every group keeps exactly its min-id member: 30 vectors, 10 groups
     assert int(out["n"].sum()) == 30
     assert int(out["n_dropped"].sum()) == 20
+
+
+def test_als_user_step_solves_ridge(ray_session):
+    """The per-user solution satisfies its normal equations and shrinks
+    with lambda (ridge sanity), and bucketing doesn't change results."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.sim import als_user_step
+
+    rows = []
+    for u in range(12):
+        for it in range(1 + u % 5):
+            rows.append({"user_id": u, "item_id": 10 + 7 * it + u})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = als_user_step(ds).set_index("user_id")
+    assert len(out) == 12
+    # scalar replay for one user
+    u = 4
+    items = np.unique([r["item_id"] for r in rows if r["user_id"] == u])
+    primes = np.array([3, 5, 7, 11])
+    V = ((items[:, None] * primes[None, :]) % 1000) / 1000.0 - 0.5
+    x = np.linalg.solve(V.T @ V + 0.1 * np.eye(4), V.T @ np.ones(len(items)))
+    assert abs(out.loc[u, "norm2"] - float((x * x).sum())) < 1e-6
+    # repartitioned input → identical output
+    out2 = als_user_step(rd.from_pandas(pd.DataFrame(rows)).repartition(5)).set_index("user_id")
+    assert out.equals(out2)
