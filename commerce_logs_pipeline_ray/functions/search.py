@@ -250,3 +250,77 @@ def bm25_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return _topk(scored, ["score", id_col], [True, False], k).to_pandas()
+
+
+def mmr_rerank(
+    ds: Dataset,
+    terms: list[str],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    BM25 retrieves a ``pool``-sized candidate set DISTRIBUTED (zero-shuffle
+    two-pass ranker + top-k merge); the greedy diversity re-rank — pick
+    argmax λ·rel − (1−λ)·max-sim-to-selected — runs driver-side over the
+    bounded pool with exact word-set Jaccard similarities.
+
+    Determinism: rel and sim are rounded to 6 before the greedy compare;
+    ties → smaller doc id.  Returns (rank, doc_id, score round-6)."""
+    from .rounding import round_like_duckdb as _rd6
+
+    # over-fetch then cut on the ROUNDED score so the pool boundary is a
+    # deterministic (round-6, id) decision, not a raw-float one
+    cand = bm25_topk(ds, terms, k=2 * pool, id_col=id_col)
+    cand = cand.assign(score=_rd6(cand["score"].to_numpy(np.float64), 6))
+    cand = cand.sort_values(
+        ["score", id_col], ascending=[False, True], ignore_index=True
+    ).head(pool)
+    ids = cand[id_col].to_numpy()
+    rel = cand["score"].to_numpy(np.float64)
+
+    # fetch the candidate texts (bounded pool) for pairwise word Jaccard
+    want = pa.array([int(i) for i in ids], pa.int64())
+    texts_df = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=want)).select(
+                [id_col, text_col]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .set_index(id_col)[text_col]
+    )
+    sets = {int(i): set(str(texts_df.loc[int(i)]).split(" ")) for i in ids}
+
+    def jac(a: int, b: int) -> float:
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter)
+
+    selected: list[tuple[int, int, float]] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        best_j, best_score = None, None
+        for j in remaining:
+            if selected:
+                max_sim = max(
+                    float(_rd6(np.array([jac(int(ids[j]), s[1])]), 6)[0])
+                    for s in selected
+                )
+            else:
+                max_sim = 0.0
+            score = round(lam * rel[j] - (1.0 - lam) * max_sim, 6)
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and int(ids[j]) < int(ids[best_j]))
+            ):
+                best_j, best_score = j, score
+        selected.append((len(selected) + 1, int(ids[best_j]), float(best_score)))
+        remaining.remove(best_j)
+    out = pd.DataFrame(selected, columns=["rank", id_col, "mmr_score"])
+    return out.astype({"rank": "int64", id_col: "int64"})

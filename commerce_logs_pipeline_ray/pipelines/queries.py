@@ -11870,6 +11870,101 @@ FROM read_parquet('{AD}/als_ref.parquet') ORDER BY user_id
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def ensure_mmr_ref_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``mmr_rerank``: the expected diverse top-10
+    replayed with a fully scalar BM25 (python word counts, the same
+    idf/tf/normalization arithmetic the SQL mirror uses) and the same
+    greedy λ·rel − (1−λ)·max-Jaccard selection — independent of the
+    distributed two-pass ranker and its arrow kernels."""
+    import math as _math
+    import os as _os
+
+    def build() -> pa.Table:
+        terms = ["table", "scan", "merge"]
+        lam, pool, kk = 0.7, 50, 10
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = [int(x) for x in t["doc_id"].to_pylist()]
+        texts = [s or "" for s in t["text"].to_pylist()]
+        words = [s.split(" ") for s in texts]
+        n = float(len(ids))
+        total_dl = float(sum(len(w) for w in words))
+        from ..functions.rounding import round_like_duckdb as _rd6
+
+        dfs = {q: sum(1 for w in words if q in w) for q in terms}
+        idf = {q: _math.log((n - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1) for q in terms}
+        scores = []
+        for i, w in enumerate(words):
+            dl = len(w)
+            s = 0.0
+            for q in terms:
+                tf = w.count(q)
+                if tf > 0:
+                    s = s + idf[q] * (tf * (1.2 + 1.0)) / (
+                        tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl * n / total_dl)
+                    )
+            scores.append(s)
+        order = sorted(range(len(ids)), key=lambda i: (-_rd6(np.array([scores[i]]), 6)[0], ids[i]))
+        cand = order[:pool]
+        rel = {i: float(_rd6(np.array([scores[i]]), 6)[0]) for i in cand}
+        sets = {i: set(words[i]) for i in cand}
+        selected: list[tuple[int, int, float]] = []
+        remaining = list(cand)
+        while remaining and len(selected) < kk:
+            best_i, best_score = None, None
+            for i in remaining:
+                if selected:
+                    msim = max(
+                        float(
+                            _rd6(
+                                np.array(
+                                    [
+                                        len(sets[i] & sets[j])
+                                        / (len(sets[i]) + len(sets[j]) - len(sets[i] & sets[j]))
+                                    ]
+                                ),
+                                6,
+                            )[0]
+                        )
+                        for _, j, _s in selected
+                    )
+                else:
+                    msim = 0.0
+                sc = round(lam * rel[i] - (1.0 - lam) * msim, 6)
+                if best_score is None or sc > best_score or (
+                    sc == best_score and ids[i] < ids[best_i]
+                ):
+                    best_i, best_score = i, sc
+            selected.append((len(selected) + 1, ids[best_i], float(best_score)))
+            remaining.remove(best_i)
+        return pa.table(
+            {
+                "rank": pa.array([s[0] for s in selected], pa.int64()),
+                "doc_id": pa.array([s[1] for s in selected], pa.int64()),
+                "mmr_score": pa.array([s[2] for s in selected], pa.float64()),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "mmr_ref.parquet"), build)
+
+
+def q_mmr_rerank(sf_dir: str) -> pd.DataFrame:
+    """MMR diverse retrieval: distributed BM25 candidate pool (50) →
+    greedy λ·relevance − (1−λ)·max-word-Jaccard re-rank to a diverse
+    top-10 (functions/search.py::mmr_rerank); oracle = fully scalar
+    replay artifact."""
+    from ..functions.search import mmr_rerank
+
+    ensure_mmr_ref_parquet(sf_dir)
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return mmr_rerank(ds, ["table", "scan", "merge"], k=10, pool=50)
+
+
+SQL_MMR_RERANK = """
+SELECT rank, doc_id, mmr_score
+FROM read_parquet('{AD}/mmr_ref.parquet') ORDER BY rank
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12891,6 +12986,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_als_user_step,
         SQL_ALS_USER_STEP,
         "ALS user half-step: per-user ridge solves in the bucketed exchange",
+    ),
+    "mmr_rerank": QuerySpec(
+        q_mmr_rerank,
+        SQL_MMR_RERANK,
+        "MMR diverse retrieval: BM25 pool + greedy relevance-vs-Jaccard re-rank",
     ),
 }
 

@@ -100,3 +100,29 @@ def test_bm25_batching_invariance():
     a = bm25_topk(rd.from_arrow(t), ["alpha", "beta"], k=30)
     b = bm25_topk(rd.from_arrow(t).repartition(7), ["alpha", "beta"], k=30)
     assert a.equals(b)
+
+
+def test_mmr_prefers_diverse_over_duplicate(ray_session):
+    """A near-duplicate of the top hit must be pushed below a less-relevant
+    but different doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.search import mmr_rerank
+
+    rows = [
+        {"doc_id": 0, "text": "query term rich doc about topic alpha beta gamma"},
+        # near-duplicate of doc 0 (same word set + one extra)
+        {"doc_id": 1, "text": "query term rich doc about topic alpha beta gamma extra"},
+        # relevant but lexically different
+        {"doc_id": 2, "text": "query term appears here with wholly different words indeed"},
+    ] + [
+        {"doc_id": 10 + i, "text": f"filler text number {i} nothing relevant"}
+        for i in range(10)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = mmr_rerank(ds, ["query", "term"], k=3, pool=10, lam=0.5)
+    picked = out["doc_id"].tolist()
+    assert picked[0] in (0, 1)          # pure relevance first
+    assert picked[1] == 2               # diversity beats the near-dup
+    assert set(picked[:3]) != {0, 1, 2} or picked[2] in (0, 1)
