@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "sort_merge_revenue",
     "sssp_copurchase",
     "image_channel_stats",
+    "als_user_step",
+    "mmr_rerank",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
