@@ -11965,6 +11965,62 @@ FROM read_parquet('{AD}/mmr_ref.parquet') ORDER BY rank
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 
 
+def q_zonemap_pruned_scan(sf_dir: str) -> pd.DataFrame:
+    """Zone-map data skipping (sources/zonemap.py): events range-sorted on
+    the µs timestamp into 16 files + a min/max manifest, then a 10%-window
+    range count that opens ONLY overlapping files.  The count is the oracled
+    surface; pytest asserts the skip receipt (most files untouched)."""
+    import os as _os
+
+    from ..sources.zonemap import MANIFEST, pruned_read, write_with_zonemaps
+
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    store = _os.path.join(_corpus_dir(sf_dir), "zonemap_events_v1")
+    if not _os.path.exists(_os.path.join(store, MANIFEST)):
+        write_with_zonemaps(
+            ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True),
+            store, "ts_us",
+        )
+    import pyarrow.parquet as _pq
+
+    meta = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    us = pc.cast(pc.cast(meta["ts"], pa.timestamp("us")), pa.int64())
+    t0, t1 = int(pc.min(us).as_py()), int(pc.max(us).as_py())
+    lo = t0 + (t1 - t0) * 45 // 100
+    hi = t0 + (t1 - t0) * 55 // 100
+    table, _stats = pruned_read(store, lo, hi)
+    out = (
+        table.select(["event_type"])
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values("event_type", ignore_index=True)
+    )
+    return _i64(out, ["n"])
+
+
+SQL_ZONEMAP_PRUNED_SCAN = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events CROSS JOIN b
+WHERE epoch_us(ts) >= t0 + (t1 - t0) * 45 // 100
+  AND epoch_us(ts) <= t0 + (t1 - t0) * 55 // 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -12991,6 +13047,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_mmr_rerank,
         SQL_MMR_RERANK,
         "MMR diverse retrieval: BM25 pool + greedy relevance-vs-Jaccard re-rank",
+    ),
+    "zonemap_pruned_scan": QuerySpec(
+        q_zonemap_pruned_scan,
+        SQL_ZONEMAP_PRUNED_SCAN,
+        "zone-map data skipping: range-sorted files + manifest-pruned range scan",
     ),
 }
 
