@@ -12021,6 +12021,188 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _pav_blocks(n: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators with EXACT integer rate compares
+    (cross-multiplied — no float boundary ever decides a pool): returns the
+    block index per bucket for the isotone (non-decreasing) fit."""
+    blocks: list[list[int]] = []  # [n, pos, first_bucket]
+    for i in range(len(n)):
+        blocks.append([int(n[i]), int(pos[i]), i])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    out = np.zeros(len(n), dtype=np.int64)
+    for bi, blk in enumerate(blocks):
+        out[blk[2] :] = bi  # overwritten by later blocks
+    return out
+
+
+def q_isotonic_purchase_rate(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAV) calibration of the purchase rate over hour-of-day:
+    per-hour (events, purchases) integer partials reduce distributed; the
+    24-bucket pool-adjacent-violators fit runs driver-side with
+    cross-multiplied exact compares.  Output: hour, observed ints, fitted
+    monotone rate (block pooled, round 6)."""
+    ensure_isotonic_ref_parquet(sf_dir)
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hr = (
+            pc.divide(us, pa.scalar(3_600_000_000, pa.int64())).to_numpy(zero_copy_only=False)
+            % 24
+        ).astype(np.int64)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(np.arange(24, dtype=np.int64)),
+                "n": pa.array(np.bincount(hr, minlength=24).astype(np.int64)),
+                "pos": pa.array(np.bincount(hr, weights=is_p, minlength=24).astype(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("hour", as_index=False)
+        .sum()
+        .sort_values("hour", ignore_index=True)
+    )
+    n = h["n"].to_numpy(np.int64)
+    pos = h["pos"].to_numpy(np.int64)
+    blk = _pav_blocks(n, pos)
+    bn = np.bincount(blk, weights=n).astype(np.int64)
+    bp = np.bincount(blk, weights=pos).astype(np.int64)
+    fitted = _rd(bp[blk].astype(np.float64) / bn[blk].astype(np.float64), 6)
+    out = pd.DataFrame(
+        {"hour": h["hour"], "n": n, "purchases": pos, "block": blk, "fitted_rate": fitted}
+    )
+    return _i64(out, ["hour", "n", "purchases", "block"])
+
+
+def ensure_isotonic_ref_parquet(sf_dir: str) -> str:
+    """Oracle artifact: PAV replayed with an independent recursive-merge
+    implementation over SQL-derivable per-hour counts."""
+    import os as _os
+
+    def build() -> pa.Table:
+        import duckdb as _dd
+
+        con = _dd.connect()
+        h = con.execute(
+            f"""
+            SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) AS hour,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        n = [int(x) for x in h["n"]]
+        pos = [int(x) for x in h["pos"]]
+
+        # independent PAV: repeated full scans merging the FIRST violator
+        groups = [[i, i, n[i], pos[i]] for i in range(len(n))]  # [lo, hi, n, pos]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(groups) - 1):
+                a, b = groups[i], groups[i + 1]
+                if a[3] * b[2] > b[3] * a[2]:
+                    groups[i] = [a[0], b[1], a[2] + b[2], a[3] + b[3]]
+                    del groups[i + 1]
+                    changed = True
+                    break
+        from ..functions.rounding import round_like_duckdb as _rd6
+
+        hour, blkcol, fit = [], [], []
+        for bi, g in enumerate(groups):
+            for hh in range(g[0], g[1] + 1):
+                hour.append(hh)
+                blkcol.append(bi)
+                fit.append(float(_rd6(np.array([g[3] / g[2]]), 6)[0]))
+        return pa.table(
+            {
+                "hour": pa.array(hour, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "purchases": pa.array(pos, pa.int64()),
+                "block": pa.array(blkcol, pa.int64()),
+                "fitted_rate": pa.array(fit, pa.float64()),
+            }
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "isotonic_ref.parquet"), build)
+
+
+SQL_ISOTONIC_PURCHASE_RATE = """
+SELECT hour, n, purchases, block, fitted_rate
+FROM read_parquet('{AD}/isotonic_ref.parquet') ORDER BY hour
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+def q_woe_binning(sf_dir: str) -> pd.DataFrame:
+    """Weight-of-evidence / information-value audit of order value deciles
+    vs the return flag (the credit-scoring feature screen): decile bounds
+    from the exact distributed NTILE machinery, WOE = ln(bad%/good%) per
+    bin from integer counts, IV as the summed contribution."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    from ..functions.rank import global_row_number, ntile_of
+
+    ranked, total = global_row_number(ds, "o_totalprice", ["o_orderkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        dec = ntile_of(t["rn"].to_numpy(zero_copy_only=False), total, 10)
+        bad = pc.equal(t["o_orderstatus"], "F").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "decile": pa.array(dec.astype(np.int64)),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "bad": pa.array(bad.astype(np.int64)),
+            }
+        )
+
+    h = (
+        ranked.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("decile", as_index=False)
+        .sum()
+        .sort_values("decile", ignore_index=True)
+    )
+    B, G = int(h["bad"].sum()), int((h["n"] - h["bad"]).sum())
+    good = (h["n"] - h["bad"]).to_numpy(np.float64)
+    bad = h["bad"].to_numpy(np.float64)
+    woe = _rd(np.log((bad / B) / (good / G)), 6)
+    iv_contrib = _rd((bad / B - good / G) * np.log((bad / B) / (good / G)), 6)
+    out = pd.DataFrame(
+        {"decile": h["decile"], "n": h["n"], "bad": h["bad"], "woe": woe,
+         "iv_contrib": iv_contrib}
+    )
+    return _i64(out, ["decile", "n", "bad"])
+
+
+SQL_WOE_BINNING = """
+WITH r AS (
+  SELECT o_orderstatus,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+),
+h AS (
+  SELECT decile, COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bad
+  FROM r GROUP BY 1
+),
+t AS (SELECT SUM(bad) AS tb, SUM(n - bad) AS tg FROM h)
+SELECT decile, CAST(n AS BIGINT) AS n, CAST(bad AS BIGINT) AS bad,
+       ROUND(ln((bad / CAST(tb AS DOUBLE)) / ((n - bad) / CAST(tg AS DOUBLE))), 6) AS woe,
+       ROUND((bad / CAST(tb AS DOUBLE) - (n - bad) / CAST(tg AS DOUBLE))
+             * ln((bad / CAST(tb AS DOUBLE)) / ((n - bad) / CAST(tg AS DOUBLE))), 6)
+         AS iv_contrib
+FROM h CROSS JOIN t ORDER BY decile
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -13053,6 +13235,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_ZONEMAP_PRUNED_SCAN,
         "zone-map data skipping: range-sorted files + manifest-pruned range scan",
     ),
+    "isotonic_purchase_rate": QuerySpec(
+        q_isotonic_purchase_rate,
+        SQL_ISOTONIC_PURCHASE_RATE,
+        "PAV isotonic calibration, cross-multiplied integer pool decisions",
+    ),
+    "woe_binning": QuerySpec(
+        q_woe_binning,
+        SQL_WOE_BINNING,
+        "weight-of-evidence / IV decile audit via exact distributed NTILE",
+    ),
 }
 
 
@@ -13080,3 +13272,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_channel_stats_parquet(sf_dir)
     ensure_sssp_parquet(sf_dir)
     ensure_als_ref_parquet(sf_dir)
+    ensure_mmr_ref_parquet(sf_dir)
+    ensure_isotonic_ref_parquet(sf_dir)

@@ -158,3 +158,25 @@ def test_split_finder_finds_planted_boundary(ray_session, tmp_path, monkeypatch)
     assert int(out.loc["hour24", "split_bucket"]) == 11
     assert out.loc["hour24", "gain"] > out.loc["user64", "gain"]
     assert int(out.loc["hour24", "n_left"]) == 1200
+
+
+def test_pav_blocks_known_case():
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.pipelines.queries import _pav_blocks
+
+    # rates: .5, .25, .75, .1 → PAV pools (0.5,0.25)->0.375 then stays,
+    # (0.75,0.1) pools to 0.425 which still >= 0.375: blocks [0,0,1,1]
+    n = np.array([4, 4, 4, 10])
+    pos = np.array([2, 1, 3, 1])
+    blk = _pav_blocks(n, pos)
+    # verify monotone non-decreasing fitted rates and pooling correctness
+    bn = np.bincount(blk, weights=n)
+    bp = np.bincount(blk, weights=pos)
+    rates = bp / bn
+    assert (np.diff(rates[blk]) >= -1e-12).all()
+    # total mass preserved
+    assert bn.sum() == n.sum() and bp.sum() == pos.sum()
+    # already-isotone input is untouched
+    blk2 = _pav_blocks(np.array([2, 2, 2]), np.array([0, 1, 2]))
+    assert (blk2 == np.array([0, 1, 2])).all()
