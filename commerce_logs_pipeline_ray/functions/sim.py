@@ -689,15 +689,27 @@ def als_user_step(
         return ((items[:, None] * primes[None, :]) % 1000) / 1000.0 - 0.5
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for uid, g in df.groupby(user_col, sort=False):
-            items = np.unique(g[item_col].to_numpy(np.int64))  # sorted ascending
-            V = factors_of(items)
-            A = V.T @ V + lam * np.eye(k)
-            b = V.T @ np.ones(len(items))
-            x = np.linalg.solve(A, b)
-            rows.append((int(uid), len(items), float((x * x).sum())))
-        return pd.DataFrame(rows, columns=[user_col, "n_items", "norm2"])
+        # distinct (user, item) ascending → per-user segments; outer products
+        # accumulate with one np.add.at and every ridge system solves in ONE
+        # batched LAPACK call (no per-user Python)
+        pairs = (
+            df[[user_col, item_col]]
+            .drop_duplicates()
+            .sort_values([user_col, item_col], kind="stable")
+        )
+        users, uidx = np.unique(pairs[user_col].to_numpy(np.int64), return_inverse=True)
+        items = pairs[item_col].to_numpy(np.int64)
+        V = factors_of(items)
+        nu = len(users)
+        A = np.tile(lam * np.eye(k), (nu, 1, 1))
+        np.add.at(A, uidx, V[:, :, None] * V[:, None, :])
+        b = np.zeros((nu, k))
+        np.add.at(b, uidx, V)
+        x = np.linalg.solve(A, b[..., None])[..., 0]
+        n_items = np.bincount(uidx, minlength=nu).astype(np.int64)
+        return pd.DataFrame(
+            {user_col: users, "n_items": n_items, "norm2": (x * x).sum(axis=1)}
+        )
 
     out = bucketed_group_reduce(
         interactions.select_columns([user_col, item_col]), [user_col], per_bucket
