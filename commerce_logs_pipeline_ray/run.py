@@ -113,6 +113,16 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--state-dir", required=True, help="band-row state root")
     nd.add_argument("--threshold", type=float, default=0.7)
 
+    wc = sub.add_parser(
+        "webclean",
+        help="C4 doc/line cleaning + Gopher gates + cross-doc line dedup; "
+             "writes the cleaned corpus Hive-partitioned by source",
+    )
+    wc.add_argument("--input", required=True, help="parquet with (doc_id, source, text)")
+    wc.add_argument("--output", required=True, help="cleaned corpus dir")
+    wc.add_argument("--dedup-threshold", type=int, default=3,
+                    help="drop lines recurring in >= this many surviving docs")
+
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -288,6 +298,18 @@ def main(argv: list[str] | None = None) -> int:
                 "docs": tot, "docs_cut": docs_cut, "words_removed": removed,
                 "k": args.k, "output_dir": args.output,
             }))
+            return 0
+
+        if args.cmd == "webclean":
+            import ray.data as rd
+
+            from .functions.webclean import webclean_pipeline
+
+            ds = rd.read_parquet(args.input)
+            stats, _final = webclean_pipeline(
+                ds, dedup_threshold=args.dedup_threshold, out_dir=args.output
+            )
+            print(stats.to_json(orient="records"))
             return 0
 
         if args.cmd == "near-dedup":
