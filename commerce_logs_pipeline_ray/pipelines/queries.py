@@ -12203,6 +12203,119 @@ FROM h CROSS JOIN t ORDER BY decile
 """
 
 
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier product-limit survival with RIGHT-CENSORING over gap
+    sessions (30-min idle split): subjects are sessions, the event is the
+    session CLOSING (a gap followed), and sessions still open at the corpus
+    end (within 30 min of it) are censored.  Per-user session folds run in
+    the bucketed exchange; the product-limit curve folds over the distinct-
+    duration grid as exp(Σ ln(1−dᵢ/nᵢ)) — the same formulation the SQL
+    window mirror uses, term-for-term."""
+    from ..functions.relational import bucketed_group_reduce
+
+    GAP = 1_800_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    import pyarrow.parquet as _pq
+
+    meta = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    us_all = pc.cast(pc.cast(meta["ts"], pa.timestamp("us")), pa.int64())
+    t_end = int(pc.max(us_all).as_py())
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("user_id", sort=False):
+            us = np.sort(g["us"].to_numpy(np.int64))
+            new_s = np.ones(len(us), dtype=bool)
+            new_s[1:] = np.diff(us) > GAP
+            starts = np.nonzero(new_s)[0]
+            ends = np.concatenate([starts[1:] - 1, [len(us) - 1]])
+            a, b = us[starts], us[ends]
+            dur = (b - a) // 60_000_000
+            churn = (t_end - b >= GAP).astype(np.int64)
+            rows.append(pd.DataFrame({"dur": dur, "churn": churn}))
+        import pandas as _pd
+
+        return _pd.concat(rows, ignore_index=True) if rows else _pd.DataFrame(
+            {"dur": _pd.Series(dtype="int64"), "churn": _pd.Series(dtype="int64")}
+        )
+
+    km = bucketed_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], per_user,
+    ).to_pandas()
+    grid = (
+        km.groupby("dur", as_index=False)
+        .agg(d=("churn", "sum"), m=("churn", "size"))
+        .sort_values("dur", ignore_index=True)
+    )
+    total = int(grid["m"].sum())
+    at_risk = total - np.concatenate([[0], np.cumsum(grid["m"].to_numpy())[:-1]])
+    # drop the terminal all-close row (1 - d/n = 0 → ln(0); S simply hits 0)
+    keep = (grid["d"].to_numpy() > 0) & (grid["d"].to_numpy() < at_risk)
+    t_ev = grid["dur"].to_numpy(np.int64)[keep]
+    d_ev = grid["d"].to_numpy(np.int64)[keep]
+    n_ev = at_risk[keep].astype(np.int64)
+    surv = np.exp(np.cumsum(np.log(1.0 - d_ev / n_ev)))
+    out = pd.DataFrame(
+        {
+            "duration_min": t_ev,
+            "n_at_risk": n_ev,
+            "n_closed": d_ev,
+            "survival": _rd(surv, 6),
+        }
+    )
+    return _i64(out, ["duration_min", "n_at_risk", "n_closed"])
+
+
+SQL_KAPLAN_MEIER = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT MAX(us) AS t_end FROM e),
+x AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+ses AS (SELECT user_id, sid, MIN(us) AS a, MAX(us) AS b FROM s GROUP BY 1, 2),
+k AS (
+  SELECT (b - a) // 60000000 AS dur,
+         CASE WHEN t_end - b >= 1800000000 THEN 1 ELSE 0 END AS churn
+  FROM ses CROSS JOIN m
+),
+g AS (SELECT dur, SUM(churn) AS d, COUNT(*) AS mm FROM k GROUP BY 1),
+r AS (
+  SELECT dur, d,
+         (SELECT COUNT(*) FROM k) - COALESCE(SUM(mm) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM g
+),
+sv AS (
+  SELECT dur, d, n_at_risk,
+         EXP(SUM(LN(1.0 - d / CAST(n_at_risk AS DOUBLE)))
+             OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS surv
+  FROM r WHERE d > 0 AND d < n_at_risk
+)
+SELECT CAST(dur AS BIGINT) AS duration_min, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_closed, ROUND(surv, 6) AS survival
+FROM sv ORDER BY duration_min
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -13244,6 +13357,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_woe_binning,
         SQL_WOE_BINNING,
         "weight-of-evidence / IV decile audit via exact distributed NTILE",
+    ),
+    "kaplan_meier": QuerySpec(
+        q_kaplan_meier,
+        SQL_KAPLAN_MEIER,
+        "Kaplan-Meier survival with right-censoring, mirrored exp-sum-log fold",
     ),
 }
 
