@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "image_channel_stats",
     "als_user_step",
     "mmr_rerank",
+    "isotonic_purchase_rate",
+    "woe_binning",
+    "kaplan_meier",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
