@@ -12316,6 +12316,71 @@ FROM sv ORDER BY duration_min
 """
 
 
+def q_join_size_profile(sf_dir: str) -> pd.DataFrame:
+    """Join-cardinality profiling WITHOUT materializing the join (the
+    optimizer's question answered combiner-style): |orders ⋈ lineitem| per
+    order priority = Σ_key c_left·c_right over shared keys — two per-key
+    count reductions and one co-group multiply; only count rows ever move."""
+    from ..functions.relational import bucketed_group_reduce
+
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    lc = grouped_sums(li, ["l_orderkey"], {}, "c_l")
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "prio": t["o_orderpriority"],
+                "c_l": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "is_o": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "prio": pa.array([""] * len(t)),
+                "c_l": t["c_l"],
+                "is_o": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    both = od.map_batches(tag_o, batch_format="pyarrow", zero_copy_batch=True).union(
+        lc.map_batches(tag_l, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["is_o"] == 1][["key", "prio"]]
+        l = df[df["is_o"] == 0][["key", "c_l"]]
+        m = o.merge(l, on="key", how="left").fillna({"c_l": 0})
+        g = m.groupby("prio", as_index=False).agg(
+            n_orders=("key", "size"), join_rows=("c_l", "sum")
+        )
+        return g
+
+    out = (
+        bucketed_group_reduce(both, ["key"], per_bucket)
+        .to_pandas()
+        .groupby("prio", as_index=False)
+        .sum()
+        .sort_values("prio", ignore_index=True)
+        .rename(columns={"prio": "o_orderpriority"})
+    )
+    return _i64(out, ["n_orders", "join_rows"])
+
+
+SQL_JOIN_SIZE_PROFILE = """
+WITH lc AS (SELECT l_orderkey, COUNT(*) AS c_l FROM lineitem GROUP BY 1)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(COALESCE(lc.c_l, 0)) AS BIGINT) AS join_rows
+FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "media_decode_real": QuerySpec(
         q_media_decode_real,
@@ -13362,6 +13427,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_kaplan_meier,
         SQL_KAPLAN_MEIER,
         "Kaplan-Meier survival with right-censoring, mirrored exp-sum-log fold",
+    ),
+    "join_size_profile": QuerySpec(
+        q_join_size_profile,
+        SQL_JOIN_SIZE_PROFILE,
+        "join cardinality per priority WITHOUT the join (count-vector co-group)",
     ),
 }
 
