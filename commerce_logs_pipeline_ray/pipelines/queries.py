@@ -12381,7 +12381,269 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-4 wave 1: interval-overlap join, CDC upsert-merge, SymSpell edit-1
+# join, Feistel format-preserving shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_interval_overlap_join(sf_dir: str) -> pd.DataFrame:
+    """Range/interval self-join — ``functions/intervals.py``: user-day
+    activity intervals [first event, last event) paired when they overlap
+    (concurrent activity).  Grid-bucketed plan: intervals fan out to hour
+    cells, one hash exchange on (day, cell), per-cell vectorized pair scan,
+    each pair counted exactly once in the cell holding max(start_a,
+    start_b).  Oracle: the naive inequality self-join."""
+    from ..functions.intervals import interval_overlap_join
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+    DAY_US = 86_400_000_000
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()  # µs (parquet ts[us])
+        user = t["user_id"].to_numpy()
+        df = pd.DataFrame({"item": user, "day": ts // DAY_US, "s": ts, "e": ts})
+        g = df.groupby(["item", "day"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(to_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold_iv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["item", "day"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        return g[g["s"] < g["e"]]
+
+    from ..functions.relational import bucketed_group_reduce
+
+    intervals = bucketed_group_reduce(partials, ["item", "day"], fold_iv, num_buckets=32)
+    out = interval_overlap_join(intervals, "day").to_pandas()
+    out["day"] = pd.to_datetime(out["day"].astype("int64") * 86400, unit="s").dt.strftime(
+        "%Y-%m-%d"
+    )
+    out = out.sort_values("day", ignore_index=True)
+    return _i64(out, ["n_pairs", "total_overlap_us", "max_overlap_us"])
+
+
+SQL_INTERVAL_OVERLAP_JOIN = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2 HAVING MIN(epoch_us(ts)) < MAX(epoch_us(ts))
+),
+p AS (
+  SELECT a.day, LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov
+  FROM iv a JOIN iv b
+    ON a.day = b.day AND a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_us,
+       CAST(MAX(ov) AS BIGINT) AS max_overlap_us
+FROM p GROUP BY day ORDER BY day
+"""
+
+_MERGE_CUTOFF_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+
+def q_upsert_merge(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE — ``functions/merge_cdc.py``: per-user snapshot state from
+    events before the cutoff, then ONE change batch (events ≥ cutoff) is
+    merged in: additive accumulators, last-writer-wins (ts, type), and a
+    tombstone erasure feed (users whose md5(user ‖ ':erase') hex starts
+    '0' AND who appear in the batch) deleting the key outright.  Both
+    sides pre-combine per key per block before the single hash exchange.
+    Oracle: recompute the post-merge state from scratch in SQL."""
+    from ..functions.merge_cdc import combine_events, merge_state
+
+    cols = ["ts", "user_id", "event_type", "value"]
+    old = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=cols,
+        filter=pads.field("ts") < datetime(2024, 1, 16),
+    )
+    new = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=cols,
+        filter=pads.field("ts") >= datetime(2024, 1, 16),
+    )
+
+    def old_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts=df["ts"].astype("datetime64[us]"))
+        return combine_events(df, "user_id", "ts", "event_type", "value")
+
+    def new_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts=df["ts"].astype("datetime64[us]"))
+        hexes = md5_hex((df["user_id"].astype(str) + ":erase").tolist()).to_pylist()
+        df = df.assign(__tomb=np.fromiter((h[0] == "0" for h in hexes), bool, len(hexes)))
+        return combine_events(df, "user_id", "ts", "event_type", "value", "__tomb")
+
+    from ..functions.relational import bucketed_group_reduce
+
+    def fold_state(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby("key")["last_ts_us"].idxmax()
+        last = df.loc[idx, ["key", "last_ts_us", "last_type"]].set_index("key")
+        agg = df.groupby("key").agg(
+            total_value_c=("total_value_c", "sum"), n_events=("n_events", "sum")
+        )
+        out = agg.join(last).reset_index()
+        out["tomb"] = False
+        return out
+
+    snapshot = bucketed_group_reduce(
+        old.map_batches(old_partial, batch_format="pandas"), ["key"], fold_state
+    )
+    delta = new.map_batches(new_partial, batch_format="pandas")
+    merged = merge_state(snapshot, delta).to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": merged["key"].astype("int64"),
+            "last_ts_us": merged["last_ts_us"].astype("int64"),
+            "last_type": merged["last_type"],
+            "total_value": (merged["total_value_c"] / 100.0).round(2),
+            "n_events": merged["n_events"].astype("int64"),
+        }
+    ).sort_values("user_id", ignore_index=True)
+    return out
+
+
+SQL_UPSERT_MERGE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+tomb AS (
+  SELECT DISTINCT user_id FROM ev
+  WHERE tsu >= {_MERGE_CUTOFF_US}
+    AND substr(md5(CAST(user_id AS VARCHAR) || ':erase'), 1, 1) = '0'
+),
+live AS (SELECT * FROM ev WHERE user_id NOT IN (SELECT user_id FROM tomb)),
+agg AS (
+  SELECT user_id, CAST(SUM(vc) AS BIGINT) AS vc, COUNT(*) AS n_events,
+         MAX(tsu) AS last_ts_us
+  FROM live GROUP BY user_id
+),
+last AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsu DESC) AS rn
+  FROM live
+)
+SELECT a.user_id, a.last_ts_us, l.event_type AS last_type,
+       ROUND(a.vc / 100.0, 2) AS total_value, a.n_events
+FROM agg a JOIN last l ON l.user_id = a.user_id AND l.rn = 1
+ORDER BY a.user_id
+"""
+
+
+def q_symspell_edit1_join(sf_dir: str) -> pd.DataFrame:
+    """SymSpell symmetric-delete edit-1 join — ``functions/linkage.py::
+    symspell_edit1_join``: EXACT-recall d≤1 blocking via single-deletion
+    neighborhoods (vs ``record_linkage``'s partial-recall prefix/suffix
+    blocks) over the same dirty-name corpus.  SymSpell's dictionary is the
+    DISTINCT term set (canonical id = min rec_id per name): repeated names
+    would otherwise blow the pair count up quadratically — identical-string
+    duplicates are exact-dedup territory (``dedup_exact``), not fuzzy-join
+    output.  Oracle: brute-force length-blocked Levenshtein join over the
+    same distinct dictionary (independent of the blocking)."""
+    from ..functions.linkage import symspell_edit1_join
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = rd.read_parquet(ensure_dirty_names_parquet(sf_dir), override_num_blocks=4)
+
+    def dict_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("name", as_index=False).agg(rec_id=("rec_id", "min"))
+
+    vocab = bucketed_group_reduce(ds, ["name"], dict_fold, num_buckets=16)
+    out = symspell_edit1_join(vocab).to_pandas()
+    out = out.sort_values(["id_a", "id_b"], ignore_index=True)
+    return _i64(out, ["id_a", "id_b", "dist"])
+
+
+SQL_SYMSPELL_EDIT1_JOIN = """
+WITH r AS (SELECT MIN(rec_id) AS rec_id, name, LENGTH(name) AS ln
+           FROM read_parquet('{AD}/dirty_names.parquet') GROUP BY name)
+SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM r a JOIN r b
+  ON a.rec_id < b.rec_id AND b.ln BETWEEN a.ln - 1 AND a.ln + 1
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY id_a, id_b
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+_FEISTEL_K = 16  # fixed half-width: one closed form at every sf
+_FEISTEL_SAMPLE_MOD = 499
+
+
+def q_feistel_permutation(sf_dir: str) -> pd.DataFrame:
+    """Format-preserving epoch shuffle — ``functions/permute.py``: a
+    4-round Feistel bijection over a fixed 2^32 domain maps every event id
+    to a unique image; one distributed rank over the images collapses the
+    padded domain to a dense permutation of [0, N).  Seekable (any worker
+    computes its slice statelessly) and resumable (position is a pure
+    function of id + seed) — the scale alternative to ``random_shuffle``.
+    Oracle: the identical closed form unrolled in SQL + window rank."""
+    from ..functions.permute import feistel_permute
+    from ..functions.rank import global_row_number
+
+    ds = _t(sf_dir, "events", ["event_id"])
+
+    def image(t: pa.Table) -> pa.Table:
+        x = t["event_id"].to_numpy()
+        y = feistel_permute(x, 0, seed=7, k=_FEISTEL_K)
+        return pa.table({"event_id": x, "y": y})
+
+    imaged = ds.map_batches(image, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, total = global_row_number(imaged, "y", [], out_col="pos")
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _FEISTEL_SAMPLE_MOD == 0))
+
+    out = ranked.map_batches(sample, batch_format="pyarrow").to_pandas()
+    out["pos"] = out["pos"].astype("int64") - 1  # 0-based
+    out = out[["event_id", "pos"]].sort_values("event_id", ignore_index=True)
+    return _i64(out, ["event_id", "pos"])
+
+
+def _feistel_sql() -> str:
+    from ..functions.permute import feistel_sql_expr
+
+    expr = feistel_sql_expr("event_id", 0, seed=7, k=_FEISTEL_K)
+    return f"""
+WITH p AS (SELECT event_id, {expr} AS y FROM events),
+r AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY y) - 1 AS pos FROM p)
+SELECT event_id, pos FROM r WHERE event_id % {_FEISTEL_SAMPLE_MOD} = 0
+ORDER BY event_id
+"""
+
+
+SQL_FEISTEL_PERMUTATION = _feistel_sql()
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "interval_overlap_join": QuerySpec(
+        q_interval_overlap_join,
+        SQL_INTERVAL_OVERLAP_JOIN,
+        "grid-bucketed interval/range overlap self-join (concurrent user activity)",
+    ),
+    "upsert_merge": QuerySpec(
+        q_upsert_merge,
+        SQL_UPSERT_MERGE,
+        "CDC MERGE: snapshot + change batch, last-writer-wins, tombstone deletes",
+    ),
+    "symspell_edit1_join": QuerySpec(
+        q_symspell_edit1_join,
+        SQL_SYMSPELL_EDIT1_JOIN,
+        "SymSpell deletion-neighborhood edit-1 join (exact recall) vs brute oracle",
+    ),
+    "feistel_permutation": QuerySpec(
+        q_feistel_permutation,
+        SQL_FEISTEL_PERMUTATION,
+        "format-preserving Feistel epoch shuffle: seekable bijection + rank collapse",
+    ),
     "media_decode_real": QuerySpec(
         q_media_decode_real,
         SQL_MEDIA_DECODE_REAL,
