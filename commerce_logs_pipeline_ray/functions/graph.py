@@ -445,3 +445,88 @@ def sssp_bellman_ford(
             break
     out = pd.DataFrame({"node": list(dist.keys()), "dist": list(dist.values())})
     return out.sort_values("node", ignore_index=True).astype("int64")
+
+
+def kcore_hindex(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 256,
+) -> pd.DataFrame:
+    """Core numbers (k-core decomposition) by the h-index fixpoint
+    (Lü et al. 2016, "The H-index of a network node"): init every node to
+    its degree, then repeatedly set each node to the h-index of its
+    neighbors' current values — the unique fixpoint is the coreness.
+    Deterministic, order-free (each round is a pure function of the
+    previous map), and distributed the same way as
+    :func:`sssp_bellman_ford`: the edge set stays out on the cluster (one
+    scan per round), each scan emits per-(node, neighbor-value) COUNT
+    partials — bounded by Σ min(degree, value-range), not by |E| — and the
+    |V|-bounded value map folds on the driver and broadcasts back.  At
+    corpus scale the value map rides a join instead (same contract as
+    pagerank/bfs_levels).
+
+    ``edges`` must be symmetric (both directions present).  Returns
+    (node, core) sorted by node.
+    """
+    import ray as _ray
+
+    edges = edges.materialize()
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(degree_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("node")["n"]
+        .sum()
+    )
+    val = {int(k): int(v) for k, v in deg.items()}
+
+    def h_from_hist(values: np.ndarray, counts: np.ndarray) -> int:
+        # h = max h with ≥ h neighbors of value ≥ h.  With unique values
+        # sorted descending and cum[i] = #neighbors of value ≥ values[i],
+        # the h-index is max_i min(values[i], cum[i]) — one vector pass.
+        order = np.argsort(values)[::-1]
+        cum = np.cumsum(counts[order])
+        return int(np.maximum(0, np.minimum(values[order], cum)).max(initial=0))
+
+    for _ in range(max_rounds):
+        vk = np.fromiter(val.keys(), np.int64, len(val))
+        vv = np.fromiter(val.values(), np.int64, len(val))
+        order = np.argsort(vk)
+        ref = _ray.put((vk[order], vv[order]))
+
+        def nbr_hist(t: pa.Table) -> pa.Table:
+            keys, vals = _ray.get(ref)
+            s = t[src].to_numpy(zero_copy_only=False)
+            e = t[dst].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(keys, e), len(keys) - 1)
+            nv = vals[idx]  # neighbor (dst) current value
+            df = pd.DataFrame({"node": s, "v": nv})
+            g = df.groupby(["node", "v"], as_index=False).size()
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "n"}), preserve_index=False
+            )
+
+        hist = (
+            edges.map_batches(nbr_hist, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .groupby(["node", "v"], as_index=False)["n"]
+            .sum()
+        )
+        changed = False
+        for node, g in hist.groupby("node"):
+            h = h_from_hist(g["v"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+            node = int(node)
+            if h != val[node]:
+                val[node] = h
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame({"node": list(val.keys()), "core": list(val.values())})
+    return out.sort_values("node", ignore_index=True).astype("int64")

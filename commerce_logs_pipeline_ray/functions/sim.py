@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -718,3 +719,116 @@ def als_user_step(
     return out.sort_values(user_col, ignore_index=True).astype(
         {user_col: "int64", "n_items": "int64"}
     )
+
+
+def margin_knn_pairs(
+    emb: Dataset,
+    label_a: int = 0,
+    label_b: int = 1,
+    k: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pd.DataFrame:
+    """Margin-based bitext/pair mining (Artetxe & Schwenk 2019, public
+    method): score every cross-set candidate by cos(a,b) normalized by the
+    mean of both sides' k-NN similarities, keep MUTUAL-best pairs — the
+    standard cure for the hubness that plain cosine thresholding suffers.
+
+    Determinism: cosines are quantized to integer µcos (ROUND(c·1e6), the
+    shared half-away convention), the top-k sums and the margin denominator
+    are integer, and every argmax tie breaks to the smaller id — exactly
+    reproducible, mirrored bitwise by the SQL oracle.
+
+    Shape: side B is the broadcast candidate matrix (one ``ray.put``); a
+    first streaming pass over A-blocks emits per-a top-k sums plus per-b
+    column top-k PARTIALS (k rows per b per block — combiner-sized), folded
+    on the driver; a second pass emits per-a best pairs and per-b best
+    partials.  Only per-row results cross the wire, never the margin
+    matrix.  At corpus scale both sides tile block-pairs exactly like
+    ``embedding_neardup``; the reduces are unchanged."""
+    import ray as _ray
+
+    from .rounding import round_like_duckdb as _rd
+
+    def side(t: pa.Table, lbl: int) -> pa.Table:
+        return t.filter(pc.equal(t["label"], lbl))
+
+    a_ds = emb.map_batches(
+        lambda t, l=label_a: side(t, l), batch_format="pyarrow"
+    ).materialize()
+    b_df = emb.map_batches(
+        lambda t, l=label_b: side(t, l), batch_format="pyarrow"
+    ).to_pandas()
+    b_ids = b_df[id_col].to_numpy().astype(np.int64)
+    b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in b_df[col]])
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    b_ref = _ray.put((b_ids, b_mat, b_norm))
+
+    def _mucos(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids_b, mb, nb = _ray.get(b_ref)
+        ids_a = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ma = _to_matrix(t, col)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        c = (ma @ mb.T) / np.outer(na, nb)
+        return ids_a, _rd(c * 1e6, 0).astype(np.int64)
+
+    def scan_a(t: pa.Table) -> pa.Table:
+        ids_a, ci = _mucos(t)
+        ids_b = _ray.get(b_ref)[0]
+        kk = min(k, ci.shape[1])
+        sa = -np.sort(-ci, axis=1)[:, :kk].sum(axis=1)
+        out_a = pd.DataFrame({"id": ids_a, "v": sa, "kind": np.int64(0)})
+        kb = min(k, ci.shape[0])
+        topb = -np.sort(-ci, axis=0)[:kb, :]  # per-b top-k within this block
+        part_b = pd.DataFrame(
+            {"id": np.tile(ids_b, kb), "v": topb.ravel(), "kind": np.int64(1)}
+        )
+        return pa.Table.from_pandas(
+            pd.concat([out_a, part_b], ignore_index=True), preserve_index=False
+        )
+
+    parts = a_ds.map_batches(scan_a, batch_format="pyarrow").to_pandas()
+    sa_map = dict(
+        parts[parts["kind"] == 0][["id", "v"]].itertuples(index=False, name=None)
+    )
+    sb_map = {
+        int(ib): int(np.sort(g["v"].to_numpy(np.int64))[::-1][:k].sum())
+        for ib, g in parts[parts["kind"] == 1].groupby("id")
+    }
+    sa_ref = _ray.put(sa_map)
+    sb_ref = _ray.put(sb_map)
+
+    def best_pass(t: pa.Table) -> pa.Table:
+        ids_a, ci = _mucos(t)
+        ids_b = _ray.get(b_ref)[0]
+        sam, sbm = _ray.get(sa_ref), _ray.get(sb_ref)
+        sa = np.array([sam[int(i)] for i in ids_a], dtype=np.int64)
+        sb = np.array([sbm[int(i)] for i in ids_b], dtype=np.int64)
+        margin = ci / ((sa[:, None] + sb[None, :]) / (2.0 * k))
+        # per-a best: max margin, ties → smallest b id (vectorized)
+        row_max = margin.max(axis=1, keepdims=True)
+        best_ib = np.where(margin == row_max, ids_b[None, :], np.iinfo(np.int64).max).min(axis=1)
+        out_a = pd.DataFrame(
+            {"ia": ids_a, "ib": best_ib, "margin": row_max.ravel(),
+             "kind": np.int64(0)})
+        # per-b best within block: max margin, ties → smallest a id
+        col_max = margin.max(axis=0, keepdims=True)
+        best_ia = np.where(margin == col_max, ids_a[:, None], np.iinfo(np.int64).max).min(axis=0)
+        out_b = pd.DataFrame(
+            {"ia": best_ia, "ib": ids_b, "margin": col_max.ravel(),
+             "kind": np.int64(1)})
+        return pa.Table.from_pandas(
+            pd.concat([out_a, out_b], ignore_index=True), preserve_index=False
+        )
+
+    res = a_ds.map_batches(best_pass, batch_format="pyarrow").to_pandas()
+    best_a = res[res["kind"] == 0]
+    bb = res[res["kind"] == 1].sort_values(
+        ["ib", "margin", "ia"], ascending=[True, False, True], kind="stable")
+    best_b = bb.groupby("ib", as_index=False).first()
+    merged = best_a.merge(best_b[["ia", "ib"]], on=["ia", "ib"])
+    return pd.DataFrame(
+        {"vec_a": merged["ia"].astype("int64"),
+         "vec_b": merged["ib"].astype("int64"),
+         "margin": _rd(merged["margin"].to_numpy(), 6)}
+    ).sort_values("vec_a", ignore_index=True)

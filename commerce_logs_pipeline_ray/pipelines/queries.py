@@ -13034,7 +13034,392 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-4 wave 3: k-core decomposition, compaction planner
+# ---------------------------------------------------------------------------
+
+
+def ensure_kcore_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``kcore_decomposition``: core numbers from an
+    INDEPENDENT scalar derivation — itertools pair expansion and the exact
+    Matula–Beck min-degree peeling (bucket queue), vs the engine's h-index
+    fixpoint over distributed histogram partials.  Two different published
+    algorithms agreeing on every node is the strongest cross-check."""
+    import os as _os
+    from collections import defaultdict
+    from itertools import combinations
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        by_order: dict[int, set[int]] = defaultdict(set)
+        for o, p in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+            by_order[int(o)].add(int(p))
+        adj: dict[int, set[int]] = defaultdict(set)
+        for parts in by_order.values():
+            for a, b in combinations(sorted(parts), 2):
+                adj[a].add(b)
+                adj[b].add(a)
+        # Matula–Beck: repeatedly remove a minimum-degree node; its core is
+        # the running max of the degree at removal time
+        deg = {v: len(ns) for v, ns in adj.items()}
+        buckets: dict[int, set[int]] = defaultdict(set)
+        for v, d in deg.items():
+            buckets[d].add(v)
+        core: dict[int, int] = {}
+        k = 0
+        remaining = set(adj)
+        while remaining:
+            d = min(b for b in buckets if buckets[b])
+            v = min(buckets[d])  # deterministic tie-break (order-free result)
+            buckets[d].discard(v)
+            remaining.discard(v)
+            k = max(k, d)
+            core[v] = k
+            for u in adj[v]:
+                if u in remaining:
+                    buckets[deg[u]].discard(u)
+                    deg[u] -= 1
+                    buckets[deg[u]].add(u)
+            deg.pop(v)
+        return pa.table(
+            {"node": pa.array(sorted(core), pa.int64()),
+             "core": pa.array([core[n] for n in sorted(core)], pa.int64())}
+        )
+
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "kcore_ref.parquet"), build)
+
+
+def q_kcore_decomposition(sf_dir: str) -> pd.DataFrame:
+    """K-core decomposition of the co-purchase graph —
+    ``functions/graph.py::kcore_hindex``: h-index fixpoint rounds, edge set
+    distributed, per-(node, value) histogram partials; oracle = independent
+    scalar Matula–Beck peeling."""
+    from ..functions.graph import kcore_hindex
+
+    ensure_kcore_parquet(sf_dir)
+    edges = _copurchase_weighted_edges(sf_dir)
+    return kcore_hindex(edges)
+
+
+SQL_KCORE_DECOMPOSITION = """
+SELECT node, core FROM read_parquet('{AD}/kcore_ref.parquet') ORDER BY node
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+_COMPACT_CAP_FACTOR = 2  # bin capacity = factor × largest cell
+
+
+def ffd_pack(sizes: np.ndarray, keys: list[tuple], capacity: int) -> dict[tuple, int]:
+    """First-fit-decreasing bin packing (classic 11/9·OPT+1 heuristic):
+    items sorted by (size DESC, key ASC) for determinism, each placed in
+    the lowest-indexed bin with room.  Runs on the PLAN manifest — grouped
+    cell sizes, not rows — which stays small even at 10^12 rows (the same
+    driver-side-plan contract as the flagship's shard planner)."""
+    order = sorted(range(len(sizes)), key=lambda i: (-int(sizes[i]), keys[i]))
+    bins: list[int] = []  # remaining capacity per bin
+    assign: dict[tuple, int] = {}
+    for i in order:
+        s = int(sizes[i])
+        for b, room in enumerate(bins):
+            if s <= room:
+                bins[b] = room - s
+                assign[keys[i]] = b
+                break
+        else:
+            bins.append(capacity - s)
+            assign[keys[i]] = len(bins) - 1
+    return assign
+
+
+def q_compaction_plan(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction planner: the per-(event_type, day) cell sizes
+    (the 'small files' a routed sink would leave) are computed in one
+    grouped count exchange; FFD packs the resulting manifest into bins of
+    capacity 2× the largest cell.  Output = the full plan (cell → bin),
+    ready to drive a per-bin rewrite.  Oracle: an independently-coded
+    scalar FFD over the same cells (artifact)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), DAY_US)
+        g = (
+            pa.table({"event_type": t["event_type"], "day": day})
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cells = p.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    sizes = cells["n"].to_numpy(np.int64)
+    keys = list(zip(cells["event_type"], cells["day"].astype(int)))
+    cap = _COMPACT_CAP_FACTOR * int(sizes.max())
+    assign = ffd_pack(sizes, keys, cap)
+    out = pd.DataFrame(
+        {"event_type": [k[0] for k in keys], "day": [k[1] for k in keys],
+         "size": sizes, "bin_id": [assign[k] for k in keys]}
+    ).sort_values(["event_type", "day"], ignore_index=True)
+    return _i64(out, ["day", "size", "bin_id"])
+
+
+def ensure_compaction_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``compaction_plan``: the same documented FFD rule
+    derived by an independent scalar pass (dict-of-lists grouping, linear
+    first-fit scan) straight off the events parquet."""
+    import os as _os
+    from collections import defaultdict
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        cnt: dict[tuple, int] = defaultdict(int)
+        ts_us = t["ts"].cast(pa.int64()).to_pylist()  # µs, tz-free
+        for et, ts in zip(t["event_type"].to_pylist(), ts_us):
+            cnt[(et, ts // 86_400_000_000)] += 1
+        items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        cap = _COMPACT_CAP_FACTOR * max(v for _, v in cnt.items())
+        rooms: list[int] = []
+        assign: dict[tuple, int] = {}
+        for key, s in items:
+            placed = False
+            for b in range(len(rooms)):
+                if s <= rooms[b]:
+                    rooms[b] -= s
+                    assign[key] = b
+                    placed = True
+                    break
+            if not placed:
+                rooms.append(cap - s)
+                assign[key] = len(rooms) - 1
+        ordered = sorted(cnt)
+        return pa.table(
+            {"event_type": pa.array([k[0] for k in ordered]),
+             "day": pa.array([k[1] for k in ordered], pa.int64()),
+             "size": pa.array([cnt[k] for k in ordered], pa.int64()),
+             "bin_id": pa.array([assign[k] for k in ordered], pa.int64())}
+        )
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "compaction_ref.parquet"), build
+    )
+
+
+def q_compaction_plan_checked(sf_dir: str) -> pd.DataFrame:
+    ensure_compaction_parquet(sf_dir)
+    return q_compaction_plan(sf_dir)
+
+
+SQL_COMPACTION_PLAN = """
+SELECT event_type, day, size, bin_id
+FROM read_parquet('{AD}/compaction_ref.parquet')
+ORDER BY event_type, day
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+def ensure_scene_videos_parquet(sf_dir: str) -> str:
+    """Materialize the scene-cut video corpus + synthesis-time truth sidecar
+    (sources/media.py::build_scene_video_table)."""
+    import os as _os
+
+    from ..sources.media import build_scene_video_table
+
+    n = max(40, min(4000, int(4000 * _sf_of(sf_dir))))
+    _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "scene_cuts_truth.parquet"),
+        lambda: build_scene_video_table(n)[1],
+    )
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "scene_videos.parquet"),
+        lambda: build_scene_video_table(n)[0],
+    )
+
+
+def q_video_scene_cuts(sf_dir: str) -> pd.DataFrame:
+    """Scene-cut detection through REAL container decode —
+    ``stages/multimodal.py::SceneCutDetector`` actor pool over VID0
+    payloads, integer frame-diff threshold rule; oracle = the truth sidecar
+    computed at synthesis time from the source pixel arrays (a decode bug
+    cannot cancel out)."""
+    from ..stages.multimodal import SceneCutDetector
+
+    path = ensure_scene_videos_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "payload"])
+    out = (
+        ds.map_batches(SceneCutDetector, batch_size=32, concurrency=2,
+                       batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["media_id", "cut_index"], ignore_index=True)
+    )
+    return _i64(out, ["cut_index"])
+
+
+SQL_VIDEO_SCENE_CUTS = """
+SELECT media_id, cut_index
+FROM read_parquet('{AD}/scene_cuts_truth.parquet')
+ORDER BY media_id, cut_index
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+def ensure_unigram_parquet(sf_dir: str) -> str:
+    """Oracle artifact for ``unigram_lm_segment``: per-source segmentation
+    totals from an INDEPENDENT scalar derivation — its own counting loops
+    and a recursive memoized Viterbi with an explicit tie comparison —
+    against the engine's iterative DP over broadcast integer costs."""
+    import math as _math
+    import os as _os
+    from collections import Counter, defaultdict
+    from functools import lru_cache
+
+    from ..functions.unigram import TOP_NGRAMS
+
+    def build() -> pa.Table:
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+        occ: Counter = Counter()
+        per_source_words: dict[str, list[str]] = defaultdict(list)
+        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            for w in (txt or "").split():
+                per_source_words[src].append(w)
+                for L in (1, 2, 3):
+                    for i in range(len(w) - L + 1):
+                        occ[w[i : i + L]] += 1
+        vocab = {p: c for p, c in occ.items() if len(p) == 1}
+        for L in (2, 3):
+            pool = sorted(
+                ((p, c) for p, c in occ.items() if len(p) == L),
+                key=lambda x: (-x[1], x[0]),
+            )[:TOP_NGRAMS]
+            vocab.update(dict(pool))
+        total = sum(vocab.values())
+        cost = {p: int(round(-_math.log(c / total) * 1_000_000))
+                for p, c in vocab.items()}
+
+        @lru_cache(maxsize=None)
+        def seg(word: str) -> tuple[int, int]:
+            # returns (cost, n_pieces); tie prefers the LONGER final piece
+            if not word:
+                return (0, 0)
+            best = None
+            for L in (1, 2, 3):  # ascending: later (longer) ties overwrite
+                if L > len(word) or word[len(word) - L:] not in cost:
+                    continue
+                pc_, pn = seg(word[: len(word) - L])
+                cand = (pc_ + cost[word[len(word) - L:]], pn + 1)
+                if best is None or cand <= best:
+                    best = cand
+            return best
+
+        rows = []
+        for src in sorted(per_source_words):
+            nw = np_ = nc = 0
+            for w in per_source_words[src]:
+                c, p = seg(w)
+                nw += 1
+                np_ += p
+                nc += c
+            rows.append((src, nw, np_, nc))
+        return pa.table(
+            {"source": pa.array([r[0] for r in rows]),
+             "n_words": pa.array([r[1] for r in rows], pa.int64()),
+             "n_pieces": pa.array([r[2] for r in rows], pa.int64()),
+             "nll_unats": pa.array([r[3] for r in rows], pa.int64())}
+        )
+
+    return _ensure_artifact(
+        _os.path.join(_corpus_dir(sf_dir), "unigram_ref.parquet"), build
+    )
+
+
+def q_unigram_lm_segment(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi subword segmentation —
+    ``functions/unigram.py``: vocabulary from one substring-count exchange,
+    broadcast integer µnat costs, per-batch memoized DP; per-source totals.
+    Oracle = independent recursive scalar implementation (artifact)."""
+    from ..functions.unigram import unigram_segment_stats
+
+    ensure_unigram_parquet(sf_dir)
+    ds = _t(sf_dir, "documents", ["text", "source"])
+    out = unigram_segment_stats(ds)
+    return _i64(out, ["n_words", "n_pieces", "nll_unats"])
+
+
+SQL_UNIGRAM_LM_SEGMENT = """
+SELECT source, n_words, n_pieces, nll_unats
+FROM read_parquet('{AD}/unigram_ref.parquet') ORDER BY source
+""".replace("{AD}", ORACLE_ARTIFACT_DIR)
+
+
+_MARGIN_K = 4
+
+
+def q_margin_knn_bitext(sf_dir: str) -> pd.DataFrame:
+    """Margin-based cross-set pair mining over embeddings (label 0 vs
+    label 1) — ``functions/sim.py::margin_knn_pairs``: ratio-margin
+    scoring with integer µcos k-NN sums, mutual-best pairs only."""
+    from ..functions.sim import margin_knn_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return margin_knn_pairs(ds, 0, 1, k=_MARGIN_K)
+
+
+SQL_MARGIN_KNN_BITEXT = f"""
+WITH A AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE label = 0),
+B AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE label = 1),
+c AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS ci
+  FROM A a CROSS JOIN B b),
+ka AS (
+  SELECT ia, CAST(SUM(ci) AS BIGINT) AS sa
+  FROM (SELECT ia, ci, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY ci DESC, ib) AS rn
+        FROM c)
+  WHERE rn <= {_MARGIN_K} GROUP BY ia),
+kb AS (
+  SELECT ib, CAST(SUM(ci) AS BIGINT) AS sb
+  FROM (SELECT ib, ci, ROW_NUMBER() OVER (PARTITION BY ib ORDER BY ci DESC, ia) AS rn
+        FROM c)
+  WHERE rn <= {_MARGIN_K} GROUP BY ib),
+m AS (
+  SELECT c.ia, c.ib, c.ci / ((ka.sa + kb.sb) / (2.0 * {_MARGIN_K})) AS margin
+  FROM c JOIN ka USING (ia) JOIN kb USING (ib)),
+ba AS (SELECT ia, ib, margin,
+              ROW_NUMBER() OVER (PARTITION BY ia ORDER BY margin DESC, ib) AS r
+       FROM m),
+bb AS (SELECT ia, ib,
+              ROW_NUMBER() OVER (PARTITION BY ib ORDER BY margin DESC, ia) AS r
+       FROM m)
+SELECT ba.ia AS vec_a, ba.ib AS vec_b, ROUND(ba.margin, 6) AS margin
+FROM ba JOIN bb ON bb.ia = ba.ia AND bb.ib = ba.ib AND ba.r = 1 AND bb.r = 1
+ORDER BY vec_a
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "video_scene_cuts": QuerySpec(
+        q_video_scene_cuts,
+        SQL_VIDEO_SCENE_CUTS,
+        "scene-cut detection via real VID0 decode vs synthesis-time truth",
+    ),
+    "unigram_lm_segment": QuerySpec(
+        q_unigram_lm_segment,
+        SQL_UNIGRAM_LM_SEGMENT,
+        "unigram-LM Viterbi subword segmentation, integer unats, per-source totals",
+    ),
+    "margin_knn_bitext": QuerySpec(
+        q_margin_knn_bitext,
+        SQL_MARGIN_KNN_BITEXT,
+        "margin-based (ratio) kNN pair mining, mutual-best cross-set pairs",
+    ),
+    "kcore_decomposition": QuerySpec(
+        q_kcore_decomposition,
+        SQL_KCORE_DECOMPOSITION,
+        "k-core decomposition: distributed h-index fixpoint vs Matula-Beck oracle",
+    ),
+    "compaction_plan": QuerySpec(
+        q_compaction_plan_checked,
+        SQL_COMPACTION_PLAN,
+        "small-file compaction planner: FFD bin packing over grouped cell manifest",
+    ),
     "mannwhitney_u": QuerySpec(
         q_mannwhitney_u,
         SQL_MANNWHITNEY_U,

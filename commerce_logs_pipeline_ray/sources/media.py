@@ -318,3 +318,53 @@ def build_image_scale_dup_table(n_base: int, seed: int = 42) -> pa.Table:
             "dup_of": pa.array(dup_of, pa.string()),
         }
     )
+
+
+SCENE_DIFF_THRESHOLD = 20  # mean abs per-channel diff; cut iff mean > this
+
+
+def build_scene_video_table(n_videos: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Scene-cut video corpus with synthesis-time truth: each video is a
+    sequence of scenes — within a scene, consecutive frames differ by ±2
+    jitter (mean |Δ| ≤ 2); at a planted cut the base frame is redrawn
+    (mean |Δ| ≈ 85 for uint8 uniforms) — so the documented threshold rule
+    (cut at frame i iff mean |frame_i − frame_{i−1}| > SCENE_DIFF_THRESHOLD)
+    separates them with huge margin.  The sidecar truth (media_id,
+    cut_index) is computed here from the SOURCE arrays by the same rule the
+    engine must reproduce through real container decode."""
+    from ..functions.media_codecs import encode_video
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, nframes = [], [], []
+    t_mid, t_cut = [], []
+    for i in range(n_videos):
+        k = 6 + i % 7
+        w, h = 8 + i % 6, 6 + i % 5
+        frames: list[np.ndarray] = []
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(np.int64)
+        for fi in range(k):
+            is_cut = fi > 0 and rng.random() < 0.3
+            if is_cut:
+                base = rng.integers(0, 256, size=(h, w, 3)).astype(np.int64)
+            jitter = rng.integers(-2, 3, size=(h, w, 3))
+            frames.append(np.clip(base + jitter, 0, 255).astype(np.uint8))
+        mid = f"sc{i:05d}"
+        ids.append(mid)
+        payloads.append(encode_video(frames, VIDEO_FPS))
+        nframes.append(k)
+        for fi in range(1, k):
+            d = np.abs(frames[fi].astype(np.int64) - frames[fi - 1].astype(np.int64))
+            # integer cross-multiplied compare: sum > T · npix
+            if int(d.sum()) > SCENE_DIFF_THRESHOLD * d.size:
+                t_mid.append(mid)
+                t_cut.append(fi)
+    videos = pa.table(
+        {"media_id": pa.array(ids, pa.string()),
+         "payload": pa.array(payloads, pa.binary()),
+         "n_frames": pa.array(nframes, pa.int64())}
+    )
+    truth = pa.table(
+        {"media_id": pa.array(t_mid, pa.string()),
+         "cut_index": pa.array(t_cut, pa.int64())}
+    )
+    return videos, truth

@@ -462,3 +462,36 @@ class ImagePHash:
                 "phash": pa.array(np.array(hashes, dtype=np.uint64)),
             }
         )
+
+
+class SceneCutDetector:
+    """Actor-pool stage: VID0 payload → (media_id, cut_index) rows — a cut
+    at frame i iff the mean absolute per-channel difference to frame i−1
+    exceeds the threshold (integer cross-multiplied compare: Σ|Δ| > T·npix,
+    no float in the decision).  Decode machinery binds once per actor; the
+    per-frame diff is one vectorized int64 pass."""
+
+    def __init__(self, threshold: int | None = None):
+        from ..functions.media_codecs import decode_video
+        from ..sources.media import SCENE_DIFF_THRESHOLD
+
+        self._decode = decode_video
+        self._t = SCENE_DIFF_THRESHOLD if threshold is None else threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, cuts = [], []
+        for mid, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            _, frames = self._decode(p)
+            prev = None
+            for fi, fr in enumerate(frames):
+                cur = fr.astype(np.int64)
+                if prev is not None:
+                    d = np.abs(cur - prev)
+                    if int(d.sum()) > self._t * d.size:
+                        mids.append(mid)
+                        cuts.append(fi)
+                prev = cur
+        return pa.table(
+            {"media_id": pa.array(mids, pa.string()),
+             "cut_index": pa.array(cuts, pa.int64())}
+        )
