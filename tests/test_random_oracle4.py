@@ -24,6 +24,10 @@ EVENT_QUERIES = [
     "mannwhitney_u",
     "theilsen_trend",
     "ips_policy_value",
+    "watermark_late_events",
+    "schema_drift_audit",
+    "group_sequential_ab",
+    "compaction_plan",
 ]
 
 
@@ -243,3 +247,43 @@ class TestWave2Math:
         assert row["n_a"] == len(users)
         assert row["n_match"] == n_match
         assert abs(row["ips_term"] - (10.0 * n_match) / len(users)) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_random_ldiv_bloom(seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n_cust, n_orders = 120, 500
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+            "c_mktsegment": pa.array(rng.choice(["B", "A", "M"], size=n_cust)),
+            "c_nationkey": pa.array(rng.integers(0, 6, size=n_cust).astype(np.int64)),
+        }
+    )
+    base = pd.Timestamp("2024-01-01").value // 1000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n_orders + 1, dtype=np.int64)),
+            # only HALF the customers order → real bloom negatives
+            "o_custkey": pa.array(
+                rng.integers(1, n_cust // 2 + 1, size=n_orders).astype(np.int64)
+            ),
+            "o_orderdate": pa.array(
+                base + rng.integers(0, 10 * 86400, size=n_orders).astype(np.int64)
+                * 1_000_000,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(rng.choice(["1-U", "2-H", "3-M"], size=n_orders)),
+            "o_totalprice": pa.array(np.round(rng.uniform(10, 900, n_orders), 2)),
+        }
+    )
+    d = tmp_path_factory.mktemp(f"r4lb{seed}")
+    pq.write_table(customer, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    _run("l_diversity_audit", str(d), con)
+    _run("bloom_fp_audit", str(d), con)
+    got = REGISTRY["bloom_fp_audit"].fn(str(d))
+    assert got["n_neg_probes"].iloc[0] >= n_cust  # shifted twins + non-orderers
