@@ -214,6 +214,25 @@ BENCH_QUERIES = [
     "isotonic_purchase_rate",
     "woe_binning",
     "kaplan_meier",
+    "interval_overlap_join",
+    "upsert_merge",
+    "symspell_edit1_join",
+    "feistel_permutation",
+    "mannwhitney_u",
+    "theilsen_trend",
+    "ks_fdr_audit",
+    "conformal_interval",
+    "ips_policy_value",
+    "kcore_decomposition",
+    "compaction_plan",
+    "margin_knn_bitext",
+    "unigram_lm_segment",
+    "video_scene_cuts",
+    "watermark_late_events",
+    "schema_drift_audit",
+    "l_diversity_audit",
+    "bloom_fp_audit",
+    "group_sequential_ab",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
