@@ -447,11 +447,80 @@ def sssp_bellman_ford(
     return out.sort_values("node", ignore_index=True).astype("int64")
 
 
+def _hindex_local(s: np.ndarray, d: np.ndarray, max_rounds: int) -> pd.DataFrame:
+    """In-memory h-index fixpoint over a symmetric edge list with FRONTIER
+    rounds: a node's h can only move when a neighbor moved, so each round
+    touches only the edges of the affected frontier (CSR segment gathers),
+    computes the per-node histogram via one bincount over compact offset
+    keys (slots = Σ(deg+1) over the frontier), and reads
+    h = max{h : #(nv ≥ h) ≥ h} off a segmented reverse cumsum — no sorts,
+    O(E_frontier) per round, total work O(E · ⟨#moves per node⟩)."""
+    nodes, si = np.unique(s, return_inverse=True)
+    di = np.searchsorted(nodes, d)
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    vals = deg.copy()
+    order = np.argsort(si, kind="stable")  # CSR: edges grouped by src
+    di_o = di[order]
+    indptr = np.r_[np.int64(0), np.cumsum(deg)]
+    # full-graph round invariants, hoisted once
+    coff_f = np.r_[np.int64(0), np.cumsum(deg + 1)]
+    cstarts_f = coff_f[:-1]
+    total_f = int(coff_f[-1])
+    widths_f = np.diff(coff_f)
+    key_base_f = np.repeat(cstarts_f, deg)
+    deg_rep_f = np.repeat(deg, deg)
+    hs_f = np.arange(total_f, dtype=np.int64) - np.repeat(cstarts_f, widths_f)
+    active = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        dense = len(active) * 2 > n  # frontier still most of the graph
+        if dense:
+            act, lens = np.arange(n, dtype=np.int64), deg
+            gathered = di_o
+            coff, cstarts, total = coff_f, cstarts_f, total_f
+            widths, keys_base, deg_rep, hs = widths_f, key_base_f, deg_rep_f, hs_f
+        else:
+            act, lens = active, deg[active]
+            if int(lens.sum()) == 0:
+                break
+            seg_off = np.cumsum(lens) - lens
+            pos = (np.arange(int(lens.sum()), dtype=np.int64)
+                   - np.repeat(seg_off, lens) + np.repeat(indptr[act], lens))
+            gathered = di_o[pos]
+            coff = np.r_[np.int64(0), np.cumsum(lens + 1)]
+            cstarts = coff[:-1]
+            total = int(coff[-1])
+            widths = np.diff(coff)
+            keys_base = np.repeat(cstarts, lens)
+            deg_rep = np.repeat(lens, lens)
+            hs = np.arange(total, dtype=np.int64) - np.repeat(cstarts, widths)
+        nv = np.minimum(vals[gathered], deg_rep)
+        counts = np.bincount(keys_base + nv, minlength=total)
+        rev = np.cumsum(counts[::-1])[::-1]
+        seg_tail = np.r_[rev[coff[1:-1]], np.int64(0)]
+        suffix = rev - np.repeat(seg_tail, widths)
+        h = np.maximum.reduceat(np.where(suffix >= hs, hs, 0), cstarts)
+        moved = act[h != vals[act]]
+        vals[act] = h
+        if len(moved) == 0:
+            break
+        # next frontier: neighbors of moved nodes (CSR gather + bitmask)
+        ml = deg[moved]
+        mo = np.cumsum(ml) - ml
+        mpos = (np.arange(int(ml.sum()), dtype=np.int64) - np.repeat(mo, ml)
+                + np.repeat(indptr[moved], ml))
+        mask = np.zeros(n, dtype=bool)
+        mask[di_o[mpos]] = True
+        active = np.nonzero(mask)[0]
+    return pd.DataFrame({"node": nodes.astype(np.int64), "core": vals.astype(np.int64)})
+
+
 def kcore_hindex(
     edges: Dataset,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 256,
+    driver_edge_limit: int = 20_000_000,
 ) -> pd.DataFrame:
     """Core numbers (k-core decomposition) by the h-index fixpoint
     (Lü et al. 2016, "The H-index of a network node"): init every node to
@@ -472,6 +541,20 @@ def kcore_hindex(
     import ray as _ray
 
     edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        # Bounded-graph fast path: an item/user/entity graph is OUTPUT-sized
+        # (catalog², not corpus²) — the distributed work is building the
+        # deduplicated weighted edge list; once that fits the driver budget,
+        # 38 broadcast rounds of pure Ray latency buy nothing over an O(E)
+        # in-memory fixpoint (same contract as pagerank's |V|-bounded rank
+        # vector).  The distributed round path below stays for larger graphs.
+        cols = edges.select_columns([src, dst]).to_pandas()
+        return _hindex_local(
+            cols[src].to_numpy().astype(np.int64),
+            cols[dst].to_numpy().astype(np.int64),
+            max_rounds,
+        ).sort_values("node", ignore_index=True)
 
     def degree_partial(t: pa.Table) -> pa.Table:
         s = t[src].to_numpy(zero_copy_only=False)
@@ -487,24 +570,43 @@ def kcore_hindex(
     )
     val = {int(k): int(v) for k, v in deg.items()}
 
-    def h_from_hist(values: np.ndarray, counts: np.ndarray) -> int:
-        # h = max h with ≥ h neighbors of value ≥ h.  With unique values
-        # sorted descending and cum[i] = #neighbors of value ≥ values[i],
-        # the h-index is max_i min(values[i], cum[i]) — one vector pass.
-        order = np.argsort(values)[::-1]
-        cum = np.cumsum(counts[order])
-        return int(np.maximum(0, np.minimum(values[order], cum)).max(initial=0))
-
+    # changed-set pruning: a node's h-index can only move when a NEIGHBOR's
+    # value moved last round, so each round scans the edges once to find the
+    # affected frontier (edges whose dst changed → their src) and emits full
+    # histograms only for that frontier.  Round 1 is the full graph; the
+    # frontier then collapses geometrically — the same active-set discipline
+    # delta-stepping / label-propagation engines use.
+    changed_ids = np.sort(np.fromiter(val.keys(), np.int64, len(val)))
     for _ in range(max_rounds):
         vk = np.fromiter(val.keys(), np.int64, len(val))
         vv = np.fromiter(val.values(), np.int64, len(val))
         order = np.argsort(vk)
-        ref = _ray.put((vk[order], vv[order]))
+        ref = _ray.put((vk[order], vv[order], changed_ids))
 
-        def nbr_hist(t: pa.Table) -> pa.Table:
-            keys, vals = _ray.get(ref)
+        def affected_part(t: pa.Table) -> pa.Table:
+            _, _, chg = _ray.get(ref)
             s = t[src].to_numpy(zero_copy_only=False)
             e = t[dst].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(chg, e)
+            hit = (idx < len(chg)) & (chg[np.minimum(idx, len(chg) - 1)] == e)
+            return pa.table({"node": pa.array(np.unique(s[hit]).astype(np.int64))})
+
+        affected = np.unique(
+            edges.map_batches(affected_part, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()["node"].to_numpy()
+        )
+        if len(affected) == 0:
+            break
+        aff_ref = _ray.put(affected)
+
+        def nbr_hist(t: pa.Table) -> pa.Table:
+            keys, vals, _ = _ray.get(ref)
+            aff = _ray.get(aff_ref)
+            s = t[src].to_numpy(zero_copy_only=False)
+            e = t[dst].to_numpy(zero_copy_only=False)
+            ai = np.searchsorted(aff, s)
+            on = (ai < len(aff)) & (aff[np.minimum(ai, len(aff) - 1)] == s)
+            s, e = s[on], e[on]
             idx = np.minimum(np.searchsorted(keys, e), len(keys) - 1)
             nv = vals[idx]  # neighbor (dst) current value
             df = pd.DataFrame({"node": s, "v": nv})
@@ -519,14 +621,28 @@ def kcore_hindex(
             .groupby(["node", "v"], as_index=False)["n"]
             .sum()
         )
-        changed = False
-        for node, g in hist.groupby("node"):
-            h = h_from_hist(g["v"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
-            node = int(node)
+        # vectorized per-node h-index: sort (node, v DESC), per-node cumsum
+        # of counts, h = max over rows of min(v, cum) — one segmented pass
+        hist = hist.sort_values(["node", "v"], ascending=[True, False],
+                                kind="stable")
+        node_arr = hist["node"].to_numpy(np.int64)
+        v_arr = hist["v"].to_numpy(np.int64)
+        n_arr = hist["n"].to_numpy(np.int64)
+        new_seg = np.r_[True, node_arr[1:] != node_arr[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        csum = np.cumsum(n_arr)
+        seg_start_csum = np.r_[np.int64(0), csum[np.nonzero(new_seg)[0][1:] - 1]]
+        within = csum - seg_start_csum[seg_id]
+        score = np.minimum(v_arr, within)
+        h_per_seg = np.maximum.reduceat(score, np.nonzero(new_seg)[0])
+        seg_nodes = node_arr[new_seg]
+        moved = []
+        for node, h in zip(seg_nodes.tolist(), h_per_seg.tolist()):
             if h != val[node]:
                 val[node] = h
-                changed = True
-        if not changed:
+                moved.append(node)
+        if not moved:
             break
+        changed_ids = np.sort(np.asarray(moved, dtype=np.int64))
     out = pd.DataFrame({"node": list(val.keys()), "core": list(val.values())})
     return out.sort_values("node", ignore_index=True).astype("int64")

@@ -85,7 +85,7 @@ def interval_overlap_join(
     group_col: str,
     cell_us: int = CELL_US,
     num_buckets: int = 64,
-) -> Dataset:
+) -> pd.DataFrame:
     """Distributed exact overlap self-join over ``intervals`` rows
     ``(group_col, item, s, e)``; returns per-group pair aggregates.
 
@@ -145,13 +145,15 @@ def interval_overlap_join(
     partials = bucketed_group_reduce(
         fanned, [group_col, "cell"], per_cell, num_buckets=num_buckets
     )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(group_col, as_index=False).agg(
-            n_pairs=("n_pairs", "sum"),
-            total_overlap_us=("total_overlap_us", "sum"),
-            max_overlap_us=("max_overlap_us", "max"),
+    # day-level partials are GROUP-bounded (one row per (group, cell)) —
+    # fold them on the driver instead of paying a third exchange
+    p = partials.to_pandas()
+    if p.empty:
+        return pd.DataFrame(
+            columns=[group_col, "n_pairs", "total_overlap_us", "max_overlap_us"]
         )
-        return g
-
-    return bucketed_group_reduce(partials, [group_col], final, num_buckets=8)
+    return p.groupby(group_col, as_index=False).agg(
+        n_pairs=("n_pairs", "sum"),
+        total_overlap_us=("total_overlap_us", "sum"),
+        max_overlap_us=("max_overlap_us", "max"),
+    )

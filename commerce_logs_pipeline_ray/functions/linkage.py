@@ -199,40 +199,57 @@ def symspell_edit1_join(
             }
         )
 
+    _EMPTY = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="int64"),
+        }
+    )
+
     def verify_key(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("bk", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates([id_col])  # same record via two deletions
-            m = g.merge(g, on="bk")
-            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-            if m.empty:
-                continue
-            d = levenshtein_batch(
-                m[f"{name_col}_x"].tolist(), m[f"{name_col}_y"].tolist()
-            )
-            keep = d <= 1
-            if not keep.any():
-                continue
-            out.append(
-                pd.DataFrame(
-                    {
-                        "id_a": m[f"{id_col}_x"].to_numpy()[keep],
-                        "id_b": m[f"{id_col}_y"].to_numpy()[keep],
-                        "dist": d[keep],
-                    }
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "dist": pd.Series(dtype="int64"),
-                }
-            )
-        return pd.concat(out, ignore_index=True)
+        # fully vectorized candidate enumeration — no per-group pandas work:
+        # drop singleton keys, dedup (key, record), then expand intra-key
+        # pairs by SIZE CLASS (all groups of size s reshape to a (k, s)
+        # matrix and share one triu_indices), dedup candidate pairs, and run
+        # ONE batched Levenshtein over the survivors.
+        df = df.drop_duplicates(["bk", id_col])
+        counts = df["bk"].value_counts()
+        df = df[df["bk"].map(counts) >= 2]
+        if df.empty:
+            return _EMPTY.copy()
+        df = df.sort_values(["bk", id_col], kind="stable")
+        ids = df[id_col].to_numpy(np.int64)
+        names = df[name_col].to_numpy()
+        bk_codes, _ = pd.factorize(df["bk"], sort=False)
+        sizes = np.bincount(bk_codes)
+        starts = np.cumsum(sizes) - sizes
+        pa_idx, pb_idx = [], []
+        for s in np.unique(sizes):
+            grp_starts = starts[sizes == s]
+            mat = grp_starts[:, None] + np.arange(s)[None, :]
+            ia, ib = np.triu_indices(int(s), k=1)
+            pa_idx.append(mat[:, ia].ravel())
+            pb_idx.append(mat[:, ib].ravel())
+        ia = np.concatenate(pa_idx)
+        ib = np.concatenate(pb_idx)
+        id_a, id_b = ids[ia], ids[ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        # dedup candidates shared by several deletion keys BEFORE the DP
+        # (np.unique(axis=0) — id-width-safe pair identity)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        lo_u, hi_u = uniq[:, 0], uniq[:, 1]
+        pos = dict(zip(ids.tolist(), range(len(ids))))
+        na = [names[pos[int(a)]] for a in lo_u]
+        nb = [names[pos[int(b)]] for b in hi_u]
+        d = levenshtein_batch(na, nb)
+        keep = d <= 1
+        if not keep.any():
+            return _EMPTY.copy()
+        return pd.DataFrame(
+            {"id_a": lo_u[keep], "id_b": hi_u[keep], "dist": d[keep]}
+        )
 
     fanned = records.map_batches(fan_keys, batch_format="pyarrow")
     pairs = bucketed_group_reduce(fanned, ["bk"], verify_key, num_buckets=num_buckets)

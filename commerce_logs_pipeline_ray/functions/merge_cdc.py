@@ -75,14 +75,17 @@ def combine_events(
     return _normalize(out)
 
 
-def merge_state(snapshot: Dataset, delta_partials: Dataset, num_buckets: int = 64) -> Dataset:
+def merge_state(
+    snapshot: Dataset | None, delta_partials: Dataset, num_buckets: int = 64
+) -> Dataset:
     """MERGE: union the tagged sides, one hash exchange on key, fold.
 
     Fold semantics per key: tombstone anywhere in the delta ⇒ key absent
     from the output; otherwise accumulators add, and (last_ts_us,
     last_type) come from the row with the max ts across both sides.
     Keys only in the delta are inserts; keys only in the snapshot pass
-    through unchanged.
+    through unchanged.  ``snapshot=None`` when the caller already mixed
+    both sides' partials into one stream (the fold is associative).
     """
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -100,5 +103,7 @@ def merge_state(snapshot: Dataset, delta_partials: Dataset, num_buckets: int = 6
         out["tomb"] = False
         return _normalize(out)
 
-    unioned = snapshot.union(delta_partials)
+    unioned = (
+        delta_partials if snapshot is None else snapshot.union(delta_partials)
+    )
     return bucketed_group_reduce(unioned, ["key"], fold, num_buckets=num_buckets)

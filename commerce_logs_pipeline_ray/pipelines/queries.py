@@ -12398,6 +12398,11 @@ def q_interval_overlap_join(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
     DAY_US = 86_400_000_000
+    # cell width tuning: user-day activity spans most of the day, so hour
+    # cells would fan every interval out ~12× and re-enumerate the same
+    # dense pairs in every cell; day-sized cells minimize duplication here
+    # (the grid machinery is unchanged — sparse/short intervals pick finer
+    # cells)
 
     def to_partial(t: pa.Table) -> pa.Table:
         ts = pc.cast(t["ts"], pa.int64()).to_numpy()  # µs (parquet ts[us])
@@ -12419,7 +12424,7 @@ def q_interval_overlap_join(sf_dir: str) -> pd.DataFrame:
     from ..functions.relational import bucketed_group_reduce
 
     intervals = bucketed_group_reduce(partials, ["item", "day"], fold_iv, num_buckets=32)
-    out = interval_overlap_join(intervals, "day").to_pandas()
+    out = interval_overlap_join(intervals, "day", cell_us=DAY_US)
     out["day"] = pd.to_datetime(out["day"].astype("int64") * 86400, unit="s").dt.strftime(
         "%Y-%m-%d"
     )
@@ -12458,45 +12463,37 @@ def q_upsert_merge(sf_dir: str) -> pd.DataFrame:
     Oracle: recompute the post-merge state from scratch in SQL."""
     from ..functions.merge_cdc import combine_events, merge_state
 
-    cols = ["ts", "user_id", "event_type", "value"]
-    old = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=cols,
-        filter=pads.field("ts") < datetime(2024, 1, 16),
-    )
-    new = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=cols,
-        filter=pads.field("ts") >= datetime(2024, 1, 16),
-    )
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
 
-    def old_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def both_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE scan splits snapshot/batch by the cutoff and emits both
+        # sides' combiner partials; the fold is associative, so snapshot
+        # partials are valid MERGE inputs and everything rides one hash
+        # exchange (the incremental_agg discipline)
         df = df.assign(ts=df["ts"].astype("datetime64[us]"))
-        return combine_events(df, "user_id", "ts", "event_type", "value")
+        tsu = df["ts"].astype("int64")
+        old = df[tsu < _MERGE_CUTOFF_US]
+        new = df[tsu >= _MERGE_CUTOFF_US]
+        parts = []
+        if len(old):
+            parts.append(combine_events(old, "user_id", "ts", "event_type", "value"))
+        if len(new):
+            hexes = md5_hex((new["user_id"].astype(str) + ":erase").tolist()).to_pylist()
+            new = new.assign(
+                __tomb=np.fromiter((h[0] == "0" for h in hexes), bool, len(hexes))
+            )
+            parts.append(
+                combine_events(new, "user_id", "ts", "event_type", "value", "__tomb")
+            )
+        from ..functions.merge_cdc import STATE_COLS
 
-    def new_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(ts=df["ts"].astype("datetime64[us]"))
-        hexes = md5_hex((df["user_id"].astype(str) + ":erase").tolist()).to_pylist()
-        df = df.assign(__tomb=np.fromiter((h[0] == "0" for h in hexes), bool, len(hexes)))
-        return combine_events(df, "user_id", "ts", "event_type", "value", "__tomb")
+        if not parts:
+            return pd.DataFrame(columns=STATE_COLS)
+        return pd.concat(parts, ignore_index=True)
 
-    from ..functions.relational import bucketed_group_reduce
-
-    def fold_state(df: pd.DataFrame) -> pd.DataFrame:
-        idx = df.groupby("key")["last_ts_us"].idxmax()
-        last = df.loc[idx, ["key", "last_ts_us", "last_type"]].set_index("key")
-        agg = df.groupby("key").agg(
-            total_value_c=("total_value_c", "sum"), n_events=("n_events", "sum")
-        )
-        out = agg.join(last).reset_index()
-        out["tomb"] = False
-        return out
-
-    snapshot = bucketed_group_reduce(
-        old.map_batches(old_partial, batch_format="pandas"), ["key"], fold_state
-    )
-    delta = new.map_batches(new_partial, batch_format="pandas")
-    merged = merge_state(snapshot, delta).to_pandas()
+    merged = merge_state(
+        None, ds.map_batches(both_partials, batch_format="pandas")
+    ).to_pandas()
     out = pd.DataFrame(
         {
             "user_id": merged["key"].astype("int64"),
@@ -12907,7 +12904,9 @@ def q_conformal_interval(sf_dir: str) -> pd.DataFrame:
         cal = np.fromiter((h[0] in "01234567" for h in hexes), bool, len(hexes))
         return pd.DataFrame({"x": df["n_items"].astype("int64"), "yc": yc, "cal": cal})
 
-    f = joined.map_batches(featurize, batch_format="pandas")
+    # two consumers (fit stats, residual pass) — materialize once so the
+    # hash join doesn't recompute
+    f = joined.map_batches(featurize, batch_format="pandas").materialize()
 
     def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
         c = df[df["cal"]]
@@ -13431,28 +13430,23 @@ def q_l_diversity_audit(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(cust, sens, "c_custkey", "o_custkey")
 
     def class_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(
-            ["c_mktsegment", "c_nationkey", "o_orderpriority"])[[
-                "c_mktsegment", "c_nationkey", "o_orderpriority"]].assign(n=1)
+        # one combiner carries BOTH facts: distinct (class, priority) rows
+        # with member multiplicities — l and m fold from the same exchange
+        return df.groupby(
+            ["c_mktsegment", "c_nationkey", "o_orderpriority"], as_index=False
+        ).size().rename(columns={"size": "m"})
 
     def class_fold(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["c_mktsegment", "c_nationkey", "o_orderpriority"])
+        d = df.groupby(
+            ["c_mktsegment", "c_nationkey", "o_orderpriority"], as_index=False
+        )["m"].sum()
         return d.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
-            l=("o_orderpriority", "nunique"))
+            l=("o_orderpriority", "nunique"), m=("m", "sum"))
 
-    lvals = bucketed_group_reduce(
+    j = bucketed_group_reduce(
         joined.map_batches(class_part, batch_format="pandas"),
         ["c_mktsegment", "c_nationkey"], class_fold, num_buckets=16
     ).to_pandas()
-    members = (
-        joined.map_batches(
-            lambda df: df.groupby(["c_mktsegment", "c_nationkey"], as_index=False)
-            .size().rename(columns={"size": "m"}),
-            batch_format="pandas")
-        .to_pandas()
-        .groupby(["c_mktsegment", "c_nationkey"], as_index=False)["m"].sum()
-    )
-    j = lvals.merge(members, on=["c_mktsegment", "c_nationkey"])
     low = j[j["l"] < _LDIV_MIN]
     return pd.DataFrame({
         "n_classes": pd.Series([len(j)], dtype="int64"),

@@ -60,7 +60,7 @@ class TestIntervalOverlap:
             (1, 1, 10, 20),                        # different day: never pairs with day 0
             (1, 5, 15, 40),
         ]
-        got = interval_overlap_join(_iv_ds(rows), "day").to_pandas()
+        got = interval_overlap_join(_iv_ds(rows), "day")
         want = brute_overlap(rows)
         assert set(got["day"]) == set(want)
         for _, r in got.iterrows():
@@ -73,12 +73,12 @@ class TestIntervalOverlap:
 
     def test_touching_intervals_do_not_pair(self):
         rows = [(0, 1, 0, HOUR), (0, 2, HOUR, 2 * HOUR)]  # share one instant
-        got = interval_overlap_join(_iv_ds(rows), "day").to_pandas()
+        got = interval_overlap_join(_iv_ds(rows), "day")
         assert got["n_pairs"].sum() == 0 if len(got) else True
 
     def test_pair_counted_once_despite_many_shared_cells(self):
         rows = [(0, 1, 0, 30 * HOUR), (0, 2, 0, 30 * HOUR)]
-        got = interval_overlap_join(_iv_ds(rows), "day").to_pandas()
+        got = interval_overlap_join(_iv_ds(rows), "day")
         assert got["n_pairs"].tolist() == [1]
         assert got["total_overlap_us"].tolist() == [30 * HOUR]
 
