@@ -233,6 +233,11 @@ BENCH_QUERIES = [
     "l_diversity_audit",
     "bloom_fp_audit",
     "group_sequential_ab",
+    "doremi_mixture_step",
+    "sliding_p95_value",
+    "seasonal_dow_decompose",
+    "quantile_normalize",
+    "link_prediction_jaccard",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -287,3 +287,58 @@ def test_random_ldiv_bloom(seed, ray_session, tmp_path_factory):
     _run("bloom_fp_audit", str(d), con)
     got = REGISTRY["bloom_fp_audit"].fn(str(d))
     assert got["n_neg_probes"].iloc[0] >= n_cust  # shifted twins + non-orderers
+
+
+@pytest.mark.parametrize("seed", [14, 44])
+def test_random_wave5_events(seed, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"r4w5e{seed}")
+    pq.write_table(random_events4(seed), str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    _run("sliding_p95_value", str(d), con)
+    _run("seasonal_dow_decompose", str(d), con)
+
+
+@pytest.mark.parametrize("seed", [16, 48])
+def test_random_wave5_docs(seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n = 200
+    texts = [" ".join(rng.choice(WORDS, size=int(rng.integers(5, 30))))
+             for _ in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 5, size=n)]),
+            "n_chars": pa.array([len(t_) for t_ in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp(f"r4w5d{seed}")
+    pq.write_table(t, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _run("quantile_normalize", str(d), con)
+    _run("doremi_mixture_step", str(d), con)
+
+
+@pytest.mark.parametrize("seed", [19, 52])
+def test_random_link_prediction(seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    # few orders over a small part pool → plenty of repeated (strong) pairs
+    n_li = 900
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(1, 120, size=n_li).astype(np.int64)),
+            "l_partkey": pa.array(rng.integers(1, 40, size=n_li).astype(np.int64)),
+        }
+    )
+    d = tmp_path_factory.mktemp(f"r4lp{seed}")
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    _run("link_prediction_jaccard", str(d), con)
