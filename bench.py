@@ -238,6 +238,11 @@ BENCH_QUERIES = [
     "seasonal_dow_decompose",
     "quantile_normalize",
     "link_prediction_jaccard",
+    "embedding_drift_audit",
+    "transitive_reach3",
+    "unigram_em_step",
+    "ucb1_replay",
+    "ndcg_bm25_eval",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
