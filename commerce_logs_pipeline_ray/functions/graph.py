@@ -515,6 +515,47 @@ def _hindex_local(s: np.ndarray, d: np.ndarray, max_rounds: int) -> pd.DataFrame
     return pd.DataFrame({"node": nodes.astype(np.int64), "core": vals.astype(np.int64)})
 
 
+def _peel_local(s: np.ndarray, d: np.ndarray) -> pd.DataFrame:
+    """In-memory k-core by vectorized Batagelj–Zaveršnik peeling: repeatedly
+    delete every node whose residual degree is ≤ k (one bincount wave over
+    the deleted nodes' adjacency), raising k to the minimum alive degree
+    between waves.  Every edge is gathered exactly once — when its endpoint
+    dies — so total work is O(E + n·waves), independent of how many h-index
+    rounds the fixpoint would need.  Coreness equals the h-index fixpoint
+    (Lü et al. 2016), so this is a drop-in for :func:`_hindex_local` on any
+    symmetric edge list."""
+    nodes, si = np.unique(s, return_inverse=True)
+    di = np.searchsorted(nodes, d)
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    order = np.argsort(si, kind="stable")  # CSR: edges grouped by src
+    di_o = di[order]
+    indptr = np.r_[np.int64(0), np.cumsum(deg)]
+    degc = deg.copy()
+    alive = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    n_alive = n
+    k = np.int64(0)
+    while n_alive:
+        k = max(k, degc[alive].min())
+        while True:
+            rem = np.flatnonzero(alive & (degc <= k))
+            if len(rem) == 0:
+                break
+            core[rem] = k
+            alive[rem] = False
+            n_alive -= len(rem)
+            lens = deg[rem]
+            offs = np.cumsum(lens) - lens
+            pos = (np.arange(int(lens.sum()), dtype=np.int64)
+                   - np.repeat(offs, lens) + np.repeat(indptr[rem], lens))
+            nb = di_o[pos]
+            nb = nb[alive[nb]]  # edges into the same wave just vanish
+            if len(nb):
+                degc -= np.bincount(nb, minlength=n)
+    return pd.DataFrame({"node": nodes.astype(np.int64), "core": core})
+
+
 def kcore_hindex(
     edges: Dataset,
     src: str = "src",
@@ -550,10 +591,9 @@ def kcore_hindex(
         # in-memory fixpoint (same contract as pagerank's |V|-bounded rank
         # vector).  The distributed round path below stays for larger graphs.
         cols = edges.select_columns([src, dst]).to_pandas()
-        return _hindex_local(
+        return _peel_local(
             cols[src].to_numpy().astype(np.int64),
             cols[dst].to_numpy().astype(np.int64),
-            max_rounds,
         ).sort_values("node", ignore_index=True)
 
     def degree_partial(t: pa.Table) -> pa.Table:

@@ -245,3 +245,28 @@ def test_sssp_bellman_ford_planted(ray_session):
     ).set_index("node")["dist"]
     assert out.to_dict() == {0: 0, 1: 3, 2: 1, 3: 2, 4: 5}
     assert 5 not in out.index and 6 not in out.index
+
+
+def test_peel_local_equals_hindex_fixpoint():
+    """The BZ peel (fast path) must equal the h-index fixpoint (reference)
+    node-for-node on random symmetric graphs — coreness is unique, so any
+    divergence is an implementation bug."""
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.graph import _hindex_local, _peel_local
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(40, 3000))
+        hi = int(rng.integers(8, 90))
+        a = rng.integers(0, hi, size=m)
+        b = rng.integers(0, hi, size=m)
+        keep = a != b
+        pr = np.unique(
+            np.stack([np.minimum(a[keep], b[keep]),
+                      np.maximum(a[keep], b[keep])], axis=1), axis=0)
+        s = np.concatenate([pr[:, 0], pr[:, 1]])
+        d = np.concatenate([pr[:, 1], pr[:, 0]])
+        got = _peel_local(s, d)
+        want = _hindex_local(s, d, 256).sort_values("node", ignore_index=True)
+        assert got.equals(want), f"seed={seed}"
