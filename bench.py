@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     "unigram_em_step",
     "ucb1_replay",
     "ndcg_bm25_eval",
+    "t_closeness_audit",
+    "feature_hash_collisions",
+    "logreg_quality_step",
+    "clustering_coefficient",
+    "containment_pairs",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -510,6 +510,7 @@ def ngram_jaccard_pairs(
     max_df: int = 100,
     seed: int = 42,
     id_col: str = "doc_id",
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """EXACT n-gram-set Jaccard near-dup pairs (the brief's third dedup
     family next to MinHash-estimated and SimHash-banded): every doc pair
@@ -530,7 +531,12 @@ def ngram_jaccard_pairs(
     3. size partials reduce on ``doc``, then only CANDIDATE docs' sizes
        (broadcast id set from step 2) are collected.
     Gram identity is 64-bit hash equality, same contract as the rest of the
-    gram family (collisions ~2^-64 per pair would only ever overcount)."""
+    gram family (collisions ~2^-64 per pair would only ever overcount).
+
+    ``metric="containment"`` scores |A∩B| / |A| instead (Broder's
+    containment — "is doc a's content subsumed by doc b") and emits ORDERED
+    (doc_a ⊂ doc_b) pairs, both directions of each candidate judged
+    independently; everything upstream of the final score is shared."""
     import ray
 
     from .relational import bucketed_group_reduce
@@ -587,9 +593,10 @@ def ngram_jaccard_pairs(
         pair_rows, ["a", "b"],
         lambda df: df.groupby(["a", "b"], as_index=False)["n"].sum(),
     ).to_pandas()
+    score_col = "containment" if metric == "containment" else "jaccard"
     empty = pd.DataFrame({
         "doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-        "n_shared": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+        "n_shared": pd.Series(dtype="int64"), score_col: pd.Series(dtype="float64")})
     if len(pairs) == 0 or "a" not in pairs.columns:
         return empty
     cand_docs = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
@@ -609,6 +616,20 @@ def ngram_jaccard_pairs(
     inter = pairs["n"].to_numpy()
     sa = sizes.loc[pairs["a"]].to_numpy()
     sb = sizes.loc[pairs["b"]].to_numpy()
+    if metric == "containment":
+        # ordered pairs: doc_a's gram set is (near-)contained in doc_b's —
+        # both directions of each unordered candidate, judged independently
+        out = pd.DataFrame({
+            "doc_a": np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]),
+            "doc_b": np.concatenate([pairs["b"].to_numpy(), pairs["a"].to_numpy()]),
+            "n_shared": np.concatenate([inter, inter]).astype("int64"),
+            "containment": np.concatenate([inter / sa, inter / sb]),
+        })
+        out = out[out["containment"] >= threshold]
+        out["containment"] = _round6(out["containment"].to_numpy())
+        out["doc_a"] = out["doc_a"].astype("int64")
+        out["doc_b"] = out["doc_b"].astype("int64")
+        return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     jac = inter / (sa + sb - inter)
     out = pd.DataFrame({
         "doc_a": pairs["a"].astype("int64"), "doc_b": pairs["b"].astype("int64"),

@@ -344,6 +344,87 @@ def triangle_stats(
     ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
 
 
+def per_node_triangles(
+    edges: Dataset,
+    u: str = "u",
+    v: str = "v",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Per-node triangle participation counts over a DISTINCT canonical
+    (u < v) edge list — the same degree-oriented wedge machinery as
+    :func:`triangle_stats` (max out-degree O(√m), wedges generated and
+    destroyed inside their bucket against the broadcast packed edge set),
+    but every CONFIRMED triangle credits all three corners: the apex (the
+    wedge's min-rank source) and both endpoints of the closing edge.  Each
+    bucket emits (node, n_tri) partials — output-bounded by |V| — so the
+    only exchange beyond the wedge hash is a tiny count reduce.
+
+    Returns (node, deg, n_tri) for every node in the edge set, sorted by
+    node.  Nodes in no triangle get n_tri = 0.
+    """
+    import ray
+
+    from .relational import grouped_sums
+
+    deg_ds = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t[u].combine_chunks(), t[v].combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg = grouped_sums(deg_ds, ["node"], {}, "dg", reduce="driver").to_pandas()
+    dg = deg["dg"].to_numpy()
+    rank = pd.Series(np.lexsort((deg["node"].to_numpy(), dg)).argsort(),
+                     index=deg["node"].to_numpy())
+
+    def orient(t: pa.Table, *, rank=rank) -> pa.Table:
+        uu, vv = t[u].to_numpy(), t[v].to_numpy()
+        ru = rank.reindex(uu).to_numpy()
+        rv = rank.reindex(vv).to_numpy()
+        lo_first = ru < rv
+        return pa.table({
+            "src": pa.array(np.where(lo_first, uu, vv)),
+            "dst": pa.array(np.where(lo_first, vv, uu))})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+    packed_df = edges.map_batches(
+        lambda t: pa.table({"p": pa.array(
+            (t[u].to_numpy().astype("int64") << 32) | t[v].to_numpy().astype("int64"))}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    packed_ref = ray.put(np.sort(packed_df["p"].to_numpy()))
+
+    def wedge_corners_bucket(df: pd.DataFrame, *, ref=packed_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        pe = _ray.get(ref)
+        m = df.merge(df, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        if m.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64")})
+        w = (m["dst_x"].to_numpy().astype("int64") << 32) | m["dst_y"].to_numpy().astype("int64")
+        idx = np.searchsorted(pe, w)
+        idx[idx >= len(pe)] = len(pe) - 1
+        hit = pe[idx] == w
+        corners = np.concatenate([
+            m["src"].to_numpy()[hit], m["dst_x"].to_numpy()[hit],
+            m["dst_y"].to_numpy()[hit]]).astype(np.int64)
+        ids, cnt = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": ids, "t": cnt.astype(np.int64)})
+
+    parts = bucketed_group_reduce(
+        oriented, ["src"], wedge_corners_bucket, num_buckets=num_buckets
+    ).to_pandas()
+    if len(parts) and "node" in parts.columns:
+        tri = parts.groupby("node")["t"].sum()
+    else:
+        tri = pd.Series(dtype="int64")
+    out = pd.DataFrame({
+        "node": deg["node"].to_numpy().astype("int64"),
+        "deg": dg.astype("int64"),
+        "n_tri": tri.reindex(deg["node"].to_numpy()).fillna(0).to_numpy().astype("int64"),
+    })
+    return out.sort_values("node", ignore_index=True)
+
+
 def bfs_levels(
     edges: Dataset,
     source: int,

@@ -158,3 +158,94 @@ def test_ndcg_weights_exact_integers():
     w = [int(round(1e6 / math.log2(i + 1.0))) for i in range(1, 11)]
     assert w[0] == 1_000_000
     assert all(a > b for a, b in zip(w, w[1:]))
+
+
+def _docs_table7(seed: int, n: int = 350) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(WORDS, size=int(rng.integers(5, 30))))
+        for _ in range(n)
+    ]
+    texts[0] = "alpha beta gamma delta epsilon zeta"
+    texts[1] = "alpha beta gamma delta epsilon zeta eta theta iota"  # 0 ⊂ 1
+    texts[2] = texts[1]                                              # exact dup
+    texts[3] = "num 42 and 7 mixed 99"                               # digits
+    langs = rng.choice(["en", "de", "fr", "zh"], size=n)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 4, size=n)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], np.int64)),
+    })
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+@pytest.mark.parametrize(
+    "name", ["feature_hash_collisions", "logreg_quality_step", "containment_pairs"])
+def test_random_docs_wave7(name, seed, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"w7doc{seed}")
+    pq.write_table(_docs_table7(seed), str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _run(name, str(d), con)
+
+
+@pytest.mark.parametrize("seed", [23, 31])
+def test_random_clustering_coefficient(seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n = 1200
+    t = pa.table({
+        "l_orderkey": pa.array(rng.integers(1, 150, size=n).astype(np.int64)),
+        "l_partkey": pa.array(rng.integers(1, 50, size=n).astype(np.int64)),
+    })
+    d = tmp_path_factory.mktemp(f"w7cc{seed}")
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    _run("clustering_coefficient", str(d), con)
+
+
+@pytest.mark.parametrize("seed", [3, 47])
+def test_random_t_closeness(seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n_cust, n_ord = 120, 2000
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 7, size=n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(0, 100, n_cust), 2)),
+        "c_mktsegment": pa.array(["SEG"] * n_cust),
+    })
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pick = rng.integers(0, 5, size=n_ord)
+    pick[rng.integers(0, n_ord, size=300)] = 0  # planted skewed group mass
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, n_cust, size=n_ord).astype(np.int64)),
+        "o_orderstatus": pa.array(["O"] * n_ord),
+        "o_totalprice": pa.array(np.round(rng.uniform(10, 500, n_ord), 2)),
+        "o_orderdate": pa.array(
+            np.full(n_ord, pd.Timestamp("2024-03-01").value // 1000, np.int64),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array([prios[i] for i in pick]),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(7, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{chr(65 + i)}" for i in range(7)]),
+        "n_regionkey": pa.array(np.zeros(7, np.int32)),
+    })
+    d = tmp_path_factory.mktemp(f"w7tc{seed}")
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(nation, str(d / "nation.parquet"))
+    con = duckdb.connect()
+    for tname in ("customer", "orders", "nation"):
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{d}/{tname}.parquet')"
+        )
+    _run("t_closeness_audit", str(d), con)
