@@ -248,6 +248,11 @@ BENCH_QUERIES = [
     "logreg_quality_step",
     "clustering_coefficient",
     "containment_pairs",
+    "cdc_chunk_dedup",
+    "mixture_ess_audit",
+    "psi_drift",
+    "ece_calibration",
+    "cuped_adjustment",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -249,3 +249,91 @@ def test_random_t_closeness(seed, ray_session, tmp_path_factory):
             f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{d}/{tname}.parquet')"
         )
     _run("t_closeness_audit", str(d), con)
+
+
+# --- wave 8 ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+@pytest.mark.parametrize(
+    "name", ["psi_drift", "ece_calibration", "cuped_adjustment"])
+def test_random_events_wave8(name, seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n = 4000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts_us = base + rng.integers(0, 20 * 24 * 3600, size=n).astype(np.int64) * 1_000_000
+    vals = np.round(rng.uniform(0, 60, size=n), 2)
+    vals[ts_us > np.median(ts_us)] *= 1.5  # planted drift into the 2nd half
+    vals = np.round(vals, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 80, size=n).astype(np.int64)),
+        "event_type": pa.array(
+            rng.choice(["view", "purchase", "click", "error", "signup"], size=n)),
+        "value": pa.array(vals),
+        "props": pa.array(["" for _ in range(n)]),
+    })
+    d = tmp_path_factory.mktemp(f"w8ev{seed}")
+    pq.write_table(t, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _run(name, str(d), con)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+@pytest.mark.parametrize("name", ["cdc_chunk_dedup", "mixture_ess_audit"])
+def test_random_docs_wave8(name, seed, ray_session, tmp_path_factory):
+    rng = np.random.default_rng(seed)
+    n = 300
+    texts = [
+        " ".join(rng.choice(WORDS, size=int(rng.integers(10, 120))))
+        for _ in range(n)
+    ]
+    texts[1] = texts[0]                        # exact dup → shared chunks
+    texts[2] = "zz " + texts[0]                # prefix insertion: CDC re-syncs
+    texts[3] = ""                              # empty doc: zero chunks
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 3, size=n)]),
+        "n_chars": pa.array(np.array([max(len(x), 1) for x in texts], np.int64)),
+    })
+    d = tmp_path_factory.mktemp(f"w8doc{seed}")
+    pq.write_table(t, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _run(name, str(d), con)
+
+
+def test_cdc_vectorized_equals_scalar_and_resyncs():
+    """The vectorized Arrow-buffer chunker must equal the scalar reference
+    byte-for-byte, and a prefix insertion must leave the tail chunks
+    identical (the defining CDC property)."""
+    from commerce_logs_pipeline_ray.functions.cdc import chunk_column, chunk_text_scalar
+
+    rng = np.random.default_rng(11)
+    texts = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=ln))
+             for ln in (0, 3, 5, 6, 7, 200, 1500, 4000)]
+    arr = pa.array(texts)
+    doc_idx, h, ln = chunk_column(arr)
+    got = {}
+    for d in range(len(texts)):
+        m = doc_idx == d
+        got[d] = list(zip(h[m].tolist(), ln[m].tolist()))
+    for d, s in enumerate(texts):
+        want = [(hh % (1 << 64), l) for hh, l in chunk_text_scalar(s)]
+        assert [(x % (1 << 64), l) for x, l in got[d]] == want, f"doc {d}"
+    # re-sync: shifted copy shares its tail chunks
+    base = texts[-1]
+    shifted = "q" + base
+    _, h2, ln2 = chunk_column(pa.array([shifted]))
+    tail_base = set(zip(h[doc_idx == len(texts) - 1].tolist()[2:],
+                        ln[doc_idx == len(texts) - 1].tolist()[2:]))
+    tail_shift = set(zip(h2.tolist(), ln2.tolist()))
+    assert len(tail_base & tail_shift) >= len(tail_base) - 2
