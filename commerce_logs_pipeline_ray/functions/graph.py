@@ -344,6 +344,123 @@ def triangle_stats(
     ).astype({"n_edges": "int64", "n_wedges": "int64", "n_triangles": "int64"})
 
 
+def per_node_triangles_packed(
+    packed: np.ndarray,
+    num_chunks: int = 96,
+) -> pd.DataFrame:
+    """Per-node triangle counts over a DISTINCT canonical packed edge array
+    (``(u << 32) | v`` with u < v, as produced by the co-purchase pair
+    builders).  Same degree-oriented wedge semantics as
+    :func:`per_node_triangles`, restructured for throughput:
+
+    * degrees, ranks and the orientation happen ONCE on the driver (the
+      edge list is already output-sized and driver-resident — the packed
+      membership array was always broadcast anyway);
+    * wedge work is split into chunks of ~equal WEDGE MASS (Σ C(outdeg,2)
+      per src, greedy prefix cut) instead of hash buckets, so one hub
+      cannot straggle a bucket;
+    * each chunk enumerates its wedges with pure integer numpy (repeat /
+      cumsum pair generation — no pandas merge, no sqrt) and probes the
+      broadcast sorted packed edge set with one ``searchsorted``.
+
+    Returns (node, deg, n_tri) sorted by node, like
+    :func:`per_node_triangles`."""
+    import ray
+
+    if not len(packed):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    u = (packed >> 32).astype(np.int64)
+    v = (packed & np.int64(0xFFFFFFFF)).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u) :]
+    n = len(nodes)
+    deg = np.bincount(iu, minlength=n) + np.bincount(iv, minlength=n)
+    # orientation rank: (deg, node) ascending — wedge apex is the low rank
+    rank = np.lexsort((nodes, deg)).argsort()
+    ru, rv = rank[iu], rank[iv]
+    lo_first = ru < rv
+    src = np.where(lo_first, u, v)
+    dst = np.where(lo_first, v, u)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    # wedge mass per src segment -> chunk boundaries of ~equal mass
+    seg = np.concatenate([[0], np.flatnonzero(src[1:] != src[:-1]) + 1,
+                          [len(src)]])
+    cnt = np.diff(seg).astype(np.int64)
+    mass = cnt * (cnt - 1) // 2
+    cum = np.cumsum(mass)
+    total = int(cum[-1]) if len(cum) else 0
+    n_chunks = max(1, min(num_chunks, len(cnt)))
+    targets = (np.arange(1, n_chunks) * (total / n_chunks)) if total else []
+    cuts = np.searchsorted(cum, targets, side="left") + 1 if total else []
+    bounds = np.unique(np.concatenate([[0], seg[cuts] if total else [],
+                                       [len(src)]])).astype(np.int64)
+
+    src_ref = ray.put(src)
+    dst_ref = ray.put(dst)
+    pe_ref = ray.put(np.sort(packed))
+
+    def chunk_corners(t: pa.Table, *, sr=src_ref, dr=dst_ref,
+                      per=pe_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        s_all, d_all, pe = _ray.get(sr), _ray.get(dr), _ray.get(per)
+        out_ids: list[np.ndarray] = []
+        out_cnt: list[np.ndarray] = []
+        for lo_, hi_ in zip(t["lo"].to_numpy(zero_copy_only=False),
+                            t["hi"].to_numpy(zero_copy_only=False)):
+            s, d = s_all[lo_:hi_], d_all[lo_:hi_]
+            if not len(s):
+                continue
+            segb = np.concatenate(
+                [[0], np.flatnonzero(s[1:] != s[:-1]) + 1, [len(s)]])
+            c = np.diff(segb).astype(np.int64)
+            # per-element pair fan-out: element i of a segment of size c
+            # pairs with the c-1-i elements after it (dst sorted -> x < y)
+            local_i = np.arange(len(s)) - np.repeat(segb[:-1], c)
+            reps = np.repeat(c, c) - 1 - local_i
+            tot = int(reps.sum())
+            if tot == 0:
+                continue
+            a = np.repeat(np.arange(len(s)), reps)
+            run_start = np.repeat(np.cumsum(reps) - reps, reps)
+            b = a + 1 + np.arange(tot) - run_start
+            w = (d[a] << 32) | d[b]
+            idx = np.searchsorted(pe, w)
+            idx[idx >= len(pe)] = len(pe) - 1
+            hit = pe[idx] == w
+            corners = np.concatenate([s[a][hit], d[a][hit], d[b][hit]])
+            ids, cc = np.unique(corners, return_counts=True)
+            out_ids.append(ids)
+            out_cnt.append(cc.astype(np.int64))
+        if not out_ids:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64")})
+        return pd.DataFrame({"node": np.concatenate(out_ids),
+                             "t": np.concatenate(out_cnt)})
+
+    chunk_tbl = pa.table({"lo": bounds[:-1], "hi": bounds[1:]})
+    parts = (
+        rd.from_arrow(chunk_tbl)
+        .repartition(len(bounds) - 1)
+        .map_batches(chunk_corners, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    if len(parts) and "node" in parts.columns:
+        tri = parts.groupby("node")["t"].sum()
+    else:
+        tri = pd.Series(dtype="int64")
+    out = pd.DataFrame({
+        "node": nodes.astype("int64"),
+        "deg": deg.astype("int64"),
+        "n_tri": tri.reindex(nodes).fillna(0).to_numpy().astype("int64"),
+    })
+    return out.sort_values("node", ignore_index=True)
+
+
 def per_node_triangles(
     edges: Dataset,
     u: str = "u",
@@ -361,68 +478,21 @@ def per_node_triangles(
 
     Returns (node, deg, n_tri) for every node in the edge set, sorted by
     node.  Nodes in no triangle get n_tri = 0.
+
+    Delegates to :func:`per_node_triangles_packed`: the packed membership
+    array was always collected to the driver for the broadcast probe, so
+    the (distinct, output-sized) edge list is driver-resident by
+    construction — degrees and orientation are computed there once, and
+    the wedge enumeration is re-dispatched in wedge-mass-balanced chunks
+    instead of hash buckets (a hub's C(deg,2) wedges no longer straggle
+    one bucket).
     """
-    import ray
-
-    from .relational import grouped_sums
-
-    deg_ds = edges.map_batches(
-        lambda t: pa.table({"node": pa.concat_arrays(
-            [t[u].combine_chunks(), t[v].combine_chunks()])}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    deg = grouped_sums(deg_ds, ["node"], {}, "dg", reduce="driver").to_pandas()
-    dg = deg["dg"].to_numpy()
-    rank = pd.Series(np.lexsort((deg["node"].to_numpy(), dg)).argsort(),
-                     index=deg["node"].to_numpy())
-
-    def orient(t: pa.Table, *, rank=rank) -> pa.Table:
-        uu, vv = t[u].to_numpy(), t[v].to_numpy()
-        ru = rank.reindex(uu).to_numpy()
-        rv = rank.reindex(vv).to_numpy()
-        lo_first = ru < rv
-        return pa.table({
-            "src": pa.array(np.where(lo_first, uu, vv)),
-            "dst": pa.array(np.where(lo_first, vv, uu))})
-
-    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
     packed_df = edges.map_batches(
         lambda t: pa.table({"p": pa.array(
             (t[u].to_numpy().astype("int64") << 32) | t[v].to_numpy().astype("int64"))}),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    packed_ref = ray.put(np.sort(packed_df["p"].to_numpy()))
-
-    def wedge_corners_bucket(df: pd.DataFrame, *, ref=packed_ref) -> pd.DataFrame:
-        import ray as _ray
-
-        pe = _ray.get(ref)
-        m = df.merge(df, on="src")
-        m = m[m["dst_x"] < m["dst_y"]]
-        if m.empty:
-            return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                 "t": pd.Series(dtype="int64")})
-        w = (m["dst_x"].to_numpy().astype("int64") << 32) | m["dst_y"].to_numpy().astype("int64")
-        idx = np.searchsorted(pe, w)
-        idx[idx >= len(pe)] = len(pe) - 1
-        hit = pe[idx] == w
-        corners = np.concatenate([
-            m["src"].to_numpy()[hit], m["dst_x"].to_numpy()[hit],
-            m["dst_y"].to_numpy()[hit]]).astype(np.int64)
-        ids, cnt = np.unique(corners, return_counts=True)
-        return pd.DataFrame({"node": ids, "t": cnt.astype(np.int64)})
-
-    parts = bucketed_group_reduce(
-        oriented, ["src"], wedge_corners_bucket, num_buckets=num_buckets
-    ).to_pandas()
-    if len(parts) and "node" in parts.columns:
-        tri = parts.groupby("node")["t"].sum()
-    else:
-        tri = pd.Series(dtype="int64")
-    out = pd.DataFrame({
-        "node": deg["node"].to_numpy().astype("int64"),
-        "deg": dg.astype("int64"),
-        "n_tri": tri.reindex(deg["node"].to_numpy()).fillna(0).to_numpy().astype("int64"),
-    })
-    return out.sort_values("node", ignore_index=True)
+    return per_node_triangles_packed(packed_df["p"].to_numpy(),
+                                     num_chunks=max(num_buckets, 96))
 
 
 def bfs_levels(

@@ -14109,61 +14109,94 @@ def q_ndcg_bm25_eval(sf_dir: str) -> pd.DataFrame:
     query terms — the exact quantity BM25 approximates through saturation
     and length normalization).  Rankings order by (rounded score, doc_id);
     DCG/IDCG are float sums over ≤10 items computed in ascending rank order
-    on both sides.  One tokenize exchange serves all queries."""
+    on both sides.
+
+    Distributed shape: every doc lives in exactly ONE batch, so per-doc
+    length and query-term tfs are final inside the map — only docs that
+    contain at least one query term plus a per-batch (n_docs, total_len)
+    stats partial leave the workers; the corpus-wide (doc, term, tf)
+    exchange the first version shipped is gone.  Per-query scoring is a
+    vectorized left-fold over the ≤2 terms in sorted order (absent terms
+    add an exact +0.0), bit-equal to the old per-row loop."""
     import math as _math
 
     from ..functions.search import TOKEN_SPLIT
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    qterms = sorted({t for ts in _NDCG_QUERIES.values() for t in ts})
 
-    def tok_part(t: pa.Table) -> pa.Table:
+    def tok_part(t: pa.Table, *, qt=qterms) -> pa.Table:
         words = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT)
         words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
         flat = words.flatten()
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_per)
-        tb = pa.table({"doc_id": pa.array(doc), "term": flat})
-        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.is_in(flat, value_set=pa.array(qt)))
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = np.bincount(
+            np.searchsorted(np.unique(doc), doc), weights=~empty).astype(np.int64)
+        # per-doc rows for query terms only (final: a doc is in one batch)
+        tb = pa.table({"doc_id": pa.array(doc), "term": flat}).filter(keep)
         g = tb.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
-        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
-                         "tf": pc.cast(g["count_all"], pa.int64())})
+        uniq = np.unique(doc)
+        # length rows ONLY for docs that hit a query term; global N and
+        # total length ride as one stats partial per batch
+        hit = np.isin(uniq, g["doc_id"].to_numpy(zero_copy_only=False))
+        out = pa.table({
+            "doc_id": pa.concat_arrays([
+                g["doc_id"].combine_chunks(),
+                pa.array(uniq[hit], pa.int64()),
+                pa.array([-1, -1], pa.int64())]),
+            "term": pa.concat_arrays([
+                g["term"].combine_chunks(),
+                pa.array([""] * int(hit.sum()), pa.string()),
+                pa.array(["__n__", "__len__"], pa.string())]),
+            "tf": pa.concat_arrays([
+                pc.cast(g["count_all"], pa.int64()).combine_chunks(),
+                pa.array(lens[hit], pa.int64()),
+                pa.array([len(uniq), int(lens.sum())], pa.int64())]),
+        })
+        return out
 
-    tf = (
+    raw = (
         docs.map_batches(tok_part, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
-        .groupby(["doc_id", "term"], as_index=False)["tf"]
-        .sum()
     )
-    dl = tf.groupby("doc_id", as_index=False)["tf"].sum().rename(
-        columns={"tf": "len"})
-    N = len(dl)
-    avg_len = float(dl["len"].sum()) / N
+    N = int(raw.loc[raw["term"] == "__n__", "tf"].sum())
+    total_len = int(raw.loc[raw["term"] == "__len__", "tf"].sum())
+    dl = raw[raw["term"] == ""].set_index("doc_id")["tf"]
+    tf = raw[~raw["term"].isin(["", "__n__", "__len__"])]
+    avg_len = float(total_len) / N
     rows = []
     for qname, terms in sorted(_NDCG_QUERIES.items()):
         sub = tf[tf["term"].isin(terms)]
         df_map = sub.groupby("term")["doc_id"].nunique()
-        per_doc = sub.merge(dl, on="doc_id")
-        scores = {}
-        rel = {}
-        for doc, g in per_doc.groupby("doc_id"):
-            s = 0.0
-            r = 0
-            for _, t_ in g.sort_values("term").iterrows():
-                dfv = int(df_map[t_["term"]])
-                idf = _math.log((N - dfv + 0.5) / (dfv + 0.5) + 1.0)
-                tfv = int(t_["tf"])
-                s += idf * (tfv / (tfv + 1.2 * (1.0 - 0.75 + 0.75 *
-                                                (int(t_["len"]) / avg_len))))
-                r += tfv
-            scores[int(doc)] = _rd(s, 6)
-            rel[int(doc)] = r
+        hit_docs = np.unique(sub["doc_id"].to_numpy())
+        lens = dl.loc[hit_docs].to_numpy().astype(np.int64)
+        denom_len = 1.2 * (1.0 - 0.75 + 0.75 * (lens / avg_len))
+        s = np.zeros(len(hit_docs))
+        r = np.zeros(len(hit_docs), np.int64)
+        for term in sorted(terms):
+            dfv = int(df_map.get(term, 0))
+            if dfv == 0:
+                continue
+            idf = _math.log((N - dfv + 0.5) / (dfv + 0.5) + 1.0)
+            trows = sub[sub["term"] == term]
+            tfv = np.zeros(len(hit_docs), np.int64)
+            tfv[np.searchsorted(hit_docs, trows["doc_id"].to_numpy())] = (
+                trows["tf"].to_numpy())
+            s = s + idf * (tfv / (tfv + denom_len))
+            r = r + tfv
+        scores = {int(d): _rd(float(sc), 6) for d, sc in zip(hit_docs, s)}
+        rel = {int(d): int(rv) for d, rv in zip(hit_docs, r)}
         # integer positional µ-weights kill float-order hazards: DCG_u =
         # Σ rel_i · round(1e6/log2(i+1)) is an exact int on both sides
         wq = [int(round(1e6 / _math.log2(i + 1.0))) for i in range(1, _NDCG_K + 1)]
         ranked = sorted(scores, key=lambda d: (-scores[d], d))[:_NDCG_K]
         dcg_u = sum(rel[doc] * w for doc, w in zip(ranked, wq))
         ideal = sorted(rel.values(), reverse=True)[:_NDCG_K]
-        idcg_u = sum(r * w for r, w in zip(ideal, wq))
+        idcg_u = sum(r_ * w for r_, w in zip(ideal, wq))
         rows.append((qname, len(scores), dcg_u, idcg_u,
                      _rd(dcg_u / idcg_u, 6)))
     out = pd.DataFrame(rows, columns=["query", "n_hits", "dcg_u", "idcg_u", "ndcg"])
