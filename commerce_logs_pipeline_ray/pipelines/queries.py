@@ -11280,13 +11280,15 @@ def q_zorder_locality(sf_dir: str) -> pd.DataFrame:
     """Z-order (Morton) clustering audit — the lakehouse layout question
     "does interleaving (user, hour) let BOTH single-column predicates prune
     blocks?".  Blocks are z-key prefixes (z >> 12), the unit a z-range file
-    covers; the single-key layout's blocks are hour-key prefixes.  Counts
-    of distinct (entity, block) pairs per layout come from one combiner
-    exchange each; the verdict row shows z-order balancing user- and
-    hour-predicate block counts while hour-sort strands user predicates."""
+    covers; the single-key layout's blocks are hour-key prefixes.  All six
+    distinct-counts (2 key cardinalities + 4 (entity, block) layouts) ride
+    ONE tagged-packed combiner exchange — tag(3b)·key(16b)·block(20b) fit
+    one int64, each batch emits its distinct packed rows per tag, and a
+    single grouped distinct + per-tag count replaces the six separate
+    read→key→exchange pipelines the first version ran."""
     ds = _t(sf_dir, "events", ["user_id", "ts"])
 
-    def keys(t: pa.Table) -> pa.Table:
+    def tagged_packed(t: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64())).to_numpy(
             zero_copy_only=False
@@ -11294,52 +11296,37 @@ def q_zorder_locality(sf_dir: str) -> pd.DataFrame:
         u16 = (t["user_id"].to_numpy(zero_copy_only=False) % 65536).astype(np.int64)
         h16 = (hour % 65536).astype(np.int64)
         z = (_spread16(u16) | (_spread16(h16) << np.uint64(1))).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(u16),
-                "hour16": pa.array(h16),
-                "zblock": pa.array(z >> np.int64(12)),
-                "hblock": pa.array(h16 >> np.int64(4)),
-            }
-        )
-
-    kd = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
-
-    def distinct_pairs(t: pa.Table, a: str, b: str) -> pa.Table:
-        pairs = np.unique(
-            np.stack(
-                [t[a].to_numpy(zero_copy_only=False), t[b].to_numpy(zero_copy_only=False)],
-                axis=1,
-            ),
-            axis=0,
-        )
-        return pa.table({a: pa.array(pairs[:, 0]), b: pa.array(pairs[:, 1])})
-
-    def count_pairs(a: str, b: str) -> int:
-        dd = grouped_sums(
-            kd.map_batches(
-                lambda t, a=a, b=b: distinct_pairs(t, a, b),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            [a, b], {}, "dups",
-        )
-        return int(dd.count())
-
-    n_users = int(grouped_sums(kd.select_columns(["user_id"]), ["user_id"], {}, "n").count())
-    n_hours = int(grouped_sums(kd.select_columns(["hour16"]), ["hour16"], {}, "n").count())
-    out = pd.DataFrame(
-        [
-            {
-                "n_users": n_users,
-                "n_hours": n_hours,
-                "z_blocks_by_user": count_pairs("user_id", "zblock"),
-                "z_blocks_by_hour": count_pairs("hour16", "zblock"),
-                "h_blocks_by_user": count_pairs("user_id", "hblock"),
-                "h_blocks_by_hour": count_pairs("hour16", "hblock"),
-            }
+        zblock = z >> np.int64(12)
+        hblock = h16 >> np.int64(4)
+        zero = np.zeros(len(u16), np.int64)
+        parts = [
+            (0, u16, zero), (1, h16, zero),
+            (2, u16, zblock), (3, h16, zblock),
+            (4, u16, hblock), (5, h16, hblock),
         ]
+        packed = np.concatenate([
+            (np.int64(tag) << np.int64(36)) | (a << np.int64(20)) | b
+            for tag, a, b in parts
+        ])
+        return pa.table({"p": pa.array(np.unique(packed))})
+
+    dd = grouped_sums(
+        ds.map_batches(tagged_packed, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["p"], {}, "dups",
     )
+    tag_counts = (
+        dd.map_batches(
+            lambda t: pa.table({"tag": pa.array(
+                t["p"].to_numpy(zero_copy_only=False) >> np.int64(36)),
+                "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas().groupby("tag")["n"].sum()
+    )
+    names = ["n_users", "n_hours", "z_blocks_by_user", "z_blocks_by_hour",
+             "h_blocks_by_user", "h_blocks_by_hour"]
+    out = pd.DataFrame([{nm: int(tag_counts.get(i, 0))
+                         for i, nm in enumerate(names)}])
     return out.astype("int64")
 
 
@@ -12876,37 +12863,45 @@ def q_conformal_interval(sf_dir: str) -> pd.DataFrame:
     on an md5-hash calibration split with EXACT integer sufficient
     statistics (Python bigint, HUGEINT in SQL), the (1-α) residual quantile
     taken as an exact order statistic (no interpolation), and finite-sample
-    coverage measured on the held-out split.  One grouped count exchange +
-    one hash join; the fit/quantile run over per-batch partials."""
-    from ..functions.relational import hash_join
-
-    li = _t(sf_dir, "lineitem", ["l_orderkey"])
-
-    def cnt(t: pa.Table) -> pa.Table:
-        g = t.group_by(["l_orderkey"]).aggregate([([], "count_all")])
-        return pa.table({"l_orderkey": g["l_orderkey"],
-                         "n_items": pc.cast(g["count_all"], pa.int64())})
-
-    items = li.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
-
-    def fold_items(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("l_orderkey", as_index=False)["n_items"].sum()
-
+    coverage measured on the held-out split.  Both sides ride ONE
+    key-bucketed co-group exchange (lineitem rows as count partials, order
+    rows as price carriers, tagged union) — per-order features, the md5
+    split draw included, finalize inside the bucket, so there is no
+    separate hash-join stage; the fit/quantile run over per-batch
+    partials."""
     from ..functions.relational import bucketed_group_reduce
 
-    items = bucketed_group_reduce(items, ["l_orderkey"], fold_items, num_buckets=32)
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    joined = hash_join(orders, items, "o_orderkey", "l_orderkey")
+    li = _t(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda t: (lambda g: pa.table({
+            "k": g["l_orderkey"],
+            "n_items": pc.cast(g["count_all"], pa.int64()),
+            "price_c": pa.nulls(g.num_rows, pa.int64()),
+        }))(t.group_by(["l_orderkey"]).aggregate([([], "count_all")])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "k": t["o_orderkey"],
+            "n_items": pa.nulls(t.num_rows, pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
 
-    def featurize(df: pd.DataFrame) -> pd.DataFrame:
-        yc = (df["o_totalprice"] * 100).round().astype("int64")
-        hexes = md5_hex((df["o_orderkey"].astype(str) + ":conf").tolist()).to_pylist()
+    def cogroup_featurize(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.groupby("k")["n_items"].sum(min_count=1)
+        price = df.loc[df["price_c"].notna()].set_index("k")["price_c"]
+        both = x.index.intersection(price.index)  # inner-join semantics
+        both = both[x.loc[both].notna()]
+        keys = both.to_numpy(np.int64)
+        hexes = md5_hex([f"{k}:conf" for k in keys]).to_pylist()
         cal = np.fromiter((h[0] in "01234567" for h in hexes), bool, len(hexes))
-        return pd.DataFrame({"x": df["n_items"].astype("int64"), "yc": yc, "cal": cal})
+        return pd.DataFrame({"x": x.loc[both].to_numpy(np.int64),
+                             "yc": price.loc[both].to_numpy(np.int64),
+                             "cal": cal})
 
     # two consumers (fit stats, residual pass) — materialize once so the
-    # hash join doesn't recompute
-    f = joined.map_batches(featurize, batch_format="pandas").materialize()
+    # co-group doesn't recompute
+    f = bucketed_group_reduce(li.union(orders), ["k"], cogroup_featurize,
+                              num_buckets=32).materialize()
 
     def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
         c = df[df["cal"]]
@@ -13354,25 +13349,36 @@ def q_sliding_p95_value(sf_dir: str) -> pd.DataFrame:
         .sum()
     )
     hours = np.sort(hist["h"].unique())
-    hour_set = set(int(h) for h in hours)
-    # fan each histogram row to the output hours it serves (bounded ×24)
-    reps = []
-    for off in range(_P95_WINDOW_H):
-        d = hist.copy()
-        d["out_h"] = d["h"] + off
-        reps.append(d)
-    fanned = pd.concat(reps, ignore_index=True)
-    fanned = fanned[fanned["out_h"].isin(hour_set)]
-    rows = []
-    for out_h, g in fanned.groupby("out_h"):
-        gg = g.groupby("vc", as_index=False)["n"].sum().sort_values("vc")
-        n = int(gg["n"].sum())
-        k = int(np.ceil(0.95 * n))
-        cum = gg["n"].cumsum().to_numpy()
-        p95_c = int(gg["vc"].to_numpy()[np.searchsorted(cum, k)])
-        rows.append((int(out_h), n, p95_c))
-    out = pd.DataFrame(rows, columns=["hour", "n_window", "p95_c"]).sort_values(
-        "hour", ignore_index=True)
+    # fan each histogram row to the output hours it serves (bounded ×24),
+    # then one lexsort + reduceat pass answers EVERY window's order
+    # statistic — no per-hour Python loop
+    h0 = hist["h"].to_numpy(np.int64)
+    v0 = hist["vc"].to_numpy(np.int64)
+    n0 = hist["n"].to_numpy(np.int64)
+    oh = np.concatenate([h0 + off for off in range(_P95_WINDOW_H)])
+    vc = np.tile(v0, _P95_WINDOW_H)
+    nn = np.tile(n0, _P95_WINDOW_H)
+    pos = np.searchsorted(hours, oh)
+    pos[pos >= len(hours)] = len(hours) - 1
+    keep = hours[pos] == oh
+    oh, vc, nn = oh[keep], vc[keep], nn[keep]
+    order = np.lexsort((vc, oh))
+    oh, vc, nn = oh[order], vc[order], nn[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero((oh[1:] != oh[:-1]) | (vc[1:] != vc[:-1])) + 1])
+    ohu, vcu = oh[starts], vc[starts]
+    nu = np.add.reduceat(nn, starts)
+    gb = np.concatenate(
+        [[0], np.flatnonzero(ohu[1:] != ohu[:-1]) + 1, [len(ohu)]])
+    csum = np.cumsum(nu)
+    prefix = np.concatenate([[0], csum[gb[1:-1] - 1]]) if len(gb) > 2 else (
+        np.zeros(1, np.int64))
+    tot = csum[gb[1:] - 1] - prefix
+    k = np.ceil(0.95 * tot).astype(np.int64)
+    idx = np.searchsorted(csum, prefix + k, side="left")
+    out = pd.DataFrame({"hour": ohu[gb[:-1]], "n_window": tot,
+                        "p95_c": vcu[idx]}).sort_values("hour",
+                                                        ignore_index=True)
     return _i64(out, ["hour", "n_window", "p95_c"])
 
 
@@ -13535,45 +13541,47 @@ def q_link_prediction_jaccard(sf_dir: str) -> pd.DataFrame:
     practice; the ≥1 graph's wedge mass Σ C(deg,2) is hub-dominated and its
     Jaccard scores are noise) by neighbor-Jaccard: score non-adjacent pairs
     sharing ≥1 strong neighbor by |N(a)∩N(b)| / |N(a)∪N(b)|, top-50 (ties →
-    pair id).  One wedge fan-out exchange, grouped common-neighbor counts,
-    degrees broadcast, adjacency anti-probe."""
-    from ..functions.relational import bucketed_group_reduce
+    pair id).
 
+    Shape: the heavy exchange is the order-bucketed co-purchase pair build
+    inside :func:`_copurchase_weighted_edges`; the thresholded strong-tie
+    edge list itself is output-bounded and was always collected driver-side
+    for the degree/adjacency probe, so the wedge fan-out (Σ C(deg,2), tiny
+    on the w≤8 graph by construction) runs as one vectorized repeat/cumsum
+    pass over the sorted edge array instead of two more cluster exchanges."""
     # strong ties only: w = max(1, 10 − c) ⇒ (w ≤ 8 ⟺ c ≥ 2)
     edges = _copurchase_weighted_edges(sf_dir).map_batches(
         lambda t: t.filter(pc.less_equal(t["w"], 8)), batch_format="pyarrow",
         zero_copy_batch=True)
-
-    def wedge_part(df: pd.DataFrame) -> pd.DataFrame:
-        # per src bucket: all neighbor pairs (the wedge fan-out)
-        out = []
-        for _, g in df.groupby("src", sort=False):
-            nb = np.sort(g["dst"].to_numpy(np.int64))
-            if len(nb) < 2:
-                continue
-            ia, ib = np.triu_indices(len(nb), k=1)
-            out.append(pd.DataFrame({"a": nb[ia], "b": nb[ib]}))
-        if not out:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        w = pd.concat(out, ignore_index=True)
-        return w.groupby(["a", "b"], as_index=False).size().rename(
-            columns={"size": "cn"})
-
-    wedges = bucketed_group_reduce(edges, ["src"], wedge_part, num_buckets=32)
-
-    def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["a", "b"], as_index=False)["cn"].sum()
-
-    pairs = bucketed_group_reduce(wedges, ["a", "b"], fold_pairs,
-                                  num_buckets=32).to_pandas()
     # degrees + adjacency (both |V|/|E|-bounded, same contract as pagerank)
     ed = edges.to_pandas()
+    if not len(ed):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ["a", "b", "cn", "jaccard_u"]})
+    src = ed["src"].to_numpy(np.int64)
+    dst = ed["dst"].to_numpy(np.int64)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    segb = np.concatenate([[0], np.flatnonzero(s[1:] != s[:-1]) + 1, [len(s)]])
+    c = np.diff(segb).astype(np.int64)
+    local_i = np.arange(len(s)) - np.repeat(segb[:-1], c)
+    reps = np.repeat(c, c) - 1 - local_i
+    tot = int(reps.sum())
+    ia = np.repeat(np.arange(len(s)), reps)
+    run_start = np.repeat(np.cumsum(reps) - reps, reps)
+    ib = ia + 1 + np.arange(tot) - run_start
+    packed_w, cn_all = np.unique((d[ia] << 32) | d[ib], return_counts=True)
+    pairs = pd.DataFrame({"a": packed_w >> 32,
+                          "b": packed_w & np.int64(0xFFFFFFFF),
+                          "cn": cn_all.astype(np.int64)})
     deg = ed.groupby("src")["dst"].size()
-    adj = set(zip(ed.loc[ed["src"] < ed["dst"], "src"],
-                  ed.loc[ed["src"] < ed["dst"], "dst"]))
-    pairs = pairs[~pd.Series(list(zip(pairs["a"], pairs["b"])),
-                             index=pairs.index).isin(adj)]
+    half = ed["src"].to_numpy(np.int64) < ed["dst"].to_numpy(np.int64)
+    adj_packed = np.sort((ed["src"].to_numpy(np.int64)[half] << 32)
+                         | ed["dst"].to_numpy(np.int64)[half])
+    pos = np.searchsorted(adj_packed, packed_w)
+    pos[pos >= len(adj_packed)] = max(len(adj_packed) - 1, 0)
+    is_edge = len(adj_packed) > 0 and adj_packed[pos] == packed_w
+    pairs = pairs[~is_edge] if len(adj_packed) else pairs
     da = deg[pairs["a"]].to_numpy(np.int64)
     db = deg[pairs["b"]].to_numpy(np.int64)
     cn = pairs["cn"].to_numpy(np.int64)
