@@ -16206,6 +16206,140 @@ ORDER BY sh.shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-5 wave 10: LM smoothing, tokenizer metrics, robust stats, graph
+# components, window functions, training-interleave audit
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def q_kneser_ney_bigram(sf_dir: str) -> pd.DataFrame:
+    """Kneser-Ney smoothed bigram LM probabilities (absolute discount
+    D=0.75, continuation-count backoff) for the top-20 corpus bigrams.  The
+    heavy exchange is ONE packed-int64 bigram combiner; the KN terms
+    (left-context mass c(w1·), follower fan-out N1+(w1·), continuation count
+    N1+(·w2), distinct-bigram total) are then derived from the BIGRAM
+    HISTOGRAM itself — three cheap aggregates over distinct-bigram rows,
+    never a second corpus scan.  All counts exact ints; the one float
+    formula mirrors the SQL term for term."""
+    from ..functions.tokens import _flat_tokens
+
+    ds = rd.read_parquet(ensure_derived_parquet(sf_dir), columns=["tokens"],
+                         override_num_blocks=8)
+
+    def bigrams(t: pa.Table) -> pd.DataFrame:
+        values, offsets = _flat_tokens(t)
+        starts = (offsets - offsets[0]).astype(np.int64)
+        window = values[offsets[0]:offsets[-1]].astype(np.int64)
+        a = window[:-1]
+        b = window[1:]
+        keep = np.ones(len(a), bool)
+        keep[starts[1:-1] - 1] = False  # no bigram across sequence boundary
+        packed = (a[keep] << np.int64(32)) | b[keep]
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame({"bg": keys, "c": cnt.astype(np.int64)})
+
+    hist = grouped_sums(
+        ds.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        ["bg"], {"c": "c"},
+    ).materialize()
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        bg = t["bg"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        w1 = bg >> np.int64(32)
+        w2 = bg & np.int64(0xFFFFFFFF)
+        left = pd.DataFrame({"w1": w1, "cw1": c, "n1w1": np.ones(len(bg), np.int64)}
+                            ).groupby("w1", as_index=False).sum()
+        right = pd.DataFrame({"w2": w2, "n2w2": np.ones(len(bg), np.int64)}
+                             ).groupby("w2", as_index=False).sum()
+        return pd.DataFrame({
+            "kind": ["l"] * len(left) + ["r"] * len(right) + ["t"],
+            "k": np.concatenate([left["w1"], right["w2"], [0]]),
+            "a": np.concatenate([left["cw1"], right["n2w2"], [len(bg)]]),
+            "b": np.concatenate([left["n1w1"], np.zeros(len(right), np.int64), [0]]),
+        })
+
+    parts = hist.map_batches(stats, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    agg = parts.groupby(["kind", "k"], as_index=False)[["a", "b"]].sum()
+    lmap = agg[agg["kind"] == "l"].set_index("k")
+    rmap = agg[agg["kind"] == "r"].set_index("k")["a"]
+    dtot = int(agg.loc[agg["kind"] == "t", "a"].sum())
+    top = topk(hist, ["c", "bg"], [True, False], 20).to_pandas()
+    w1 = (top["bg"].to_numpy(np.int64) >> np.int64(32))
+    w2 = (top["bg"].to_numpy(np.int64) & np.int64(0xFFFFFFFF))
+    c = top["c"].to_numpy(np.int64)
+    rows = []
+    for i in range(len(top)):
+        cw1 = int(lmap.loc[w1[i], "a"])
+        n1w1 = int(lmap.loc[w1[i], "b"])
+        n2w2 = int(rmap.loc[w2[i]])
+        p = (max(int(c[i]) - _KN_D, 0.0) / cw1
+             + (_KN_D * n1w1 / cw1) * (n2w2 / dtot))
+        rows.append((int(w1[i]), int(w2[i]), int(c[i]), _rd(p, 9)))
+    out = pd.DataFrame(rows, columns=["token_a", "token_b", "c", "p_kn"])
+    out = out.sort_values(["c", "token_a", "token_b"],
+                          ascending=[False, True, True], ignore_index=True)
+    return _i64(out, ["token_a", "token_b", "c"])
+
+
+SQL_KNESER_NEY_BIGRAM = f"""
+WITH seq AS (SELECT tokens FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet')),
+z AS (
+  SELECT UNNEST(list_zip(tokens[1:len(tokens) - 1], tokens[2:len(tokens)])) AS p
+  FROM seq WHERE len(tokens) >= 2),
+bg AS (
+  SELECT CAST(p[1] AS BIGINT) AS w1, CAST(p[2] AS BIGINT) AS w2, COUNT(*) AS c
+  FROM z GROUP BY 1, 2),
+l AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, COUNT(*) AS n1w1 FROM bg GROUP BY 1),
+r AS (SELECT w2, COUNT(*) AS n2w2 FROM bg GROUP BY 1),
+t AS (SELECT COUNT(*) AS dtot FROM bg)
+SELECT bg.w1 AS token_a, bg.w2 AS token_b, bg.c AS c,
+       ROUND(GREATEST(bg.c - {_KN_D}, 0) / l.cw1
+             + ({_KN_D} * l.n1w1 / l.cw1) * (r.n2w2 / (SELECT dtot FROM t)), 9) AS p_kn
+FROM bg JOIN l USING (w1) JOIN r USING (w2)
+ORDER BY c DESC, token_a, token_b LIMIT 20
+"""
+
+
+def q_chars_per_token(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility metric (chars per token, the compression-ratio
+    health check every tokenizer swap is judged by) per source: two
+    independent bounded combiner aggregates — document chars from the raw
+    table, token counts from the derived corpus — joined driver-side on the
+    enum-bounded source key.  No corpus-width exchange at any scale."""
+    docs = _t(sf_dir, "documents", ["source", "n_chars"])
+    dch = grouped_sums(docs, ["source"], {"sum_chars": "n_chars"}, "n_docs",
+                       reduce="driver").to_pandas()
+    der = rd.read_parquet(ensure_derived_parquet(sf_dir),
+                          columns=["source", "n_tok"], override_num_blocks=8)
+    dtk = grouped_sums(der, ["source"], {"sum_tokens": "n_tok"}, None,
+                       reduce="driver").to_pandas()
+    out = dch.merge(dtk, on="source", how="inner")
+    out["chars_per_token"] = [
+        _rd(int(cc) / int(tt), 6)
+        for cc, tt in zip(out["sum_chars"], out["sum_tokens"])
+    ]
+    out = out[["source", "n_docs", "sum_chars", "sum_tokens", "chars_per_token"]]
+    out = out.sort_values("source", ignore_index=True)
+    return _i64(out, ["n_docs", "sum_chars", "sum_tokens"])
+
+
+SQL_CHARS_PER_TOKEN = f"""
+WITH dch AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1),
+dtk AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+  FROM read_parquet('{ORACLE_ARTIFACT_DIR}/derived.parquet') GROUP BY 1)
+SELECT source, n_docs, sum_chars, sum_tokens,
+       ROUND(CAST(sum_chars AS DOUBLE) / sum_tokens, 6) AS chars_per_token
+FROM dch JOIN dtk USING (source) ORDER BY source
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doremi_mixture_step": QuerySpec(
         q_doremi_mixture_step,
@@ -17492,6 +17626,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ring_rebalance,
         SQL_RING_REBALANCE,
         "consistent-hash ring shard assignment + minimal-movement rebalance audit",
+    ),
+    "kneser_ney_bigram": QuerySpec(
+        q_kneser_ney_bigram,
+        SQL_KNESER_NEY_BIGRAM,
+        "Kneser-Ney bigram smoothing from one bigram exchange, KN terms from the histogram",
+    ),
+    "chars_per_token": QuerySpec(
+        q_chars_per_token,
+        SQL_CHARS_PER_TOKEN,
+        "tokenizer fertility (chars/token) per source from two bounded aggregates",
     ),
 }
 
