@@ -253,6 +253,19 @@ BENCH_QUERIES = [
     "psi_drift",
     "ece_calibration",
     "cuped_adjustment",
+    "count_min_audit",
+    "spearman_qty_price",
+    "kendall_tau_qty_disc",
+    "cube_revenue",
+    "mlm_mask_stats",
+    "decayed_topk_users",
+    "hits_scores",
+    "ring_rebalance",
+    "kneser_ney_bigram",
+    "chars_per_token",
+    "train_interleave_audit",
+    "good_turing_counts",
+    "rbo_rank_overlap",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
