@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "train_interleave_audit",
     "good_turing_counts",
     "rbo_rank_overlap",
+    "csv_ingest_stats",
+    "parquet_footprint_audit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
