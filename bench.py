@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "rbo_rank_overlap",
     "csv_ingest_stats",
     "parquet_footprint_audit",
+    "poisson_bootstrap_ci",
+    "dp_event_counts",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
