@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "parquet_footprint_audit",
     "poisson_bootstrap_ci",
     "dp_event_counts",
+    "ccnet_perplexity_buckets",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
