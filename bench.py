@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "poisson_bootstrap_ci",
     "dp_event_counts",
     "ccnet_perplexity_buckets",
+    "negative_sampling_table",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
@@ -414,20 +415,19 @@ def run_queries(sf_dir: str, sf: float, num_cpus: int
     return out, reruns
 
 
-def run_dataloader(sf_dir: str) -> dict:
-    """Training last-mile: stream the derived token corpus through
-    ``iter_batches`` (prefetching, zero-copy Arrow) the way a trainer's
-    dataloader consumes it — rows/s and tokens/s of pure ingestion.
-    Min-of-2 passes (page cache + worker pool warm by construction)."""
+def run_dataloader(sf: float) -> dict:
+    """Training last-mile: stream the full bench sequences corpus (600k rows
+    / 89M tokens at sf0.1) through ``iter_batches`` (prefetching, Arrow
+    batches) the way a trainer's dataloader consumes it — rows/s and
+    tokens/s of pure driver-side ingestion.  Min-of-2 passes (page cache +
+    worker pool warm by construction: runs after the headline)."""
     import ray.data as rd
 
-    from commerce_logs_pipeline_ray.pipelines.queries import ensure_derived_parquet
-
-    path = ensure_derived_parquet(sf_dir)
+    in_dir, _ = bench_input(sf)
     best = None
     for _ in range(2):
-        ds = rd.read_parquet(path, columns=["tokens", "n_tok"],
-                             override_num_blocks=32)
+        ds = rd.read_parquet(in_dir, columns=["tokens", "n_tok"],
+                             override_num_blocks=64)
         t0 = time.perf_counter()
         rows = tokens = 0
         for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow",
@@ -467,7 +467,7 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     headline = run_headline(NUM_CPUS, sf)
-    dataloader = run_dataloader(SF_DIR)
+    dataloader = run_dataloader(sf)
     if os.environ.get("BENCH_SKIP_QUERIES"):
         queries, reruns = {}, {}
     else:
