@@ -272,6 +272,11 @@ BENCH_QUERIES = [
     "dp_event_counts",
     "ccnet_perplexity_buckets",
     "negative_sampling_table",
+    "sequence_mining_triples",
+    "neyman_sample",
+    "phrase_search",
+    "partition_digest",
+    "label_propagation",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -920,3 +920,67 @@ def kcore_hindex(
         changed_ids = np.sort(np.asarray(moved, dtype=np.int64))
     out = pd.DataFrame({"node": list(val.keys()), "core": list(val.values())})
     return out.sort_values("node", ignore_index=True).astype("int64")
+
+
+def label_propagation_min(
+    edges: Dataset,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    trace: bool = False,
+) -> pd.DataFrame:
+    """Synchronous min-label propagation (Raghavan et al. 2007's label
+    propagation specialized to the deterministic min rule — the classic
+    connected-components seeding step): every node starts labelled with its
+    own id; each round every node takes the min of its own label and its
+    neighbours' labels from the PREVIOUS round, so after k rounds a node's
+    label is exactly the smallest node id within k hops.  The edge set stays
+    distributed (materialized once, one scan per round); only the
+    |V|-bounded label map broadcasts per round and only per-batch
+    (node, min-candidate) partials come back.  Corpus-scale |V| swaps the
+    broadcast for a label-table join per round, same contract as
+    sssp_bellman_ford/pagerank."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    edges = edges.materialize()
+    nodes = (
+        edges.map_batches(
+            lambda t: pa.table({"node": pc.unique(t[src])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    ids = np.unique(nodes["node"].to_numpy(np.int64))
+    labels = ids.copy()
+    per_round: list[np.ndarray] = []
+
+    for _ in range(rounds):
+        ref = _ray.put((ids, labels))
+
+        def relax(t: pa.Table, *, _ref=ref) -> pd.DataFrame:
+            keys, vals = _ray.get(_ref)
+            s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = vals[np.searchsorted(keys, s)]
+            df = pd.DataFrame({"node": e, "cand": lab})
+            return df.groupby("node", as_index=False)["cand"].min()
+
+        cands = (
+            edges.map_batches(relax, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        new = labels.copy()
+        if len(cands):
+            best = cands.groupby("node")["cand"].min()
+            idx = np.searchsorted(ids, best.index.to_numpy(np.int64))
+            new[idx] = np.minimum(new[idx], best.to_numpy(np.int64))
+        labels = new
+        if trace:
+            per_round.append(labels.copy())
+
+    if trace:
+        return pd.DataFrame({"node": ids, "lbl": labels}), per_round
+    return pd.DataFrame({"node": ids, "lbl": labels})
