@@ -277,6 +277,10 @@ BENCH_QUERIES = [
     "phrase_search",
     "partition_digest",
     "label_propagation",
+    "expectation_audit",
+    "degree_assortativity",
+    "jl_projection_audit",
+    "successive_halving",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
