@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "degree_assortativity",
     "jl_projection_audit",
     "successive_halving",
+    "adjacent_lcp_audit",
+    "bradley_terry_step",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
