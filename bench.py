@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "successive_halving",
     "adjacent_lcp_audit",
     "bradley_terry_step",
+    "random_walk_corpus",
+    "pareto_layers",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
