@@ -285,6 +285,8 @@ BENCH_QUERIES = [
     "bradley_terry_step",
     "random_walk_corpus",
     "pareto_layers",
+    "elias_fano_audit",
+    "encoding_advisor",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
