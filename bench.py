@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "pareto_layers",
     "elias_fano_audit",
     "encoding_advisor",
+    "gorilla_timestamp_audit",
+    "dirichlet_ql_retrieval",
+    "diff_in_diff",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
