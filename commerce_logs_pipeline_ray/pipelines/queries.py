@@ -17969,9 +17969,8 @@ def q_bradley_terry_step(sf_dir: str) -> pd.DataFrame:
     wi = pr["wi"].to_numpy(np.int64)
     n = pr["n"].to_numpy(np.int64)
     parts = np.unique(np.concatenate([i, j]))
-    idx = {int(p): k for k, p in enumerate(parts)}
-    ii = np.array([idx[int(x)] for x in i], dtype=np.int64)
-    jj = np.array([idx[int(x)] for x in j], dtype=np.int64)
+    ii = np.searchsorted(parts, i)
+    jj = np.searchsorted(parts, j)
     wins = np.zeros(len(parts), np.int64)
     matches = np.zeros(len(parts), np.int64)
     np.add.at(wins, ii, wi)
