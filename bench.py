@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "gorilla_timestamp_audit",
     "dirichlet_ql_retrieval",
     "diff_in_diff",
+    "soft_dedup_weights",
+    "stratified_kfold",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
