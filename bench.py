@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "diff_in_diff",
     "soft_dedup_weights",
     "stratified_kfold",
+    "image_tile_entropy",
+    "audio_vad_energy",
+    "demographic_parity",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
