@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "image_tile_entropy",
     "audio_vad_energy",
     "demographic_parity",
+    "motif_discovery",
+    "binary_segmentation",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
