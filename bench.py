@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "demographic_parity",
     "motif_discovery",
     "binary_segmentation",
+    "lloyd_step_quantized",
+    "cohens_kappa",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
