@@ -299,6 +299,9 @@ BENCH_QUERIES = [
     "binary_segmentation",
     "lloyd_step_quantized",
     "cohens_kappa",
+    "champion_lists",
+    "loso_quality_delta",
+    "burn_rate_alerts",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
