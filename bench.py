@@ -302,6 +302,9 @@ BENCH_QUERIES = [
     "champion_lists",
     "loso_quality_delta",
     "burn_rate_alerts",
+    "wasserstein_1d",
+    "vocab_id_assignment",
+    "streaming_moments",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
