@@ -305,6 +305,8 @@ BENCH_QUERIES = [
     "wasserstein_1d",
     "vocab_id_assignment",
     "streaming_moments",
+    "nucleus_vocab_cut",
+    "dp_clipped_mean",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
