@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "streaming_moments",
     "nucleus_vocab_cut",
     "dp_clipped_mean",
+    "rocchio_expansion",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
