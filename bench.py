@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "nucleus_vocab_cut",
     "dp_clipped_mean",
     "rocchio_expansion",
+    "dp_degree_histogram",
+    "canonical_selection",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
