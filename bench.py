@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "rocchio_expansion",
     "dp_degree_histogram",
     "canonical_selection",
+    "mrr_eval",
+    "rich_club_coefficient",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
