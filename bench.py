@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "canonical_selection",
     "mrr_eval",
     "rich_club_coefficient",
+    "prefix_filter_join",
+    "markov_stationary",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

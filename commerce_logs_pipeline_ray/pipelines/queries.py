@@ -17377,21 +17377,21 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_LABEL_PROPAGATION = """
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON b.l_orderkey = a.l_orderkey AND a.l_partkey <> b.l_partkey),
-n0 AS (SELECT DISTINCT src AS node, src AS lbl FROM pairs),
-r1 AS (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
+n0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM pairs),
+r1 AS MATERIALIZED (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
        FROM pairs e JOIN n0 n ON n.node = e.src JOIN n0 m ON m.node = e.dst
        GROUP BY e.src),
-r2 AS (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
+r2 AS MATERIALIZED (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
        FROM pairs e JOIN r1 n ON n.node = e.src JOIN r1 m ON m.node = e.dst
        GROUP BY e.src),
-r3 AS (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
+r3 AS MATERIALIZED (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
        FROM pairs e JOIN r2 n ON n.node = e.src JOIN r2 m ON m.node = e.dst
        GROUP BY e.src),
-r4 AS (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
+r4 AS MATERIALIZED (SELECT e.src AS node, LEAST(MIN(n.lbl), MIN(m.lbl)) AS lbl
        FROM pairs e JOIN r3 n ON n.node = e.src JOIN r3 m ON m.node = e.dst
        GROUP BY e.src),
 stats AS (
@@ -20465,6 +20465,239 @@ ORDER BY nk.k
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 31: prefix-filter similarity join, Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+_PFJ_T_NUM = 3
+_PFJ_T_DEN = 5  # Jaccard threshold 3/5
+
+
+def q_prefix_filter_join(sf_dir: str) -> pd.DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin family, Xiao et al.
+    2008): exact Jaccard ≥ 0.6 pairs over 3-word SHINGLE sets, found
+    without all pairs — order every set by global df (rarest first), keep
+    only the first |d| − ⌈0.6·|d|⌉ + 1 shingles as the PREFIX (any
+    qualifying pair must share a prefix shingle), generate candidates via
+    one prefix-shingle exchange, verify exactly with integer
+    cross-multiplication (5·|A∩B| ≥ 3·|A∪B|).  The oracle is the
+    EXHAUSTIVE pairwise join, so a single missed pair breaks the hash —
+    the pruning math itself is under test.  Shingles (unlike unigrams on a
+    small vocabulary) are globally rare, so prefix groups stay tiny and
+    candidates are near-dup-bounded; verification pulls the
+    candidate-bounded shingle sets (swap for a set-join exchange when
+    candidates outgrow the driver)."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def wd_rows(t: pa.Table) -> pd.DataFrame:
+        lst = pc.split_pattern(t["text"], " ").combine_chunks()
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        vals = lst.values
+        L = len(vals)
+        if L < 3:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        w1 = vals.slice(0, L - 2).to_numpy(zero_copy_only=False)
+        w2 = vals.slice(1, L - 2).to_numpy(zero_copy_only=False)
+        w3 = vals.slice(2, L - 2).to_numpy(zero_copy_only=False)
+        # shingle i is internal iff i+2 stays inside the same doc
+        internal = np.ones(L - 2, dtype=bool)
+        starts = off[1:-1]
+        for d in (1, 2):
+            hit = starts - d
+            internal[hit[(hit >= 0) & (hit < L - 2)]] = False
+        lens = np.diff(off)
+        ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.maximum(lens - 2, 0),
+        )
+        sh = np.char.add(np.char.add(np.char.add(
+            w1[internal].astype(str), " "), np.char.add(
+            w2[internal].astype(str), " ")), w3[internal].astype(str))
+        return pd.DataFrame({"w": sh, "doc_id": ids}).drop_duplicates()
+
+    # a (shingle, doc) pair originates from exactly one row/batch, so the
+    # per-batch dedup in wd_rows is already global-distinct
+    wd = ds.map_batches(
+        wd_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a shingle are co-located: df is complete in-bucket —
+        # no driver-side dictionary ever ships to workers
+        df = df.copy()
+        df["df"] = df.groupby("w")["doc_id"].transform("size").astype(np.int64)
+        return df
+
+    wdf = bucketed_group_reduce(wd, ["w"], attach_df, num_buckets=32)
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        # per doc: sort shingles by (df asc, shingle asc), keep the prefix
+        df = df.sort_values(["doc_id", "df", "w"], kind="stable")
+        size = df.groupby("doc_id")["w"].transform("size").to_numpy(np.int64)
+        rk = df.groupby("doc_id", sort=False).cumcount().to_numpy()
+        ceil_t = (_PFJ_T_NUM * size + _PFJ_T_DEN - 1) // _PFJ_T_DEN
+        plen = size - ceil_t + 1
+        keep = rk < plen
+        return df[keep][["w", "doc_id"]]
+
+    pref = bucketed_group_reduce(wdf, ["doc_id"], prefixes, num_buckets=32)
+
+    def pairs_per_token(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("w", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            if len(ids) > 1:
+                a, b = np.meshgrid(ids, ids, indexing="ij")
+                m = a < b
+                out.append(pd.DataFrame({"a": a[m], "b": b[m]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True).drop_duplicates()
+
+    cand = (
+        bucketed_group_reduce(pref, ["w"], pairs_per_token, num_buckets=32)
+        .to_pandas()
+        .drop_duplicates(ignore_index=True)
+    )
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "inter": pd.Series([], dtype="int64"),
+                             "uni": pd.Series([], dtype="int64")})
+    cids = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
+                                     cand["b"].to_numpy(np.int64)]))
+
+    def pull_sets(t: pa.Table, *, _ids=cids) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df[df["doc_id"].isin(_ids)]
+
+    sets = wd.map_batches(pull_sets, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    tok = {int(d): set(g["w"].astype(str)) for d, g in sets.groupby("doc_id")}
+    rows = []
+    for a, b in zip(cand["a"].astype(int), cand["b"].astype(int)):
+        inter = len(tok[a] & tok[b])
+        uni = len(tok[a]) + len(tok[b]) - inter
+        if _PFJ_T_DEN * inter >= _PFJ_T_NUM * uni:
+            rows.append((a, b, inter, uni))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"])
+    out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return _i64(out, ["doc_a", "doc_b", "inter", "uni"])
+
+
+SQL_PREFIX_FILTER_JOIN = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+wd AS (
+  SELECT DISTINCT doc_id,
+         a[g.i] || ' ' || a[g.i + 1] || ' ' || a[g.i + 2] AS w
+  FROM ws, unnest(generate_series(1, len(a) - 2)) AS g(i)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM wd GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM wd a JOIN wd b ON b.w = a.w AND b.doc_id > a.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.i AS BIGINT) AS uni
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE {_PFJ_T_DEN} * i.i >= {_PFJ_T_NUM} * (sa.n + sb.n - i.i)
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+_MKV_ITERS = 20
+_MKV_MU = 1_000_000
+
+
+def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the user-behaviour Markov chain by
+    µ-quantized integer power iteration: transition counts from one
+    bucketed LAG exchange (windows.py::transition_matrix shape), then 20
+    iterations of x'[j] = Σ_s x[s]·C[s,j] // R[s] — every step floors to
+    integers, so both engines run the identical deterministic recursion
+    (the oracle unrolls it as 20 chained CTEs).  Reports the fixed point in
+    µ units plus the normalized probabilities."""
+    from ..functions.relational import bucketed_group_reduce
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        keys_arr = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = keys_arr[1:] == keys_arr[:-1]
+        pairs = pd.DataFrame(
+            {"s": np.roll(types, 1)[same], "t": types[same], "n": 1}
+        )
+        return pairs.groupby(["s", "t"], as_index=False).sum()
+
+    counts = grouped_sums(
+        bucketed_group_reduce(ds, ["user_id"], per_bucket),
+        ["s", "t"],
+        {"n": "n"},
+    ).to_pandas()
+    states = sorted(set(counts["s"].astype(str)) | set(counts["t"].astype(str)))
+    idx = {s: k for k, s in enumerate(states)}
+    k = len(states)
+    C = np.zeros((k, k), dtype=np.int64)
+    for s, t, n in zip(counts["s"].astype(str), counts["t"].astype(str),
+                       counts["n"].astype(int)):
+        C[idx[s], idx[t]] = n
+    R = C.sum(axis=1)
+    x = np.full(k, _MKV_MU, dtype=np.int64)
+    for _ in range(_MKV_ITERS):
+        x = np.array(
+            [int(sum(int(x[s]) * int(C[s, j]) // int(R[s])
+                     for s in range(k) if R[s] > 0))
+             for j in range(k)],
+            dtype=np.int64,
+        )
+    tot = int(x.sum())
+    out = pd.DataFrame(
+        {"state": states, "x_mu": x,
+         "pi": _rd(x.astype(np.float64) / float(tot), 6)}
+    )
+    return _i64(out, ["x_mu"])
+
+
+def _mkv_sql() -> str:
+    head = """
+WITH r AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS MATERIALIZED (SELECT prev AS s, event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM r WHERE prev IS NOT NULL GROUP BY 1, 2),
+rs AS MATERIALIZED (SELECT s, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+states AS MATERIALIZED (SELECT DISTINCT s AS st FROM c UNION SELECT DISTINCT t FROM c),
+x0 AS MATERIALIZED (SELECT st, CAST(1000000 AS BIGINT) AS x FROM states)"""
+    steps = []
+    for i in range(1, _MKV_ITERS + 1):
+        steps.append(f""",
+x{i} AS MATERIALIZED (
+  SELECT st.st,
+         CAST(COALESCE(SUM(p.x * c.n // rs.tot), 0) AS BIGINT) AS x
+  FROM states st
+  LEFT JOIN c ON c.t = st.st
+  LEFT JOIN rs ON rs.s = c.s
+  LEFT JOIN x{i - 1} p ON p.st = c.s
+  GROUP BY 1)""")
+    tail = f"""
+SELECT st AS state, x AS x_mu,
+       ROUND(CAST(x AS DOUBLE) / (SELECT CAST(SUM(x) AS DOUBLE) FROM x{_MKV_ITERS}), 6)
+         AS pi
+FROM x{_MKV_ITERS} ORDER BY state"""
+    return head + "".join(steps) + tail
+
+
+SQL_MARKOV_STATIONARY = _mkv_sql()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doremi_mixture_step": QuerySpec(
         q_doremi_mixture_step,
@@ -22006,6 +22239,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_rich_club_coefficient,
         SQL_RICH_CLUB_COEFFICIENT,
         "rich-club density among degree->k hubs, one broadcast edge scan for all thresholds",
+    ),
+    "prefix_filter_join": QuerySpec(
+        q_prefix_filter_join,
+        SQL_PREFIX_FILTER_JOIN,
+        "PPJoin prefix-filtered exact-Jaccard join vs the exhaustive oracle",
+    ),
+    "markov_stationary": QuerySpec(
+        q_markov_stationary,
+        SQL_MARKOV_STATIONARY,
+        "stationary distribution by 20 integer-quantized power iterations",
     ),
 }
 
