@@ -314,6 +314,8 @@ BENCH_QUERIES = [
     "rich_club_coefficient",
     "prefix_filter_join",
     "markov_stationary",
+    "weighted_sample_es",
+    "selectivity_independence_audit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
