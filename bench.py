@@ -316,6 +316,8 @@ BENCH_QUERIES = [
     "markov_stationary",
     "weighted_sample_es",
     "selectivity_independence_audit",
+    "shapley_attribution",
+    "token_bucket_audit",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
