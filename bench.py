@@ -318,6 +318,8 @@ BENCH_QUERIES = [
     "selectivity_independence_audit",
     "shapley_attribution",
     "token_bucket_audit",
+    "lru_cache_audit",
+    "hill_tail_index",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),

@@ -21022,6 +21022,147 @@ FROM fin ORDER BY dropped DESC, user_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 34: LRU cache audit via stack-distance equivalence, Hill tail index
+# ---------------------------------------------------------------------------
+
+_LRU_CAP = 4
+
+
+def q_lru_cache_audit(sf_dir: str) -> pd.DataFrame:
+    """LRU cache hit-rate replay over per-customer part-access streams (the
+    cache-sizing study behind every serving tier): capacity 4, accesses in
+    order-date order.  The Ray side runs the ACTUAL LRU automaton as a
+    per-customer fold inside the customer-bucketed exchange; the oracle
+    instead uses Mattson's stack-distance equivalence — an access hits LRU(C)
+    iff fewer than C distinct items were touched since the previous access of
+    the same item — so two INDEPENDENT formulations of cache behaviour must
+    agree bit-for-bit."""
+    from ..functions.relational import bucketed_group_reduce, hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+    acc = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "l_orderkey", "l_linenumber", "l_partkey"],
+            kind="stable",
+        )
+        rows = []
+        for cust, g in df.groupby("o_custkey", sort=False):
+            cache: dict[int, None] = {}
+            hits = 0
+            for part in g["l_partkey"].astype(int):
+                if part in cache:
+                    hits += 1
+                    cache.pop(part)
+                elif len(cache) >= _LRU_CAP:
+                    cache.pop(next(iter(cache)))
+                cache[part] = None
+            rows.append((1, len(g), hits))
+        return pd.DataFrame(rows, columns=["n_customers", "n_accesses", "hits"])
+
+    agg = (
+        bucketed_group_reduce(acc, ["o_custkey"], per_bucket, num_buckets=32)
+        .to_pandas()
+        .sum()
+    )
+    n_acc, hits = int(agg["n_accesses"]), int(agg["hits"])
+    out = pd.DataFrame(
+        [{"n_customers": int(agg["n_customers"]), "n_accesses": n_acc,
+          "hits": hits, "misses": n_acc - hits,
+          "hit_rate": _rd(float(hits) / float(n_acc), 6)}]
+    )
+    return _i64(out, ["n_customers", "n_accesses", "hits", "misses"])
+
+
+SQL_LRU_CACHE_AUDIT = f"""
+WITH acc AS MATERIALIZED (
+  SELECT o_custkey AS cust, l_partkey AS part,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, l_orderkey, l_linenumber,
+                                     l_partkey) AS rn
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+prev AS (
+  SELECT cust, part, rn,
+         LAG(rn) OVER (PARTITION BY cust, part ORDER BY rn) AS prn
+  FROM acc),
+hit AS (
+  SELECT p.cust, p.rn
+  FROM prev p
+  WHERE p.prn IS NOT NULL
+    AND (SELECT COUNT(DISTINCT a2.part) FROM acc a2
+         WHERE a2.cust = p.cust AND a2.rn > p.prn AND a2.rn < p.rn)
+        < {_LRU_CAP}),
+tot AS (SELECT COUNT(DISTINCT cust) AS n_customers, COUNT(*) AS n_accesses
+        FROM acc),
+h AS (SELECT COUNT(*) AS hits FROM hit)
+SELECT tot.n_customers, tot.n_accesses, CAST(h.hits AS BIGINT) AS hits,
+       CAST(tot.n_accesses - h.hits AS BIGINT) AS misses,
+       ROUND(CAST(h.hits AS DOUBLE) / CAST(tot.n_accesses AS DOUBLE), 6)
+         AS hit_rate
+FROM tot CROSS JOIN h
+"""
+
+
+_HILL_K = 100
+
+
+def q_hill_tail_index(sf_dir: str) -> pd.DataFrame:
+    """Hill estimator of the purchase-value tail index (Hill 1975, the
+    heavy-tail diagnostic behind capacity planning and loss modelling):
+    over the k=100 largest purchase cents, ξ = (1/k)·Σ ln(x_i / x_{k+1}) —
+    each log term µnat-quantized to an integer (LN-parity convention)
+    before the sum, so both engines agree exactly; α = 1/ξ closes in the
+    same double expression.  One distributed top-(k+1) prune; the estimator
+    runs over k+1 rows."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_rows(t: pa.Table) -> pd.DataFrame:
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        c = _rd(t["value"].to_numpy(zero_copy_only=False)[is_p] * 100.0, 0).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[is_p]
+        keep = c > 0
+        return pd.DataFrame({"event_id": eid[keep], "cents": c[keep]})
+
+    rows = ds.map_batches(cents_rows, batch_format="pyarrow", zero_copy_batch=True)
+    top = topk(rows, ["cents", "event_id"], [True, False], _HILL_K + 1).to_pandas()
+    x = top["cents"].to_numpy(np.int64)
+    k = len(x) - 1
+    xk1 = int(x[k])
+    terms = _rd(np.log(x[:k].astype(np.float64) / float(xk1)) * 1e6, 0).astype(np.int64)
+    s = int(terms.sum())
+    xi = float(s) / float(k)
+    out = pd.DataFrame(
+        [{"k": k, "x_threshold": xk1, "sum_unats": s,
+          "xi_unats": _rd(xi, 6),
+          "alpha": _rd(1e6 / xi, 6) if xi > 0 else float("nan")}]
+    )
+    return _i64(out, ["k", "x_threshold", "sum_unats"])
+
+
+SQL_HILL_TAIL_INDEX = f"""
+WITH p AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+    AND CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+top AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) AS rn
+        FROM p ORDER BY cents DESC, event_id LIMIT {_HILL_K + 1}),
+thr AS (SELECT cents AS xk1 FROM top WHERE rn = (SELECT MAX(rn) FROM top)),
+t AS (
+  SELECT CAST(ROUND(LN(CAST(cents AS DOUBLE) / CAST((SELECT xk1 FROM thr) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS u
+  FROM top WHERE rn < (SELECT MAX(rn) FROM top)),
+s AS (SELECT CAST(SUM(u) AS BIGINT) AS su, COUNT(*) AS k FROM t)
+SELECT k, (SELECT xk1 FROM thr) AS x_threshold, su AS sum_unats,
+       ROUND(CAST(su AS DOUBLE) / k, 6) AS xi_unats,
+       CASE WHEN su > 0 THEN ROUND(1000000.0 / (CAST(su AS DOUBLE) / k), 6)
+            ELSE CAST('nan' AS DOUBLE) END AS alpha
+FROM s
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "doremi_mixture_step": QuerySpec(
         q_doremi_mixture_step,
@@ -22593,6 +22734,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_token_bucket_audit,
         SQL_TOKEN_BUCKET_AUDIT,
         "token-bucket admission replay per user; recursive-CTE oracle mirrors the fold",
+    ),
+    "lru_cache_audit": QuerySpec(
+        q_lru_cache_audit,
+        SQL_LRU_CACHE_AUDIT,
+        "LRU(4) hit rate: real automaton vs Mattson stack-distance oracle",
+    ),
+    "hill_tail_index": QuerySpec(
+        q_hill_tail_index,
+        SQL_HILL_TAIL_INDEX,
+        "Hill heavy-tail index over the top-100 purchases, µnat-integer log terms",
     ),
 }
 
