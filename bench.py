@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "token_bucket_audit",
     "lru_cache_audit",
     "hill_tail_index",
+    "skipgram_pairs",
 ]
 # deliberately NOT benched (correctness-checked, cost documented):
 # record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
