@@ -928,7 +928,7 @@ def label_propagation_min(
     src: str = "src",
     dst: str = "dst",
     trace: bool = False,
-) -> pd.DataFrame:
+) -> pd.DataFrame | tuple[pd.DataFrame, list[np.ndarray]]:
     """Synchronous min-label propagation (Raghavan et al. 2007's label
     propagation specialized to the deterministic min rule — the classic
     connected-components seeding step): every node starts labelled with its
@@ -945,9 +945,20 @@ def label_propagation_min(
     import ray as _ray
 
     edges = edges.materialize()
+    # Node universe is the UNION of endpoints: a dst-only node (possible on a
+    # non-symmetrized edge set) must own a label slot, else the min-candidate
+    # scatter below would corrupt a neighbouring slot or index out of range.
     nodes = (
         edges.map_batches(
-            lambda t: pa.table({"node": pc.unique(t[src])}),
+            lambda t: pa.table(
+                {
+                    "node": pc.unique(
+                        pa.chunked_array(
+                            [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())]
+                        )
+                    )
+                }
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

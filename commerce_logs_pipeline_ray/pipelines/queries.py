@@ -17978,13 +17978,22 @@ def q_bradley_terry_step(sf_dir: str) -> pd.DataFrame:
     np.add.at(matches, ii, n)
     np.add.at(matches, jj, n)
 
-    u = np.full(len(parts), _BT_MU, dtype=np.int64)
+    # The oracle runs the MM updates in HUGEINT; int64 holds only while
+    # max(wins, n)·_BT_SCALE < 2^63 (~9.2M matches per part/pair).  Above that
+    # switch to Python-int object arrays — same floor-division semantics,
+    # arbitrary precision, bit-equal to the HUGEINT oracle.
+    _hi = max(int(wins.max(initial=0)), int(n.max(initial=0)))
+    _dt = np.int64 if _hi * _BT_SCALE < 2**63 else object
+    wins_w = wins.astype(_dt) if _dt is np.int64 else np.array([int(v) for v in wins], object)
+    n_w = n.astype(_dt) if _dt is np.int64 else np.array([int(v) for v in n], object)
+    u = np.full(len(parts), _BT_MU, dtype=_dt)
     for _ in range(2):
-        c = (n * _BT_SCALE) // (u[ii] + u[jj])
-        s = np.zeros(len(parts), np.int64)
+        c = (n_w * _BT_SCALE) // (u[ii] + u[jj])
+        s = np.zeros(len(parts), _dt)
         np.add.at(s, ii, c)
         np.add.at(s, jj, c)
-        u = np.maximum((wins * _BT_SCALE) // s, 1)
+        u = np.maximum((wins_w * _BT_SCALE) // s, 1)
+    u = u.astype(np.int64)
 
     order = np.lexsort((parts, -u))[:15]
     out = pd.DataFrame(
@@ -19825,14 +19834,18 @@ def q_streaming_moments(sf_dir: str) -> pd.DataFrame:
         is_p = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
         cents = _rd(t["value"].to_numpy(zero_copy_only=False)[is_p] * 100.0, 0).astype(np.int64)
         c = [int(x) for x in cents]
+        # s2 rides the same arbitrary-precision string channel as s3/s4:
+        # cents² is ~1e14, so a batch of ~9e4 max-value rows would already
+        # brush 2^63 in an int64 partial while the oracle sums in HUGEINT.
         return pd.DataFrame(
-            {"n": [len(c)], "s1": [sum(c)], "s2": [sum(x * x for x in c)],
+            {"n": [len(c)], "s1": [str(sum(c))], "s2": [str(sum(x * x for x in c))],
              "s3": [str(sum(x ** 3 for x in c))], "s4": [str(sum(x ** 4 for x in c))]}
         )
 
     p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     n = int(p["n"].sum())
-    s1, s2 = int(p["s1"].sum()), int(p["s2"].sum())
+    s1 = sum(int(x) for x in p["s1"])
+    s2 = sum(int(x) for x in p["s2"])
     s3 = sum(int(x) for x in p["s3"])
     s4 = sum(int(x) for x in p["s4"])
     m = float(s1) / float(n)
@@ -21130,6 +21143,19 @@ def q_hill_tail_index(sf_dir: str) -> pd.DataFrame:
     top = topk(rows, ["cents", "event_id"], [True, False], _HILL_K + 1).to_pandas()
     x = top["cents"].to_numpy(np.int64)
     k = len(x) - 1
+    if k < 1:
+        # Degenerate corpus (<2 positive purchases): the oracle's aggregate
+        # CTE still yields one row with k=0 and NULL sum/xi and NaN alpha —
+        # degrade identically instead of dividing by zero.
+        out = pd.DataFrame(
+            [{"k": 0, "x_threshold": int(x[0]) if len(x) else None,
+              "sum_unats": None, "xi_unats": None, "alpha": float("nan")}]
+        )
+        out["k"] = out["k"].astype("int64")
+        out["x_threshold"] = out["x_threshold"].astype("Int64")
+        out["sum_unats"] = out["sum_unats"].astype("Int64")
+        out["xi_unats"] = out["xi_unats"].astype("Float64")
+        return out
     xk1 = int(x[k])
     terms = _rd(np.log(x[:k].astype(np.float64) / float(xk1)) * 1e6, 0).astype(np.int64)
     s = int(terms.sum())

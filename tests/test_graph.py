@@ -270,3 +270,19 @@ def test_peel_local_equals_hindex_fixpoint():
         got = _peel_local(s, d)
         want = _hindex_local(s, d, 256).sort_values("node", ignore_index=True)
         assert got.equals(want), f"seed={seed}"
+
+
+def test_label_propagation_min_dst_only_node(ray_session):
+    """On a NON-symmetrized edge set a dst-only node must still own a label
+    slot (node universe = union of endpoints): previously dst=99 either
+    indexed out of range or corrupted a neighbour's slot."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from commerce_logs_pipeline_ray.functions.graph import label_propagation_min
+
+    edges = rd.from_pandas(pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 99]}))
+    out = label_propagation_min(edges, rounds=4)
+    assert sorted(out["node"]) == [1, 2, 3, 99]
+    assert (out["lbl"] == 1).all()
