@@ -20497,10 +20497,13 @@ def q_prefix_filter_join(sf_dir: str) -> pd.DataFrame:
     EXHAUSTIVE pairwise join, so a single missed pair breaks the hash —
     the pruning math itself is under test.  Shingles (unlike unigrams on a
     small vocabulary) are globally rare, so prefix groups stay tiny and
-    candidates are near-dup-bounded; verification pulls the
-    candidate-bounded shingle sets (swap for a set-join exchange when
-    candidates outgrow the driver)."""
-    from ..functions.relational import bucketed_group_reduce
+    candidates are near-dup-bounded; verification is FULLY DISTRIBUTED:
+    candidate pairs pull their two docs' shingle sets through two
+    hash-partitioned joins keyed on doc id (duplication bounded by the
+    candidate count), and each worker scores its pairs with the integer
+    cross-multiplication — no candidate list or shingle set ever
+    materializes on the driver."""
+    from ..functions.relational import bucketed_group_reduce, hash_join
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -20512,9 +20515,6 @@ def q_prefix_filter_join(sf_dir: str) -> pd.DataFrame:
         if L < 3:
             return pd.DataFrame({"w": pd.Series([], dtype=object),
                                  "doc_id": pd.Series([], dtype="int64")})
-        w1 = vals.slice(0, L - 2).to_numpy(zero_copy_only=False)
-        w2 = vals.slice(1, L - 2).to_numpy(zero_copy_only=False)
-        w3 = vals.slice(2, L - 2).to_numpy(zero_copy_only=False)
         # shingle i is internal iff i+2 stays inside the same doc
         internal = np.ones(L - 2, dtype=bool)
         starts = off[1:-1]
@@ -20526,9 +20526,12 @@ def q_prefix_filter_join(sf_dir: str) -> pd.DataFrame:
             t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             np.maximum(lens - 2, 0),
         )
-        sh = np.char.add(np.char.add(np.char.add(
-            w1[internal].astype(str), " "), np.char.add(
-            w2[internal].astype(str), " ")), w3[internal].astype(str))
+        # one Arrow kernel builds all shingle strings (np.char.add chains
+        # were ~10× slower on wide batches)
+        joined = pc.binary_join_element_wise(
+            vals.slice(0, L - 2), vals.slice(1, L - 2), vals.slice(2, L - 2), " "
+        )
+        sh = joined.filter(pa.array(internal)).to_numpy(zero_copy_only=False)
         return pd.DataFrame({"w": sh, "doc_id": ids}).drop_duplicates()
 
     # a (shingle, doc) pair originates from exactly one row/batch, so the
@@ -20547,57 +20550,138 @@ def q_prefix_filter_join(sf_dir: str) -> pd.DataFrame:
     wdf = bucketed_group_reduce(wd, ["w"], attach_df, num_buckets=32)
 
     def prefixes(df: pd.DataFrame) -> pd.DataFrame:
-        # per doc: sort shingles by (df asc, shingle asc), keep the prefix
+        # per doc: sort shingles by (df asc, shingle asc), keep the prefix;
+        # carry the 1-based position in the sorted FULL set plus the set
+        # size so pair generation can apply the length + positional filters
         df = df.sort_values(["doc_id", "df", "w"], kind="stable")
         size = df.groupby("doc_id")["w"].transform("size").to_numpy(np.int64)
         rk = df.groupby("doc_id", sort=False).cumcount().to_numpy()
         ceil_t = (_PFJ_T_NUM * size + _PFJ_T_DEN - 1) // _PFJ_T_DEN
         plen = size - ceil_t + 1
         keep = rk < plen
-        return df[keep][["w", "doc_id"]]
+        out = df[keep][["w", "doc_id"]].copy()
+        out["pos"] = (rk[keep] + 1).astype(np.int64)
+        out["size"] = size[keep]
+        return out
 
     pref = bucketed_group_reduce(wdf, ["doc_id"], prefixes, num_buckets=32)
 
     def pairs_per_token(df: pd.DataFrame) -> pd.DataFrame:
+        # Xiao et al. 2008 pruning at generation time, both sound (zero
+        # false negatives — the exhaustive oracle is the proof):
+        #   length filter: Jaccard ≥ 3/5 needs 5·min(|A|,|B|) ≥ 3·max;
+        #   positional filter: at the pair's FIRST shared prefix token the
+        #     overlap is ≤ 1 + min(|A|−pa, |B|−pb), which must reach
+        #     α = ⌈3(|A|+|B|)/8⌉ (8·I ≥ 3(|A|+|B|) ⇔ 5I ≥ 3U); a later
+        #     shared token only shrinks the bound, so keeping pairs where
+        #     ANY occurrence passes is a sound superset.
         out = []
         for _, g in df.groupby("w", sort=False):
-            ids = np.sort(g["doc_id"].to_numpy(np.int64))
-            if len(ids) > 1:
-                a, b = np.meshgrid(ids, ids, indexing="ij")
-                m = a < b
-                out.append(pd.DataFrame({"a": a[m], "b": b[m]}))
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy(np.int64)
+            o = np.argsort(ids)
+            ids = ids[o]
+            ps = g["pos"].to_numpy(np.int64)[o]
+            ns = g["size"].to_numpy(np.int64)[o]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            na, nb = ns[ii], ns[jj]
+            pa, pb = ps[ii], ps[jj]
+            alpha = (3 * (na + nb) + 7) // 8
+            keep = (
+                (5 * np.minimum(na, nb) >= 3 * np.maximum(na, nb))
+                & (1 + np.minimum(na - pa, nb - pb) >= alpha)
+            )
+            if keep.any():
+                out.append(pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]}))
         if not out:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
         return pd.concat(out, ignore_index=True).drop_duplicates()
 
-    cand = (
-        bucketed_group_reduce(pref, ["w"], pairs_per_token, num_buckets=32)
-        .to_pandas()
-        .drop_duplicates(ignore_index=True)
+    # Distributed verification in two bucketed exchanges, no Dataset.join
+    # aggregator spin-up:
+    #   exchange A (key = doc id): union the corpus (shingle, doc) rows with
+    #     two half-rows per candidate pair; in-bucket, pack each doc's sorted
+    #     shingle set ONCE (vectorized agg) and merge it onto its pair-halves.
+    #   exchange B (key = pair): the two packed sets of a pair co-locate;
+    #     dedup duplicate candidates (a pair can surface from several prefix
+    #     shingles) and score with the integer cross-multiplication.
+    pairs_ds = bucketed_group_reduce(pref, ["w"], pairs_per_token, num_buckets=32)
+
+    def halves(t: pa.Table) -> pd.DataFrame:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(a)
+        return pd.DataFrame(
+            {"k": np.concatenate([a, b]),
+             "a": np.concatenate([a, a]),
+             "b": np.concatenate([b, b]),
+             "ws": np.full(2 * m, "", dtype=object),
+             "n": np.full(2 * m, -1, dtype=np.int64)}
+        )
+
+    def pack_local(t: pa.Table) -> pd.DataFrame:
+        # all (shingle, doc) rows of one doc originate from one batch of
+        # wd_rows, so the per-doc set packs LOCALLY — no exchange needed
+        df = t.to_pandas().sort_values(["doc_id", "w"], kind="stable")
+        g = df.groupby("doc_id", sort=False)["w"]
+        packed = g.agg("\x00".join).reset_index()
+        n = g.size().to_numpy(np.int64)
+        return pd.DataFrame(
+            {"k": packed["doc_id"].to_numpy(np.int64),
+             "a": np.full(len(packed), -1, dtype=np.int64),
+             "b": np.full(len(packed), -1, dtype=np.int64),
+             "ws": packed["w"].to_numpy(object),
+             "n": n}
+        )
+
+    mixed = wd.map_batches(
+        pack_local, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        pairs_ds.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True)
     )
-    if cand.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "inter": pd.Series([], dtype="int64"),
-                             "uni": pd.Series([], dtype="int64")})
-    cids = np.unique(np.concatenate([cand["a"].to_numpy(np.int64),
-                                     cand["b"].to_numpy(np.int64)]))
 
-    def pull_sets(t: pa.Table, *, _ids=cids) -> pd.DataFrame:
-        df = t.to_pandas()
-        return df[df["doc_id"].isin(_ids)]
+    _EMPTY = {"a": "int64", "b": "int64", "s": "int64", "ws": object, "n": "int64"}
 
-    sets = wd.map_batches(pull_sets, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-    tok = {int(d): set(g["w"].astype(str)) for d, g in sets.groupby("doc_id")}
-    rows = []
-    for a, b in zip(cand["a"].astype(int), cand["b"].astype(int)):
-        inter = len(tok[a] & tok[b])
-        uni = len(tok[a]) + len(tok[b]) - inter
-        if _PFJ_T_DEN * inter >= _PFJ_T_NUM * uni:
-            rows.append((a, b, inter, uni))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"])
+    def attach_sets(df: pd.DataFrame) -> pd.DataFrame:
+        hv = df[df["n"] < 0]
+        if hv.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY.items()})
+        packed = df[df["n"] >= 0][["k", "ws", "n"]]
+        m = hv[["k", "a", "b"]].merge(packed, on="k")
+        m = m.rename(columns={"k": "s"})
+        return m[["a", "b", "s", "ws", "n"]]
+
+    att = bucketed_group_reduce(mixed, ["k"], attach_sets, num_buckets=32)
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["a", "b", "s"], kind="stable")
+        a2 = df["a"].to_numpy(np.int64)
+        b2 = df["b"].to_numpy(np.int64)
+        wsv = df["ws"].to_numpy(object)
+        nv = df["n"].to_numpy(np.int64)
+        da, db, di, du = [], [], [], []
+        for i in range(0, len(df), 2):  # exactly two rows (sides) per pair
+            inter = len(set(wsv[i].split("\x00")) & set(wsv[i + 1].split("\x00")))
+            uni = int(nv[i]) + int(nv[i + 1]) - inter
+            if _PFJ_T_DEN * inter >= _PFJ_T_NUM * uni:
+                da.append(int(a2[i])); db.append(int(b2[i]))
+                di.append(inter); du.append(uni)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(da, dtype="int64"),
+             "doc_b": pd.Series(db, dtype="int64"),
+             "inter": pd.Series(di, dtype="int64"),
+             "uni": pd.Series(du, dtype="int64")}
+        )
+
+    out = bucketed_group_reduce(att, ["a", "b"], score_bucket,
+                                num_buckets=32).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "inter": pd.Series([], dtype="int64"),
+                            "uni": pd.Series([], dtype="int64")})
     out = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
     return _i64(out, ["doc_a", "doc_b", "inter", "uni"])
 
