@@ -21129,8 +21129,12 @@ _LRU_CAP = 4
 def q_lru_cache_audit(sf_dir: str) -> pd.DataFrame:
     """LRU cache hit-rate replay over per-customer part-access streams (the
     cache-sizing study behind every serving tier): capacity 4, accesses in
-    order-date order.  The Ray side runs the ACTUAL LRU automaton as a
-    per-customer fold inside the customer-bucketed exchange; the oracle
+    order-date order.  The Ray side runs the ACTUAL LRU automaton — jagged
+    lockstep-vectorized across every customer in the bucket (one numpy step
+    per stream position over a customers×CAP slot matrix; the matrix is
+    |customers|×max-stream-length, so salt pathologically long streams
+    upstream if a tenant dominates) inside the customer-bucketed exchange;
+    the oracle
     instead uses Mattson's stack-distance equivalence — an access hits LRU(C)
     iff fewer than C distinct items were touched since the previous access of
     the same item — so two INDEPENDENT formulations of cache behaviour must
@@ -21142,23 +21146,54 @@ def q_lru_cache_audit(sf_dir: str) -> pd.DataFrame:
     acc = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # Jagged lockstep vectorization: all customers advance one access per
+        # numpy step over a (customers × _LRU_CAP) slot matrix — slot CAP-1 is
+        # most-recent, empties live at the left, so ONE shift-left-and-append
+        # implements insert, evict-LRU and move-to-front alike (on a hit the
+        # matched slot is deleted first).  Replaces the per-access Python
+        # automaton; the loop is over the max stream LENGTH, not accesses.
         df = df.sort_values(
             ["o_custkey", "o_orderdate", "l_orderkey", "l_linenumber", "l_partkey"],
             kind="stable",
         )
-        rows = []
-        for cust, g in df.groupby("o_custkey", sort=False):
-            cache: dict[int, None] = {}
-            hits = 0
-            for part in g["l_partkey"].astype(int):
-                if part in cache:
-                    hits += 1
-                    cache.pop(part)
-                elif len(cache) >= _LRU_CAP:
-                    cache.pop(next(iter(cache)))
-                cache[part] = None
-            rows.append((1, len(g), hits))
-        return pd.DataFrame(rows, columns=["n_customers", "n_accesses", "hits"])
+        cust = df["o_custkey"].to_numpy(np.int64)
+        part = df["l_partkey"].to_numpy(np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({"n_customers": pd.Series([], dtype="int64"),
+                                 "n_accesses": pd.Series([], dtype="int64"),
+                                 "hits": pd.Series([], dtype="int64")})
+        new = np.empty(len(cust), dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        row = np.cumsum(new) - 1                      # customer index
+        starts = np.flatnonzero(new)
+        t = np.arange(len(cust)) - starts[row]        # position in stream
+        ncust = int(row[-1]) + 1
+        max_len = int(t.max()) + 1
+        M = np.full((ncust, max_len), -1, dtype=np.int64)
+        M[row, t] = part
+        S = np.full((ncust, _LRU_CAP), -1, dtype=np.int64)
+        hits = 0
+        for step in range(max_len):
+            x = M[:, step]
+            active = x >= 0
+            eq = S == x[:, None]                      # at most one slot matches
+            hit = eq.any(axis=1) & active
+            hits += int(hit.sum())
+            # delete the matched slot by shifting everything LEFT of it
+            # right by one, so the hole lands at slot 0 where empties live
+            # (no match → no-op); then one shift-left-append serves hit,
+            # miss-evict and miss-insert alike (slot 0 is hole/empty/LRU)
+            left_of_hit = np.cumsum(eq[:, ::-1], axis=1)[:, ::-1].astype(bool)
+            shifted_r = np.concatenate(
+                [np.full((ncust, 1), -1, dtype=np.int64), S[:, :-1]], axis=1
+            )
+            S_del = np.where(left_of_hit, shifted_r, S)
+            S_new = np.concatenate([S_del[:, 1:], x[:, None]], axis=1)
+            S = np.where(active[:, None], S_new, S)
+        return pd.DataFrame(
+            {"n_customers": [ncust], "n_accesses": [len(cust)], "hits": [hits]}
+        )
 
     agg = (
         bucketed_group_reduce(acc, ["o_custkey"], per_bucket, num_buckets=32)
