@@ -28,305 +28,16 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ROWS_PER_SF = 6_000_000  # sf0.1 → 600k sequences (lineitem-scale parity)
 
-BENCH_QUERIES = [
-    "video_frame_decode",
-    "media_decode_real",
-    "semantic_dedup",
-    "global_error_context",
-    "kll_price_quantiles",
-    "kll_value_by_type",
-    "cross_doc_dup_windows",
-    "substring_dedup_stats",
-    "type_overlap_matrix",
-    "bpe_encode_stats",
-    "padding_waste",
-    "compression_quality",
-    "corpus_diff",
-    "hopping_window_counts",
-    "mg_heavy_users",
-    "kmv_user_overlap",
-    "substring_dedup_rewrite",
-    "image_content_dedup",
-    "audio_fingerprint_dedup",
-    "video_content_dedup",
-    "temperature_resample",
-    "minhash_incremental",
-    "ngram_jaccard_pairs",
-    "winnowing_fingerprints",
-    "kcenter_coreset",
-    "events_by_type",
-    "events_per_hour",
-    "top_users_by_value",
-    "parse_props",
-    "orders_by_region",
-    "pricing_summary",
-    "last_event_per_user",
-    "dedup_exact",
-    "cosine_topk",
-    "pipeline_docs",
-    "nation_revenue",
-    "user_sessions",
-    "error_prior_purchase",
-    "minhash_neardup",
-    "neardup_cluster_dedup",
-    "simhash_fingerprints",
-    "training_chunks",
-    "embedding_neardup",
-    "value_median_per_type",
-    "span_assembly",
-    "token_frequency_topk",
-    "loglines_extract",
-    "dedup_sequences",
-    "unigram_surprisal",
-    "chunk_stats",
-    "contamination_check",
-    "source_kl",
-    "order_price_deciles",
-    "funnel_stages",
-    "cohort_retention",
-    "copurchase_pairs",
-    "event_gap_stats",
-    "event_transitions",
-    "burst_detection",
-    "peak_rolling_value",
-    "user_paths",
-    "nation_hhi",
-    "token_pagerank",
-    "embedding_covariance",
-    "analyze_events",
-    "dominant_user_per_type",
-    "approx_users_per_type",
-    "type_hour_chi2",
-    "customer_order_counts",
-    "bm25_search",
-    "rrf_fusion",
-    "mad_outliers",
-    "ewma_user_value",
-    "naive_bayes_langid",
-    "bpe_merges",
-    "cube_counts",
-    "purchase_view_sets",
-    "type_hour_grid",
-    "fk_integrity_audit",
-    "hourly_autocorr",
-    "source_vocab_jaccard",
-    "orders_vs_ships_daily",
-    "copurchase_degree_hist",
-    "bigram_lm_nll",
-    "value_boxplot",
-    "nation_revenue_share",
-    "shipping_priority",
-    "new_users_daily",
-    "event_trigrams",
-    "conversion_latency",
-    "value_gini",
-    "order_priority_check",
-    "small_quantity_revenue",
-    "rfm_segments",
-    "bounce_rate",
-    "centroid_separation",
-    "curation_pipeline",
-    "orders_growth_wow",
-    "session_depth_histogram",
-    "zipf_slope",
-    "revenue_pareto",
-    "rolling_active_users",
-    "churn_counts",
-    "skyline_orders",
-    "longest_streaks",
-    "custdist",
-    "total_active_time",
-    "winsorized_mean_per_type",
-    "filter_attribution",
-    "embedding_quantization_error",
-    "weighted_median_price",
-    "ttr_per_source",
-    "session_conversion_rate",
-    "forecast_revenue_change",
-    "scd2_history",
-    "tail_expected_shortfall",
-    "returned_item_customers",
-    "new_vs_returning_revenue",
-    "fulfillment_latency_hist",
-    "basket_lift",
-    "user_survival_curve",
-    "lineitem_corr_matrix",
-    "journey_patterns",
-    "k_anonymity_audit",
-    "boilerplate_sentences",
-    "hapax_docs_per_source",
-    "anomaly_audit",
-    "quality_gate_sweep",
-    "wau_retention",
-    "heaps_law_fit",
-    "top_parts_per_segment",
-    "cohort_ltv",
-    "mixture_schedule",
-    "order_price_ohlc",
-    "duplicate_invoices",
-    "stale_parts_by_brand",
-    "charclass_profile",
-    "purchase_value_drift",
-    "peak_concurrent_sessions",
-    "top_supplier_per_nation",
-    "balance_ks_test",
-    "benford_prices",
-    "acf_multi_lag",
-    "orders_seasonal_share",
-    "doc_length_quality_corr",
-    "priority_mix_chi2",
-    "balance_anova_f",
-    "price_p99_exact",
-    "return_rate_monthly",
-    "weekend_lift",
-    # round-4 session-3 operators
-    "gopher_repetition",
-    "gopher_quality_rules",
-    "c4_line_filter",
-    "line_dedup_rewrite",
-    "dsir_importance",
-    "pq_ann_topk",
-    "bm25_two_pass",
-    "stride_chunks",
-    "fim_layout",
-    "ngram_diversity",
-    "knn_label_consistency",
-    "blocklist_scan",
-    "budget_apportionment",
-    "audio_downsample",
-    "linear_attribution",
-    "vocab_coverage",
-    "partition_skew_audit",
-    "image_phash_dedup",
-    "contrastive_pairs",
-    "cusum_changepoint",
-    "twap_user_value",
-    "webclean_pipeline",
-    "incremental_agg",
-    "zorder_locality",
-    "histogram_split_finder",
-    "split_leakage_audit",
-    "sort_merge_revenue",
-    "sssp_copurchase",
-    "image_channel_stats",
-    "als_user_step",
-    "mmr_rerank",
-    "isotonic_purchase_rate",
-    "woe_binning",
-    "kaplan_meier",
-    "interval_overlap_join",
-    "upsert_merge",
-    "symspell_edit1_join",
-    "feistel_permutation",
-    "mannwhitney_u",
-    "theilsen_trend",
-    "ks_fdr_audit",
-    "conformal_interval",
-    "ips_policy_value",
-    "kcore_decomposition",
-    "compaction_plan",
-    "margin_knn_bitext",
-    "unigram_lm_segment",
-    "video_scene_cuts",
-    "watermark_late_events",
-    "schema_drift_audit",
-    "l_diversity_audit",
-    "bloom_fp_audit",
-    "group_sequential_ab",
-    "doremi_mixture_step",
-    "sliding_p95_value",
-    "seasonal_dow_decompose",
-    "quantile_normalize",
-    "link_prediction_jaccard",
-    "embedding_drift_audit",
-    "transitive_reach3",
-    "unigram_em_step",
-    "ucb1_replay",
-    "ndcg_bm25_eval",
-    "t_closeness_audit",
-    "feature_hash_collisions",
-    "logreg_quality_step",
-    "clustering_coefficient",
-    "containment_pairs",
-    "cdc_chunk_dedup",
-    "mixture_ess_audit",
-    "psi_drift",
-    "ece_calibration",
-    "cuped_adjustment",
-    "count_min_audit",
-    "spearman_qty_price",
-    "kendall_tau_qty_disc",
-    "cube_revenue",
-    "mlm_mask_stats",
-    "decayed_topk_users",
-    "hits_scores",
-    "ring_rebalance",
-    "kneser_ney_bigram",
-    "chars_per_token",
-    "train_interleave_audit",
-    "good_turing_counts",
-    "rbo_rank_overlap",
-    "csv_ingest_stats",
-    "parquet_footprint_audit",
-    "poisson_bootstrap_ci",
-    "dp_event_counts",
-    "ccnet_perplexity_buckets",
-    "negative_sampling_table",
-    "sequence_mining_triples",
-    "neyman_sample",
-    "phrase_search",
-    "partition_digest",
-    "label_propagation",
-    "expectation_audit",
-    "degree_assortativity",
-    "jl_projection_audit",
-    "successive_halving",
-    "adjacent_lcp_audit",
-    "bradley_terry_step",
-    "random_walk_corpus",
-    "pareto_layers",
-    "elias_fano_audit",
-    "encoding_advisor",
-    "gorilla_timestamp_audit",
-    "dirichlet_ql_retrieval",
-    "diff_in_diff",
-    "soft_dedup_weights",
-    "stratified_kfold",
-    "image_tile_entropy",
-    "audio_vad_energy",
-    "demographic_parity",
-    "motif_discovery",
-    "binary_segmentation",
-    "lloyd_step_quantized",
-    "cohens_kappa",
-    "champion_lists",
-    "loso_quality_delta",
-    "burn_rate_alerts",
-    "wasserstein_1d",
-    "vocab_id_assignment",
-    "streaming_moments",
-    "nucleus_vocab_cut",
-    "dp_clipped_mean",
-    "rocchio_expansion",
-    "dp_degree_histogram",
-    "canonical_selection",
-    "mrr_eval",
-    "rich_club_coefficient",
-    "prefix_filter_join",
-    "markov_stationary",
-    "weighted_sample_es",
-    "selectivity_independence_audit",
-    "shapley_attribution",
-    "token_bucket_audit",
-    "lru_cache_audit",
-    "hill_tail_index",
-    "skipgram_pairs",
-]
-# deliberately NOT benched (correctness-checked, cost documented):
-# record_linkage (pair verify ~O(N²/blocks) on the small-vocab name corpus),
-# copurchase_triangles (wedge mass ~Σ C(outdeg,2) on the dense item graph),
+# Every registry query is benched.  Four are deliberately capped to a
+# committed-cost note instead of a hard exclusion in earlier rounds; they
+# are now included too so the per-query table covers the full registry:
+# record_linkage (pair verify ~O(N^2/blocks) on the small-vocab name corpus),
+# copurchase_triangles (wedge mass ~sum C(outdeg,2) on the dense item graph),
 # skew_join_nation_value (3 passes over the fact by design: detect/hot/cold),
-# frequent_triples (a-priori: two per-order pair/triple generation passes)
+# frequent_triples (a-priori: two per-order pair/triple generation passes).
+def bench_query_names() -> list[str]:
+    from commerce_logs_pipeline_ray.pipelines.queries import REGISTRY
+    return list(REGISTRY)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -440,10 +151,8 @@ def run_queries(sf_dir: str, sf: float, num_cpus: int
     committed = _committed_timings(sf, num_cpus)
     out: dict[str, float] = {}
     reruns: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
+    for name in bench_query_names():
+        spec = REGISTRY[name]
         spec.fn(sf_dir)  # warm (worker imports, page cache, /tmp artifacts)
         t0 = time.perf_counter()
         spec.fn(sf_dir)

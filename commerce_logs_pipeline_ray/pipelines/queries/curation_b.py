@@ -24,23 +24,12 @@ from .neardup_a import _ensure_artifact  # noqa: F401
 def q_copurchase_degree_hist(sf_dir: str) -> pd.DataFrame:
     """Degree distribution of the co-purchase graph — the skew probe run
     before any graph algorithm (hub degree decides triangle/PageRank
-    partitioning).  Distinct edges via grouped reduce over per-order pair
-    combiners (pair blow-up bounded by order width²), symmetrize, then two
-    tiny grouped exchanges: neighbors-per-node, nodes-per-degree."""
-    from ...functions.relational import bucketed_group_reduce
+    partitioning).  Distinct edges come from the shared once-per-sf-dir
+    artifact (graph_edges.py); then symmetrize and two tiny grouped
+    exchanges: neighbors-per-node, nodes-per-degree."""
+    from .graph_edges import copurchase_edges_ds
 
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b"})
-
-    edges = grouped_sums(
-        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {}, "c"
-    )
+    edges = copurchase_edges_ds(sf_dir, with_count=False)
 
     def sym(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -681,19 +670,13 @@ def q_frequent_triples(sf_dir: str) -> pd.DataFrame:
 
     from ...functions.relational import bucketed_group_reduce
 
+    from .graph_edges import copurchase_edges_ds
+
     SUPPORT = 2
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-        return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b", "size": "n"})
-
-    pairs = grouped_sums(
-        bucketed_group_reduce(ds, ["l_orderkey"], pair_partial), ["a", "b"], {"n": "n"}
-    )
+    # pair supports come from the shared once-per-sf-dir edge artifact
+    pairs = copurchase_edges_ds(sf_dir).rename_columns(
+        {"part_a": "a", "part_b": "b", "c": "n"})
     freq = pairs.filter(expr=f"n >= {SUPPORT}").to_pandas()
     M = 1 << 32  # part keys < 2³², so a·M + b is collision-free
     fp = np.sort((freq["a"].to_numpy(dtype=np.int64) * M + freq["b"].to_numpy(dtype=np.int64)))

@@ -448,21 +448,12 @@ def q_basket_lift(sf_dir: str) -> pd.DataFrame:
     and lift for the top-20 pairs by joint support.  Joint counts come from
     the per-order pair combiner reduce; single-item order-frequencies from
     a distinct (order, part) reduce; only the 20 winning pairs' item
-    counts are looked up driver-side (40 keys)."""
-    from ...functions.relational import bucketed_group_reduce
+    counts are looked up driver-side (40 keys).  Joint pair counts come
+    from the shared once-per-sf-dir edge artifact (graph_edges.py)."""
+    from .graph_edges import copurchase_edges_ds
 
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-        return out.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "n"})
-
-    pairs = grouped_sums(
-        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {"n": "n"}
-    )
+    pairs = copurchase_edges_ds(sf_dir).rename_columns({"c": "n"})
     top = topk(pairs, ["n", "part_a", "part_b"], [True, False, False], 20).to_pandas()
 
     def item_part(t: pa.Table) -> pa.Table:

@@ -651,25 +651,12 @@ GROUP BY 1 ORDER BY 1
 
 def _copurchase_weighted_edges(sf_dir: str):
     """Distinct co-purchase edges with integer weights w = max(1, 10 − c)
-    (stronger ties are shorter), symmetrized — the SSSP input."""
-    from ...functions.relational import bucketed_group_reduce
+    (stronger ties are shorter), symmetrized — the SSSP input.  Reads the
+    shared once-per-sf-dir edge artifact (graph_edges.py) instead of
+    re-running the pair exchange."""
+    from .graph_edges import copurchase_edges_ds
 
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        # count ORDERS per pair (a pair recurring across the bucket's orders
-        # must keep its multiplicity — the co-purchase strength weight)
-        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-        return g.rename(
-            columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "c"}
-        )
-
-    edges = grouped_sums(
-        bucketed_group_reduce(ds, ["l_orderkey"], per_bucket), ["part_a", "part_b"], {"c": "c"}
-    )
+    edges = copurchase_edges_ds(sf_dir)
 
     def weight_sym(t: pa.Table) -> pa.Table:
         a = t["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)

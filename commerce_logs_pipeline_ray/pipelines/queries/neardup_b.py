@@ -359,20 +359,11 @@ def q_copurchase_pairs(sf_dir: str) -> pd.DataFrame:
     sizes are bounded — ≤ order width — so the pair blow-up is ≤ w² per
     order, never corpus-quadratic), per-bucket pair counts as combiner
     partials, distributed pair reduce, top-50 with full deterministic
-    tie-break."""
-    from ...functions.relational import bucketed_group_reduce
+    tie-break.  The pair exchange itself now runs once per sf-dir via the
+    shared artifact (graph_edges.py)."""
+    from .graph_edges import copurchase_edges_ds
 
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-        return out.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "n"})
-
-    pairs = bucketed_group_reduce(ds, ["l_orderkey"], per_bucket)
-    agg = grouped_sums(pairs, ["part_a", "part_b"], {"n": "n"})
+    agg = copurchase_edges_ds(sf_dir).rename_columns({"c": "n"})
     out = topk(agg, ["n", "part_a", "part_b"], [True, False, False], 50).to_pandas()
     return _i64(out, ["part_a", "part_b", "n"])
 
@@ -552,22 +543,13 @@ def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count + global clustering coefficient of the
     co-purchase item graph — ``graph.py::triangle_stats``: degree-oriented
     wedge generation (max out-degree O(√m) even on hub items) + pair-keyed
-    membership co-group; no edge-set broadcast anywhere."""
+    membership co-group; no edge-set broadcast anywhere.  Distinct canonical
+    edges come from the shared once-per-sf-dir artifact (graph_edges.py)."""
     from ...functions.graph import triangle_stats
-    from ...functions.relational import bucketed_group_reduce
+    from .graph_edges import copurchase_edges_ds
 
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "u", "l_partkey_y": "v"}
-        )
-
-    pairs = bucketed_group_reduce(ds, ["l_orderkey"], per_bucket)
-    edges = grouped_sums(pairs, ["u", "v"], {})  # global DISTINCT canonical edges
+    edges = copurchase_edges_ds(sf_dir, with_count=False).rename_columns(
+        {"part_a": "u", "part_b": "v"})
     return triangle_stats(edges)
 
 

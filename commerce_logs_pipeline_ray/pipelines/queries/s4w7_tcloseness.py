@@ -227,21 +227,14 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     (degree-oriented wedges, broadcast packed-edge membership, every
     triangle credits its three corners in-bucket).  Only the n_tri and deg
     integers cross the wire; the division is the single float, mirrored in
-    SQL.  Nodes of degree < 2 are excluded (coefficient undefined)."""
+    SQL.  Nodes of degree < 2 are excluded (coefficient undefined).
+    Distinct edges come from the shared once-per-sf-dir artifact
+    (graph_edges.py)."""
     from ...functions.graph import per_node_triangles
-    from ...functions.relational import bucketed_group_reduce
+    from .graph_edges import copurchase_edges_ds
 
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "u", "l_partkey_y": "v"})
-
-    pairs = bucketed_group_reduce(ds, ["l_orderkey"], per_bucket)
-    edges = grouped_sums(pairs, ["u", "v"], {})
+    edges = copurchase_edges_ds(sf_dir, with_count=False).rename_columns(
+        {"part_a": "u", "part_b": "v"})
     t = per_node_triangles(edges)
     t = t[t["deg"] >= 2].reset_index(drop=True)
     t["local_cc"] = [
