@@ -806,6 +806,26 @@ from .w34_lru_hill import (
     q_lru_cache_audit,
 )  # noqa: F401
 from .w35_skipgram import SQL_SKIPGRAM_PAIRS, q_skipgram_pairs  # noqa: F401
+from .w36_tpch_completion import (
+    SQL_BRACKETED_REVENUE,
+    SQL_GLOBAL_SALES_OPPORTUNITY,
+    SQL_IMPORTANT_PARTS,
+    SQL_LARGE_VOLUME_CUSTOMERS,
+    SQL_MARKET_SHARE,
+    SQL_PRODUCT_PROFIT,
+    SQL_PROMO_REVENUE,
+    SQL_SUPPLIER_VARIETY,
+    SQL_VOLUME_SHIPPING,
+    q_bracketed_revenue,
+    q_global_sales_opportunity,
+    q_important_parts,
+    q_large_volume_customers,
+    q_market_share,
+    q_product_profit,
+    q_promo_revenue,
+    q_supplier_variety,
+    q_volume_shipping,
+)  # noqa: F401
 from .webclean import (
     SQL_C4_LINE_FILTER,
     SQL_GOPHER_QUALITY_RULES,
@@ -2402,6 +2422,51 @@ REGISTRY: dict[str, QuerySpec] = {
         q_skipgram_pairs,
         SQL_SKIPGRAM_PAIRS,
         "word2vec skip-gram window-2 context pairs, shifted vectorized views",
+    ),
+    "volume_shipping": QuerySpec(
+        q_volume_shipping,
+        SQL_VOLUME_SHIPPING,
+        "TPC-H Q7 shape: cross-nation revenue flow per ship year, integer-exact money",
+    ),
+    "market_share": QuerySpec(
+        q_market_share,
+        SQL_MARKET_SHARE,
+        "TPC-H Q8 shape: national supplier revenue share in a region per order year",
+    ),
+    "product_profit": QuerySpec(
+        q_product_profit,
+        SQL_PRODUCT_PROFIT,
+        "TPC-H Q9 shape: per-nation per-year profit over one part type (retail-cost analog)",
+    ),
+    "important_parts": QuerySpec(
+        q_important_parts,
+        SQL_IMPORTANT_PARTS,
+        "TPC-H Q11 shape: parts above a value-share threshold among one nation's suppliers",
+    ),
+    "promo_revenue": QuerySpec(
+        q_promo_revenue,
+        SQL_PROMO_REVENUE,
+        "TPC-H Q14 shape: PROMO revenue percentage per ship month",
+    ),
+    "supplier_variety": QuerySpec(
+        q_supplier_variety,
+        SQL_SUPPLIER_VARIETY,
+        "TPC-H Q16 shape: distinct supplier count per (brand,type,size), top-20",
+    ),
+    "large_volume_customers": QuerySpec(
+        q_large_volume_customers,
+        SQL_LARGE_VOLUME_CUSTOMERS,
+        "TPC-H Q18 shape: orders above a total-quantity threshold, top-20 by price",
+    ),
+    "bracketed_revenue": QuerySpec(
+        q_bracketed_revenue,
+        SQL_BRACKETED_REVENUE,
+        "TPC-H Q19 shape: OR'd brand/size/quantity bracket revenue, single scalar",
+    ),
+    "global_sales_opportunity": QuerySpec(
+        q_global_sales_opportunity,
+        SQL_GLOBAL_SALES_OPPORTUNITY,
+        "TPC-H Q22 shape: above-average-balance customers with no orders, per nation",
     ),
 }
 
