@@ -544,6 +544,135 @@ def per_node_triangles_packed(
     return out.sort_values("node", ignore_index=True)
 
 
+def per_edge_support_packed(packed: np.ndarray, num_chunks: int = 96) -> pd.DataFrame:
+    """Per-edge triangle support histogram (the k-truss building block) over
+    a DISTINCT canonical packed edge array: support(u,v) = |N(u) ∩ N(v)|.
+
+    Dense catalog-bounded graphs (≤ ~40k nodes) use the same broadcast
+    adjacency BITSET as :func:`_triangles_bitset` — each edge chunk answers
+    its supports with one AND + SWAR-popcount row op and emits a chunk-local
+    (support, n_edges) HISTOGRAM partial, so per-edge rows never leave the
+    workers.  Larger vertex sets fall back to degree-oriented wedge
+    enumeration with membership probes, crediting each closing wedge to its
+    three edges through a packed-key fold (edge-bounded).
+
+    Returns (support, n_edges) sorted by support, including support-0 edges.
+    """
+    import ray
+
+    if not len(packed):
+        return pd.DataFrame({"support": pd.Series(dtype="int64"),
+                             "n_edges": pd.Series(dtype="int64")})
+    u = (packed >> 32).astype(np.int64)
+    v = (packed & np.int64(0xFFFFFFFF)).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    if n <= 40_000:
+        words = (n + 63) // 64
+        ru = np.concatenate([iu, iv])
+        rv = np.concatenate([iv, iu])
+        key = ru * np.int64(words) + (rv >> 6)
+        bit = (np.uint64(1) << (rv & 63).astype(np.uint64))
+        order = np.argsort(key, kind="stable")
+        key, bit = key[order], bit[order]
+        starts = np.concatenate([[0], np.flatnonzero(key[1:] != key[:-1]) + 1])
+        adj = np.zeros(n * words, np.uint64)
+        adj[key[starts]] = np.bitwise_or.reduceat(bit, starts)
+        adj_ref = ray.put(adj.reshape(n, words))
+        eu_ref, ev_ref = ray.put(iu), ray.put(iv)
+
+        def chunk_hist(t: pa.Table, *, ar=adj_ref, ur=eu_ref, vr=ev_ref) -> pd.DataFrame:
+            import ray as _ray
+
+            A, eu, ev = _ray.get(ar), _ray.get(ur), _ray.get(vr)
+            counts: dict[int, int] = {}
+            for lo_, hi_ in zip(t["lo"].to_numpy(zero_copy_only=False),
+                                t["hi"].to_numpy(zero_copy_only=False)):
+                for blo in range(lo_, hi_, 4096):
+                    bhi = min(blo + 4096, hi_)
+                    c = _swar_popcount64(A[eu[blo:bhi]] & A[ev[blo:bhi]]).sum(axis=1)
+                    s, cnt = np.unique(c.astype(np.int64), return_counts=True)
+                    for si, ci in zip(s, cnt):
+                        counts[int(si)] = counts.get(int(si), 0) + int(ci)
+            return pd.DataFrame({"support": list(counts), "n_edges": list(counts.values())})
+
+        n_chunks = max(1, min(num_chunks, len(iu)))
+        bounds = np.linspace(0, len(iu), n_chunks + 1).astype(np.int64)
+        parts = (
+            rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]}))
+            .repartition(n_chunks)
+            .map_batches(chunk_hist, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        out = parts.groupby("support", as_index=False)["n_edges"].sum()
+        return out.sort_values("support", ignore_index=True).astype(
+            {"support": "int64", "n_edges": "int64"})
+
+    # sparse fallback: oriented wedges + membership probes, credits folded
+    # per packed edge key (edge-bounded result)
+    deg = np.bincount(iu, minlength=n) + np.bincount(iv, minlength=n)
+    rank = np.lexsort((nodes, deg)).argsort()
+    lo_first = rank[iu] < rank[iv]
+    src = np.where(lo_first, iu, iv)
+    dst = np.where(lo_first, iv, iu)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    packed_set = np.sort(np.minimum(iu, iv).astype(np.int64) * n
+                         + np.maximum(iu, iv).astype(np.int64))
+    set_ref = ray.put(packed_set)
+    src_ref, dst_ref = ray.put(src), ray.put(dst)
+    seg = np.concatenate([[0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]])
+    cnt = np.diff(seg).astype(np.int64)
+    mass = np.cumsum(cnt * (cnt - 1) // 2)
+    n_chunks = max(1, min(num_chunks, len(seg) - 1))
+    cuts = np.searchsorted(mass, np.linspace(0, mass[-1], n_chunks + 1))
+    bounds = np.unique(np.concatenate([[0], cuts, [len(seg) - 1]]))
+
+    def chunk_credit(t: pa.Table, *, sr=set_ref, ur=src_ref, vr=dst_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        es, s_all, d_all = _ray.get(sr), _ray.get(ur), _ray.get(vr)
+        credits: dict[int, int] = {}
+        for a, b in zip(t["lo"].to_numpy(zero_copy_only=False),
+                        t["hi"].to_numpy(zero_copy_only=False)):
+            for si in range(a, b):
+                nb = d_all[seg[si]:seg[si + 1]]
+                if len(nb) < 2:
+                    continue
+                sv = s_all[seg[si]]
+                ii, jj = np.triu_indices(len(nb), k=1)
+                x, y = nb[ii], nb[jj]
+                kxy = np.minimum(x, y).astype(np.int64) * n + np.maximum(x, y).astype(np.int64)
+                pos = np.searchsorted(es, kxy)
+                pos[pos == len(es)] = 0
+                hit = es[pos] == kxy
+                for e1, e2, e3 in zip(
+                        kxy[hit],
+                        np.minimum(sv, x[hit]).astype(np.int64) * n
+                        + np.maximum(sv, x[hit]).astype(np.int64),
+                        np.minimum(sv, y[hit]).astype(np.int64) * n
+                        + np.maximum(sv, y[hit]).astype(np.int64)):
+                    for e in (int(e1), int(e2), int(e3)):
+                        credits[e] = credits.get(e, 0) + 1
+        return pd.DataFrame({"ek": list(credits), "c": list(credits.values())})
+
+    parts = (
+        rd.from_arrow(pa.table({"lo": bounds[:-1], "hi": bounds[1:]}))
+        .repartition(len(bounds) - 1)
+        .map_batches(chunk_credit, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    sup = np.zeros(len(packed_set), np.int64)
+    if len(parts):
+        per_edge = parts.groupby("ek")["c"].sum()
+        idx = np.searchsorted(packed_set, per_edge.index.to_numpy(np.int64))
+        sup[idx] = per_edge.to_numpy(np.int64)
+    s, c = np.unique(sup, return_counts=True)
+    return pd.DataFrame({"support": s.astype("int64"),
+                         "n_edges": c.astype("int64")})
+
+
 def per_node_triangles(
     edges: Dataset,
     u: str = "u",

@@ -806,6 +806,17 @@ from .w34_lru_hill import (
     q_lru_cache_audit,
 )  # noqa: F401
 from .w35_skipgram import SQL_SKIPGRAM_PAIRS, q_skipgram_pairs  # noqa: F401
+from .w37_truss_q2_q12 import (
+    SQL_EDGE_SUPPORT_HIST,
+    SQL_JSONL_INGEST_STATS,
+    SQL_LATE_SHIPMENTS,
+    SQL_MIN_COST_SUPPLIER,
+    ensure_documents_jsonl,
+    q_edge_support_hist,
+    q_jsonl_ingest_stats,
+    q_late_shipments,
+    q_min_cost_supplier,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2468,6 +2479,26 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_GLOBAL_SALES_OPPORTUNITY,
         "TPC-H Q22 shape: above-average-balance customers with no orders, per nation",
     ),
+    "edge_support_hist": QuerySpec(
+        q_edge_support_hist,
+        SQL_EDGE_SUPPORT_HIST,
+        "k-truss edge support histogram via broadcast adjacency bitset",
+    ),
+    "min_cost_supplier": QuerySpec(
+        q_min_cost_supplier,
+        SQL_MIN_COST_SUPPLIER,
+        "TPC-H Q2 shape: best regional supplier per qualifying part, grouped argmax",
+    ),
+    "late_shipments": QuerySpec(
+        q_late_shipments,
+        SQL_LATE_SHIPMENTS,
+        "TPC-H Q12 shape: late line share per order priority, integer date math",
+    ),
+    "jsonl_ingest_stats": QuerySpec(
+        q_jsonl_ingest_stats,
+        SQL_JSONL_INGEST_STATS,
+        "JSONL source format: distributed read_json + per-(lang,source) combiners",
+    ),
 }
 
 
@@ -2500,4 +2531,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_unigram_em_parquet(sf_dir)
     ensure_ucb1_parquet(sf_dir)
     ensure_cdc_chunks_parquet(sf_dir)
+    ensure_documents_jsonl(sf_dir)
 

@@ -30,7 +30,21 @@ def sh(cmd: list[str]) -> subprocess.CompletedProcess:
     return subprocess.run(cmd, capture_output=True, text=True, timeout=120)
 
 
+def other_ray_alive() -> bool:
+    """True when another Ray session (e.g. a pytest session fixture) is live
+    on this box.  The cleanup below must `ray stop --force`, which kills
+    EVERY Ray process on the machine — running then would nuke the other
+    session, so we skip instead (run this tool standalone for the real
+    measurement)."""
+    p = subprocess.run(["pgrep", "-f", "gcs_server"], capture_output=True, text=True)
+    return bool(p.stdout.strip())
+
+
 def start_cluster() -> None:
+    if other_ray_alive():
+        print("SKIP: another Ray session is live on this machine; "
+              "run tools/two_node_smoke.py standalone")
+        sys.exit(3)
     head = sh(["ray", "start", "--head", f"--port={PORT}", "--num-cpus=4",
                "--include-dashboard=false", "--disable-usage-stats"])
     if head.returncode != 0:
@@ -48,6 +62,11 @@ def main() -> int:
     import pyarrow.parquet as pq
 
     from commerce_logs_pipeline_ray.datagen import generate_sequences
+
+    if other_ray_alive():
+        print("SKIP: another Ray session is live on this machine; "
+              "run tools/two_node_smoke.py standalone")
+        return 3
 
     indir, out1, out2 = "/tmp/twonode/in", "/tmp/twonode/single", "/tmp/twonode/cluster"
     shutil.rmtree("/tmp/twonode", ignore_errors=True)
