@@ -817,6 +817,14 @@ from .w37_truss_q2_q12 import (
     q_late_shipments,
     q_min_cost_supplier,
 )  # noqa: F401
+from .w38_tpch_final import (
+    SQL_DOMINANT_PART_SUPPLIERS,
+    SQL_TOP_REVENUE_SUPPLIER,
+    SQL_WAITING_SUPPLIERS,
+    q_dominant_part_suppliers,
+    q_top_revenue_supplier,
+    q_waiting_suppliers,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2498,6 +2506,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_jsonl_ingest_stats,
         SQL_JSONL_INGEST_STATS,
         "JSONL source format: distributed read_json + per-(lang,source) combiners",
+    ),
+    "top_revenue_supplier": QuerySpec(
+        q_top_revenue_supplier,
+        SQL_TOP_REVENUE_SUPPLIER,
+        "TPC-H Q15: max-revenue supplier(s) over one ship quarter, ties kept",
+    ),
+    "dominant_part_suppliers": QuerySpec(
+        q_dominant_part_suppliers,
+        SQL_DOMINANT_PART_SUPPLIERS,
+        "TPC-H Q20 shape: majority-volume suppliers per qualifying part",
+    ),
+    "waiting_suppliers": QuerySpec(
+        q_waiting_suppliers,
+        SQL_WAITING_SUPPLIERS,
+        "TPC-H Q21 shape: only-late supplier on finished multi-supplier orders",
     ),
 }
 
