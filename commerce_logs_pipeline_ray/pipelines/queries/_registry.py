@@ -825,6 +825,15 @@ from .w38_tpch_final import (
     q_top_revenue_supplier,
     q_waiting_suppliers,
 )  # noqa: F401
+from .w39_cms_ph import (
+    SQL_COUNT_MIN_HEAVY_HITTERS,
+    SQL_CUMULATIVE_DISTINCT_USERS,
+    SQL_PAGE_HINKLEY_ALARMS,
+    ensure_cms_buckets_parquet,
+    q_count_min_heavy_hitters,
+    q_cumulative_distinct_users,
+    q_page_hinkley_alarms,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2522,6 +2531,21 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_WAITING_SUPPLIERS,
         "TPC-H Q21 shape: only-late supplier on finished multi-supplier orders",
     ),
+    "count_min_heavy_hitters": QuerySpec(
+        q_count_min_heavy_hitters,
+        SQL_COUNT_MIN_HEAVY_HITTERS,
+        "Count-Min sketch (4x512) heavy hitters with exact oracle parity",
+    ),
+    "page_hinkley_alarms": QuerySpec(
+        q_page_hinkley_alarms,
+        SQL_PAGE_HINKLEY_ALARMS,
+        "Page-Hinkley mean-shift alarms per event type, integer-exact scan",
+    ),
+    "cumulative_distinct_users": QuerySpec(
+        q_cumulative_distinct_users,
+        SQL_CUMULATIVE_DISTINCT_USERS,
+        "Per-day new and cumulative distinct users, bucketed first-occurrence",
+    ),
 }
 
 
@@ -2555,4 +2579,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_ucb1_parquet(sf_dir)
     ensure_cdc_chunks_parquet(sf_dir)
     ensure_documents_jsonl(sf_dir)
+    ensure_cms_buckets_parquet(sf_dir)
 
