@@ -258,3 +258,79 @@ def symspell_edit1_join(
         return df.drop_duplicates(["id_a", "id_b"], ignore_index=True)
 
     return bucketed_group_reduce(pairs, ["id_a", "id_b"], dedup_bucket)
+
+
+def _char_matrix(names) -> tuple[np.ndarray, np.ndarray]:
+    """(N, L) uint8 char-code matrix (zero-padded) + int64 lengths for a
+    list of ASCII strings."""
+    lens = np.fromiter((len(s) for s in names), np.int64, len(names))
+    L = int(lens.max()) if len(lens) else 1
+    mat = np.zeros((len(names), max(L, 1)), np.uint8)
+    for i, s in enumerate(names):
+        b = s.encode("ascii")
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return mat, lens
+
+
+def jaro_winkler_batch(a_names, b_names) -> np.ndarray:
+    """Classic Jaro-Winkler similarity (Winkler 1990: p=0.1, prefix ≤ 4,
+    boost only when jaro > 0.7; transpositions = mismatched-position count
+    // 2, matching DuckDB's ``jaro_winkler_similarity``) for N ASCII string
+    pairs at once.
+
+    Vectorization axis is the PAIR: the greedy smallest-available-window
+    match resolves with an O(L²) double loop whose body is one vectorized
+    mask over all pairs — L is the max name length (short identifiers), so
+    the work is L² fused numpy passes, never a per-pair Python loop."""
+    A, la = _char_matrix(list(a_names))
+    B, lb = _char_matrix(list(b_names))
+    P = len(la)
+    if P == 0:
+        return np.zeros(0, np.float64)
+    L = max(A.shape[1], B.shape[1])
+    if A.shape[1] < L:
+        A = np.pad(A, ((0, 0), (0, L - A.shape[1])))
+    if B.shape[1] < L:
+        B = np.pad(B, ((0, 0), (0, L - B.shape[1])))
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    found = np.full((P, L), -1, np.int64)
+    used = np.zeros((P, L), bool)
+    cols = np.arange(L, dtype=np.int64)
+    for i in range(L):
+        f = np.full(P, -1, np.int64)
+        ai = A[:, i]
+        in_s1 = (i < la) & (ai != 0)
+        for j in range(L):
+            ok = ((f < 0) & in_s1 & (j < lb) & ~used[:, j]
+                  & (ai == B[:, j]) & (abs(i - j) <= w))
+            f[ok] = j
+        rows = np.nonzero(f >= 0)[0]
+        used[rows, f[rows]] = True
+        found[:, i] = f
+
+    mk = found >= 0
+    m = mk.sum(1).astype(np.int64)
+    # matched chars of s1 in i-order and of s2 in j-order, rank-scattered
+    s1m = np.zeros((P, L), np.uint8)
+    r1 = np.cumsum(mk, 1) - 1
+    rows, cc = np.nonzero(mk)
+    s1m[rows, r1[rows, cc]] = A[rows, cc]
+    s2m = np.zeros((P, L), np.uint8)
+    r2 = np.cumsum(used, 1) - 1
+    rows2, cc2 = np.nonzero(used)
+    s2m[rows2, r2[rows2, cc2]] = B[rows2, cc2]
+    t_full = ((s1m != s2m) & (cols[None, :] < m[:, None])).sum(1)
+    t = t_full // 2
+
+    safe_m = np.maximum(m, 1).astype(np.float64)
+    sla = np.maximum(la, 1).astype(np.float64)
+    slb = np.maximum(lb, 1).astype(np.float64)
+    jaro = np.where(
+        m > 0,
+        (m / sla + m / slb + (m - t) / safe_m) / 3.0,
+        0.0)
+    pref_w = min(4, L)
+    eq = (A[:, :pref_w] == B[:, :pref_w]) & (cols[:pref_w][None, :] < np.minimum(la, lb)[:, None])
+    pref = np.cumprod(eq, 1).sum(1)
+    return np.where(jaro > 0.7, jaro + 0.1 * pref * (1.0 - jaro), jaro)

@@ -834,6 +834,13 @@ from .w39_cms_ph import (
     q_cumulative_distinct_users,
     q_page_hinkley_alarms,
 )  # noqa: F401
+from .w40_jaro_holt import (
+    SQL_HOLT_LINEAR_FORECAST,
+    SQL_JARO_WINKLER_LINKAGE,
+    ensure_jw_names_parquet,
+    q_holt_linear_forecast,
+    q_jaro_winkler_linkage,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2546,6 +2553,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_CUMULATIVE_DISTINCT_USERS,
         "Per-day new and cumulative distinct users, bucketed first-occurrence",
     ),
+    "jaro_winkler_linkage": QuerySpec(
+        q_jaro_winkler_linkage,
+        SQL_JARO_WINKLER_LINKAGE,
+        "Blocked Jaro-Winkler linkage, pair-vectorized kernel bitwise vs DuckDB",
+    ),
+    "holt_linear_forecast": QuerySpec(
+        q_holt_linear_forecast,
+        SQL_HOLT_LINEAR_FORECAST,
+        "Holt double exponential smoothing, integer-exact recursive replay",
+    ),
 }
 
 
@@ -2580,4 +2597,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_cdc_chunks_parquet(sf_dir)
     ensure_documents_jsonl(sf_dir)
     ensure_cms_buckets_parquet(sf_dir)
+    ensure_jw_names_parquet(sf_dir)
 

@@ -73,3 +73,35 @@ def test_link_records_dedups_cross_block_pairs(ray_session):
     recs = pd.DataFrame({"rec_id": [10, 20], "name": ["same name", "same name"]})
     out = link_records(rd.from_pandas(recs)).to_pandas()
     assert len(out) == 1 and out["dist"].iloc[0] == 0
+
+
+def test_jaro_winkler_batch_bitwise_vs_duckdb():
+    """The pair-vectorized JW kernel must agree BITWISE with DuckDB's
+    jaro_winkler_similarity — textbook cases (odd transposition counts,
+    boost-threshold edge, empty strings) plus 2000 fuzz pairs."""
+    import duckdb
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.linkage import jaro_winkler_batch
+
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("jellyfish", "smellyfish"), ("abc", "abc"), ("abc", "xyz"),
+             ("dwayne", "duane"), ("trace", "crate"), ("hello", "hallo"),
+             ("abcdxxxxxx", "abcdyyyyyy"), ("abcdef", "bcadef"),
+             ("ab", "ba"), ("aabbcc", "ccbbaa"), ("a", ""), ("", "")]
+    rng = np.random.default_rng(41)
+    alpha = list("abcdef0123")
+    for _ in range(2000):
+        la, lb = rng.integers(0, 14, 2)
+        a = "".join(rng.choice(alpha, la)) if la else ""
+        b = "".join(rng.choice(alpha, lb)) if lb else ""
+        if rng.random() < 0.5 and la > 2:
+            pos = int(rng.integers(0, la))
+            b = a[:pos] + str(rng.choice(alpha)) + a[pos + 1:]
+        cases.append((a, b))
+    con = duckdb.connect()
+    got = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+    want = np.array([
+        con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        for a, b in cases])
+    assert (got == want).all()
