@@ -841,6 +841,12 @@ from .w40_jaro_holt import (
     q_holt_linear_forecast,
     q_jaro_winkler_linkage,
 )  # noqa: F401
+from .w41_phrase_zorder import (
+    SQL_PHRASE_SEARCH,
+    SQL_ZORDER_LAYOUT_AUDIT,
+    q_phrase_search,
+    q_zorder_layout_audit,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2562,6 +2568,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_holt_linear_forecast,
         SQL_HOLT_LINEAR_FORECAST,
         "Holt double exponential smoothing, integer-exact recursive replay",
+    ),
+    "phrase_search": QuerySpec(
+        q_phrase_search,
+        SQL_PHRASE_SEARCH,
+        "Positional phrase retrieval: shifted-equality postings, top-5 per phrase",
+    ),
+    "zorder_layout_audit": QuerySpec(
+        q_zorder_layout_audit,
+        SQL_ZORDER_LAYOUT_AUDIT,
+        "Morton/Z-order clustering audit: per-Z-block zonemap spans",
     ),
 }
 
