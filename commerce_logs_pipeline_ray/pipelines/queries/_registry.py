@@ -847,6 +847,14 @@ from .w41_phrase_zorder import (
     q_phrase_search,
     q_zorder_layout_audit,
 )  # noqa: F401
+from .w42_ols_hhi import (
+    SQL_HERFINDAHL_BY_NATION,
+    SQL_OLS_PRICE_TREND,
+    SQL_PERCENT_RANK_PRICES,
+    q_herfindahl_by_nation,
+    q_ols_price_trend,
+    q_percent_rank_prices,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2578,6 +2586,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_zorder_layout_audit,
         SQL_ZORDER_LAYOUT_AUDIT,
         "Morton/Z-order clustering audit: per-Z-block zonemap spans",
+    ),
+    "ols_price_trend": QuerySpec(
+        q_ols_price_trend,
+        SQL_OLS_PRICE_TREND,
+        "Per-brand OLS price-on-day fit, integer closed form w/ HUGEINT parity",
+    ),
+    "herfindahl_by_nation": QuerySpec(
+        q_herfindahl_by_nation,
+        SQL_HERFINDAHL_BY_NATION,
+        "Supplier-revenue HHI concentration per nation, exact ppm",
+    ),
+    "percent_rank_prices": QuerySpec(
+        q_percent_rank_prices,
+        SQL_PERCENT_RANK_PRICES,
+        "Integer percent-rank of Brand#1 retail prices (RANK ties)",
     ),
 }
 
