@@ -855,6 +855,17 @@ from .w42_ols_hhi import (
     q_ols_price_trend,
     q_percent_rank_prices,
 )  # noqa: F401
+from .w43_agg_shapes import (
+    SQL_BUTTERFLY_COUNTS,
+    SQL_EVENTS_UNPIVOT_CHECK,
+    SQL_ORDER_GAP_EXTREMES,
+    SQL_STRING_AGG_TOP_TERMS,
+    ensure_events_wide_parquet,
+    q_butterfly_counts,
+    q_events_unpivot_check,
+    q_order_gap_extremes,
+    q_string_agg_top_terms,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2602,6 +2613,26 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_PERCENT_RANK_PRICES,
         "Integer percent-rank of Brand#1 retail prices (RANK ties)",
     ),
+    "string_agg_top_terms": QuerySpec(
+        q_string_agg_top_terms,
+        SQL_STRING_AGG_TOP_TERMS,
+        "Ordered STRING_AGG: top-3 words per (lang, source), comma-joined",
+    ),
+    "order_gap_extremes": QuerySpec(
+        q_order_gap_extremes,
+        SQL_ORDER_GAP_EXTREMES,
+        "LAG-shape per-customer order-date gaps, top-20 by max gap",
+    ),
+    "butterfly_counts": QuerySpec(
+        q_butterfly_counts,
+        SQL_BUTTERFLY_COUNTS,
+        "Bipartite butterfly (2x2 biclique) participation per part",
+    ),
+    "events_unpivot_check": QuerySpec(
+        q_events_unpivot_check,
+        SQL_EVENTS_UNPIVOT_CHECK,
+        "UNPIVOT parity: engine-pivoted wide grid melted back to long",
+    ),
 }
 
 
@@ -2637,4 +2668,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_documents_jsonl(sf_dir)
     ensure_cms_buckets_parquet(sf_dir)
     ensure_jw_names_parquet(sf_dir)
+    ensure_events_wide_parquet(sf_dir)
 
