@@ -866,6 +866,14 @@ from .w43_agg_shapes import (
     q_order_gap_extremes,
     q_string_agg_top_terms,
 )  # noqa: F401
+from .w44_wordpiece_fk import (
+    SQL_BITMAP_CONTAINER_PLAN,
+    SQL_FK_INFERENCE_AUDIT,
+    SQL_WORDPIECE_TOP_MERGES,
+    q_bitmap_container_plan,
+    q_fk_inference_audit,
+    q_wordpiece_top_merges,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2632,6 +2640,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_events_unpivot_check,
         SQL_EVENTS_UNPIVOT_CHECK,
         "UNPIVOT parity: engine-pivoted wide grid melted back to long",
+    ),
+    "wordpiece_top_merges": QuerySpec(
+        q_wordpiece_top_merges,
+        SQL_WORDPIECE_TOP_MERGES,
+        "WordPiece merge selection: integer-quantized likelihood ranking",
+    ),
+    "fk_inference_audit": QuerySpec(
+        q_fk_inference_audit,
+        SQL_FK_INFERENCE_AUDIT,
+        "FK inference: distinct containment ppm per candidate column pair",
+    ),
+    "bitmap_container_plan": QuerySpec(
+        q_bitmap_container_plan,
+        SQL_BITMAP_CONTAINER_PLAN,
+        "Roaring container planning per key chunk: array/run/bitmap rule",
     ),
 }
 
