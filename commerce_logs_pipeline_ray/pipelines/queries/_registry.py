@@ -874,6 +874,12 @@ from .w44_wordpiece_fk import (
     q_fk_inference_audit,
     q_wordpiece_top_merges,
 )  # noqa: F401
+from .w45_eval_sessions import (
+    SQL_LINKAGE_QUALITY_EVAL,
+    SQL_SESSION_GAP_CURVE,
+    q_linkage_quality_eval,
+    q_session_gap_curve,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2655,6 +2661,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_bitmap_container_plan,
         SQL_BITMAP_CONTAINER_PLAN,
         "Roaring container planning per key chunk: array/run/bitmap rule",
+    ),
+    "linkage_quality_eval": QuerySpec(
+        q_linkage_quality_eval,
+        SQL_LINKAGE_QUALITY_EVAL,
+        "Linkage precision/recall vs planted variant clusters, exact ppm",
+    ),
+    "session_gap_curve": QuerySpec(
+        q_session_gap_curve,
+        SQL_SESSION_GAP_CURVE,
+        "Sessions vs inactivity-gap threshold: 5 parameter points, one scan",
     ),
 }
 
