@@ -880,6 +880,14 @@ from .w45_eval_sessions import (
     q_linkage_quality_eval,
     q_session_gap_curve,
 )  # noqa: F401
+from .w46_loops_fano import (
+    SQL_EQUIDEPTH_PRICE_HISTOGRAM,
+    SQL_FANO_BURSTINESS,
+    SQL_NGRAM_LOOP_DETECT,
+    q_equidepth_price_histogram,
+    q_fano_burstiness,
+    q_ngram_loop_detect,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2671,6 +2679,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_session_gap_curve,
         SQL_SESSION_GAP_CURVE,
         "Sessions vs inactivity-gap threshold: 5 parameter points, one scan",
+    ),
+    "ngram_loop_detect": QuerySpec(
+        q_ngram_loop_detect,
+        SQL_NGRAM_LOOP_DETECT,
+        "Degenerate-repetition filter: longest lag-3 word run per doc",
+    ),
+    "fano_burstiness": QuerySpec(
+        q_fano_burstiness,
+        SQL_FANO_BURSTINESS,
+        "Fano factor of daily event counts per type, exact ppm",
+    ),
+    "equidepth_price_histogram": QuerySpec(
+        q_equidepth_price_histogram,
+        SQL_EQUIDEPTH_PRICE_HISTOGRAM,
+        "Exact NTILE(10) equi-depth histogram via global row numbers",
     ),
 }
 
