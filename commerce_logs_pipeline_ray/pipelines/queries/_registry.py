@@ -888,6 +888,12 @@ from .w46_loops_fano import (
     q_fano_burstiness,
     q_ngram_loop_detect,
 )  # noqa: F401
+from .w47_stump_vocab import (
+    SQL_DECISION_STUMP_SPLIT,
+    SQL_VOCAB_PRUNING_CURVE,
+    q_decision_stump_split,
+    q_vocab_pruning_curve,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2694,6 +2700,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_equidepth_price_histogram,
         SQL_EQUIDEPTH_PRICE_HISTOGRAM,
         "Exact NTILE(10) equi-depth histogram via global row numbers",
+    ),
+    "decision_stump_split": QuerySpec(
+        q_decision_stump_split,
+        SQL_DECISION_STUMP_SPLIT,
+        "CART stump: quantized weighted-Gini scores per cents threshold",
+    ),
+    "vocab_pruning_curve": QuerySpec(
+        q_vocab_pruning_curve,
+        SQL_VOCAB_PRUNING_CURVE,
+        "OOV ppm vs vocab size: 5 cutoffs from one word-count exchange",
     ),
 }
 
