@@ -894,6 +894,13 @@ from .w47_stump_vocab import (
     q_decision_stump_split,
     q_vocab_pruning_curve,
 )  # noqa: F401
+from .w48_keyness_lcs import (
+    SQL_KEYNESS_ODDS_RATIO,
+    SQL_LCS_EVENT_SEQUENCES,
+    ensure_lcs_ref_parquet,
+    q_keyness_odds_ratio,
+    q_lcs_event_sequences,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2711,6 +2718,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_VOCAB_PRUNING_CURVE,
         "OOV ppm vs vocab size: 5 cutoffs from one word-count exchange",
     ),
+    "keyness_odds_ratio": QuerySpec(
+        q_keyness_odds_ratio,
+        SQL_KEYNESS_ODDS_RATIO,
+        "Haldane odds-ratio keywords of src0 vs rest, integer-quantized",
+    ),
+    "lcs_event_sequences": QuerySpec(
+        q_lcs_event_sequences,
+        SQL_LCS_EVENT_SEQUENCES,
+        "LCS of top-2 users' event sequences: prefix-max sweep vs scalar DP",
+    ),
 }
 
 
@@ -2747,4 +2764,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_cms_buckets_parquet(sf_dir)
     ensure_jw_names_parquet(sf_dir)
     ensure_events_wide_parquet(sf_dir)
+    ensure_lcs_ref_parquet(sf_dir)
 
