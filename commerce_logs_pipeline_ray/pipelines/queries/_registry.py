@@ -901,6 +901,12 @@ from .w48_keyness_lcs import (
     q_keyness_odds_ratio,
     q_lcs_event_sequences,
 )  # noqa: F401
+from .w49_infotheory import (
+    SQL_CONDITIONAL_ENTROPY_RATE,
+    SQL_MUTUAL_INFORMATION_LANG_SOURCE,
+    q_conditional_entropy_rate,
+    q_mutual_information_lang_source,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2727,6 +2733,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_lcs_event_sequences,
         SQL_LCS_EVENT_SEQUENCES,
         "LCS of top-2 users' event sequences: prefix-max sweep vs scalar DP",
+    ),
+    "conditional_entropy_rate": QuerySpec(
+        q_conditional_entropy_rate,
+        SQL_CONDITIONAL_ENTROPY_RATE,
+        "Bigram entropy rate of event-type chains, µnat integer convention",
+    ),
+    "mutual_information_lang_source": QuerySpec(
+        q_mutual_information_lang_source,
+        SQL_MUTUAL_INFORMATION_LANG_SOURCE,
+        "MI(lang; source) over documents, µnat contingency fold",
     ),
 }
 
