@@ -77,15 +77,25 @@ def levenshtein_batch(a, b) -> np.ndarray:
     return out
 
 
+LINKAGE_WINDOW = 8
+
+
 def link_records(
     records: Dataset,
     id_col: str = "rec_id",
     name_col: str = "name",
     max_dist: int = 2,
+    window: int = LINKAGE_WINDOW,
     num_buckets: int = 64,
 ) -> Dataset:
-    """Multi-pass blocked linkage: candidate pairs share a first-3-chars OR
-    a last-3-chars block key; survivors have Levenshtein ≤ ``max_dist``.
+    """Multi-pass SORTED-NEIGHBORHOOD linkage (Hernández & Stolfo 1995,
+    public method): two passes — block on the first-3-chars sorted by name,
+    and on the last-3-chars sorted by the reversed name — and compare each
+    record only to its ``window`` successors in the block's sort order;
+    survivors have Levenshtein ≤ ``max_dist``.  Candidate count is
+    O(n·window) PER BLOCK regardless of block density (a shared-prefix
+    corpus would make all-pairs blocking quadratic in both compute and
+    output), which is the property that holds at 100-TB record counts.
     Returns the distributed pair Dataset (id_a < id_b, dist).
     """
 
@@ -96,19 +106,18 @@ def link_records(
         # suffix key = first 3 chars of the REVERSED name (slice takes only
         # scalar offsets; reversal is a bijection so key equality is the
         # same as comparing true suffixes) — the SQL oracle mirrors it as
-        # substr(reverse(name), 1, 3)
+        # substr(reverse(name), 1, 3); the pass sorts by the reversed name
+        # so suffix-sharing records are window-adjacent
         def _arr(x):
             return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
 
+        rev = _arr(pc.utf8_reverse(names))
         pre = _arr(pc.binary_join_element_wise("p", pc.utf8_slice_codeunits(names, 0, 3), ""))
-        suf = _arr(
-            pc.binary_join_element_wise(
-                "s", pc.utf8_slice_codeunits(pc.utf8_reverse(names), 0, 3), ""
-            )
-        )
+        suf = _arr(pc.binary_join_element_wise("s", pc.utf8_slice_codeunits(rev, 0, 3), ""))
         return pa.table(
             {
                 "bk": pa.concat_arrays([pre, suf]),
+                "skey": pa.concat_arrays([names, rev]),
                 id_col: pa.concat_arrays([t[id_col].combine_chunks()] * 2),
                 name_col: pa.concat_arrays([names] * 2),
             }
@@ -119,29 +128,28 @@ def link_records(
     def verify_block(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, g in df.groupby("bk", sort=False):
-            if len(g) < 2:
+            n = len(g)
+            if n < 2:
                 continue
-            m = g.merge(g, on="bk")
-            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-            if m.empty:
-                continue
-            # cheap length prefilter before the DP
-            ln_x = m[f"{name_col}_x"].str.len()
-            ln_y = m[f"{name_col}_y"].str.len()
-            m = m[(ln_x - ln_y).abs() <= max_dist]
-            if m.empty:
-                continue
-            d = levenshtein_batch(m[f"{name_col}_x"].tolist(), m[f"{name_col}_y"].tolist())
-            keep = d <= max_dist
-            out.append(
-                pd.DataFrame(
-                    {
-                        "id_a": m[f"{id_col}_x"].to_numpy()[keep],
-                        "id_b": m[f"{id_col}_y"].to_numpy()[keep],
-                        "dist": d[keep],
-                    }
-                )
-            )
+            g = g.sort_values(["skey", id_col], kind="stable")
+            ids = g[id_col].to_numpy(np.int64)
+            names = g[name_col].to_numpy()
+            lens = np.fromiter((len(s) for s in names), np.int64, n)
+            for off in range(1, min(window, n - 1) + 1):
+                ci = np.arange(n - off)
+                cj = ci + off
+                band = np.abs(lens[ci] - lens[cj]) <= max_dist
+                ci, cj = ci[band], cj[band]
+                if not len(ci):
+                    continue
+                d = levenshtein_batch(list(names[ci]), list(names[cj]))
+                keep = d <= max_dist
+                if not keep.any():
+                    continue
+                a, b = ids[ci[keep]], ids[cj[keep]]
+                lo_id, hi_id = np.minimum(a, b), np.maximum(a, b)
+                out.append(pd.DataFrame(
+                    {"id_a": lo_id, "id_b": hi_id, "dist": d[keep]}))
         if not out:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}

@@ -380,17 +380,23 @@ LIMIT 50
 
 def ensure_dirty_names_parquet(sf_dir: str) -> str:
     """Deterministic dirty-record corpus for entity resolution: every part
-    name plus hash-chosen typo variants (substitution for every part, an
-    extra deletion for every third part) — rec_id = p_partkey·10 + variant.
-    ASCII-only by construction (DuckDB ``levenshtein`` counts bytes; the
-    Ray kernel counts codepoints — identical on ASCII)."""
+    name SUFFIXED with its zero-padded key (part names repeat heavily —
+    64 distinct strings for 20k parts at sf0.1 — so bare names would make
+    every fuzzy self-join's OUTPUT quadratic in the cluster size; the key
+    suffix keeps true-match clusters per-part and the result linear, which
+    is the shape this operator must have at 100 TB), plus hash-chosen typo
+    variants (substitution for every part, an extra deletion for every
+    third part) — rec_id = p_partkey·10 + variant.  ASCII-only by
+    construction (DuckDB ``levenshtein`` counts bytes; the Ray kernel
+    counts codepoints — identical on ASCII)."""
     import hashlib as _hashlib
     import os as _os
 
     def build() -> pa.Table:
         t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
         ids, names = [], []
-        for k, nm in zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()):
+        for k, base in zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()):
+            nm = f"{base} {k % 1_000_000:06d}"
             ids.append(k * 10)
             names.append(nm)
             h = _hashlib.md5(str(k).encode()).digest()
@@ -406,14 +412,16 @@ def ensure_dirty_names_parquet(sf_dir: str) -> str:
                 names.append(nm[:pos2] + nm[pos2 + 1 :])
         return pa.table({"rec_id": pa.array(ids, pa.int64()), "name": pa.array(names)})
 
-    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "dirty_names.parquet"), build)
+    return _ensure_artifact(_os.path.join(_corpus_dir(sf_dir), "dirty_names_v2.parquet"), build)
 
 
 def q_record_linkage(sf_dir: str) -> pd.DataFrame:
     """Blocked entity resolution over the dirty-name corpus —
     ``functions/linkage.py::link_records``: prefix/suffix multi-pass
-    blocking, one block-key exchange, vectorized batch-Levenshtein verify
-    (numpy DP swept across all pairs at once), distributed pair dedup."""
+    SORTED-NEIGHBORHOOD blocking (each record vs its 8 successors in the
+    block's sort order — O(n·w) candidates even on shared-prefix blocks),
+    one block-key exchange, vectorized batch-Levenshtein verify (numpy DP
+    swept across all pairs at once), distributed pair dedup."""
     from ...functions.linkage import link_records
 
     ds = rd.read_parquet(ensure_dirty_names_parquet(sf_dir), override_num_blocks=4)
@@ -423,18 +431,27 @@ def q_record_linkage(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_RECORD_LINKAGE = """
-WITH r AS (SELECT rec_id, name FROM read_parquet('{AD}/dirty_names.parquet')),
+WITH r AS (SELECT rec_id, name FROM read_parquet('{AD}/dirty_names_v2.parquet')),
 k AS (
-  SELECT rec_id, name, 'p' || substr(name, 1, 3) AS bk FROM r
+  SELECT rec_id, name, 'p' || substr(name, 1, 3) AS bk, name AS skey FROM r
   UNION ALL
-  SELECT rec_id, name, 's' || substr(reverse(name), 1, 3) AS bk FROM r
+  SELECT rec_id, name, 's' || substr(reverse(name), 1, 3), reverse(name) FROM r
+),
+o AS (
+  SELECT rec_id, name, bk,
+         ROW_NUMBER() OVER (PARTITION BY bk ORDER BY skey, rec_id) AS rn
+  FROM k
 ),
 c AS (
-  SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b, a.name AS na, b.name AS nb
-  FROM k a JOIN k b ON a.bk = b.bk AND a.rec_id < b.rec_id
+  SELECT DISTINCT LEAST(a.rec_id, b.rec_id) AS id_a,
+                  GREATEST(a.rec_id, b.rec_id) AS id_b,
+                  levenshtein(a.name, b.name) AS dist
+  FROM o a JOIN o b
+    ON a.bk = b.bk AND b.rn - a.rn BETWEEN 1 AND 8
+  WHERE abs(length(a.name) - length(b.name)) <= 2
 )
-SELECT id_a, id_b, levenshtein(na, nb) AS dist
-FROM c WHERE levenshtein(na, nb) <= 2
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM c WHERE dist <= 2
 ORDER BY 1, 2
 """.replace("{AD}", ORACLE_ARTIFACT_DIR)
 

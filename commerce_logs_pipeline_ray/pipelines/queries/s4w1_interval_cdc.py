@@ -184,7 +184,7 @@ def q_symspell_edit1_join(sf_dir: str) -> pd.DataFrame:
 
 SQL_SYMSPELL_EDIT1_JOIN = """
 WITH r AS (SELECT MIN(rec_id) AS rec_id, name, LENGTH(name) AS ln
-           FROM read_parquet('{AD}/dirty_names.parquet') GROUP BY name)
+           FROM read_parquet('{AD}/dirty_names_v2.parquet') GROUP BY name)
 SELECT a.rec_id AS id_a, b.rec_id AS id_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
 FROM r a JOIN r b

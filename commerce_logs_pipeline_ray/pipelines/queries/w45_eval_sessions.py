@@ -50,15 +50,22 @@ def q_linkage_quality_eval(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_LINKAGE_QUALITY_EVAL = f"""
-WITH r AS (SELECT rec_id, name FROM read_parquet('{ORACLE_ARTIFACT_DIR}/dirty_names.parquet')),
+WITH r AS (SELECT rec_id, name FROM read_parquet('{ORACLE_ARTIFACT_DIR}/dirty_names_v2.parquet')),
 k AS (
-  SELECT rec_id, name, 'p' || substr(name, 1, 3) AS bk FROM r
+  SELECT rec_id, name, 'p' || substr(name, 1, 3) AS bk, name AS skey FROM r
   UNION ALL
-  SELECT rec_id, name, 's' || substr(reverse(name), 1, 3) AS bk FROM r),
-c AS (
-  SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b, a.name AS na, b.name AS nb
-  FROM k a JOIN k b ON a.bk = b.bk AND a.rec_id < b.rec_id),
-pred AS (SELECT id_a, id_b FROM c WHERE levenshtein(na, nb) <= 2),
+  SELECT rec_id, name, 's' || substr(reverse(name), 1, 3), reverse(name) FROM r),
+o AS (
+  SELECT rec_id, name, bk,
+         ROW_NUMBER() OVER (PARTITION BY bk ORDER BY skey, rec_id) AS rn
+  FROM k),
+pred AS (
+  SELECT DISTINCT LEAST(a.rec_id, b.rec_id) AS id_a,
+                  GREATEST(a.rec_id, b.rec_id) AS id_b
+  FROM o a JOIN o b
+    ON a.bk = b.bk AND b.rn - a.rn BETWEEN 1 AND 8
+  WHERE abs(length(a.name) - length(b.name)) <= 2
+    AND levenshtein(a.name, b.name) <= 2),
 tstat AS (
   SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_truth
   FROM (SELECT rec_id // 10 AS base, COUNT(*) AS n FROM r GROUP BY 1)),
