@@ -126,7 +126,10 @@ def link_records(
     blocked = records.map_batches(block_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify_block(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        # gather every block's window candidates first, then ONE batched DP
+        # over the whole bucket — the kernel vectorizes across pairs, so
+        # per-block-per-offset calls would waste its throughput
+        na_all, nb_all, ida_all, idb_all = [], [], [], []
         for _, g in df.groupby("bk", sort=False):
             n = len(g)
             if n < 2:
@@ -142,19 +145,22 @@ def link_records(
                 ci, cj = ci[band], cj[band]
                 if not len(ci):
                     continue
-                d = levenshtein_batch(list(names[ci]), list(names[cj]))
-                keep = d <= max_dist
-                if not keep.any():
-                    continue
-                a, b = ids[ci[keep]], ids[cj[keep]]
-                lo_id, hi_id = np.minimum(a, b), np.maximum(a, b)
-                out.append(pd.DataFrame(
-                    {"id_a": lo_id, "id_b": hi_id, "dist": d[keep]}))
-        if not out:
+                na_all.append(names[ci])
+                nb_all.append(names[cj])
+                ida_all.append(ids[ci])
+                idb_all.append(ids[cj])
+        if not na_all:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
             )
-        return pd.concat(out, ignore_index=True)
+        na = np.concatenate(na_all)
+        nb = np.concatenate(nb_all)
+        d = levenshtein_batch(list(na), list(nb))
+        keep = d <= max_dist
+        a = np.concatenate(ida_all)[keep]
+        b = np.concatenate(idb_all)[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "dist": d[keep]})
 
     pairs = bucketed_group_reduce(blocked, ["bk"], verify_block, num_buckets=num_buckets)
 

@@ -680,13 +680,26 @@ def q_frequent_triples(sf_dir: str) -> pd.DataFrame:
     freq = pairs.filter(expr=f"n >= {SUPPORT}").to_pandas()
     M = 1 << 32  # part keys < 2³², so a·M + b is collision-free
     fp = np.sort((freq["a"].to_numpy(dtype=np.int64) * M + freq["b"].to_numpy(dtype=np.int64)))
-    fp_ref = ray.put(fp)
+    fparts = np.unique(np.concatenate([freq["a"].to_numpy(np.int64),
+                                       freq["b"].to_numpy(np.int64)]))
+    fp_ref = ray.put((fp, fparts))
 
     def triple_partial(df: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        keys = _ray.get(fp_ref) if not isinstance(fp_ref, np.ndarray) else fp_ref
+        keys, fps = _ray.get(fp_ref) if not isinstance(fp_ref, tuple) else fp_ref
         df = df.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+        # downward closure, vectorized: a triple's items must each sit in
+        # some frequent pair — drop non-member rows and then every order
+        # left with < 3 rows BEFORE the per-order loop
+        pk_all = df["l_partkey"].to_numpy(np.int64)
+        if len(fps):
+            ix = np.searchsorted(fps, pk_all)
+            ix[ix == len(fps)] = 0
+            df = df[fps[ix] == pk_all]
+        else:
+            df = df.iloc[:0]
+        df = df[df.groupby("l_orderkey")["l_partkey"].transform("size") >= 3]
         out = []
         for _, g in df.groupby("l_orderkey"):
             p = g["l_partkey"].to_numpy(dtype=np.int64)
