@@ -907,6 +907,12 @@ from .w49_infotheory import (
     q_conditional_entropy_rate,
     q_mutual_information_lang_source,
 )  # noqa: F401
+from .w50_survival_keys import (
+    SQL_CANDIDATE_KEY_AUDIT,
+    SQL_KAPLAN_MEIER_SURVIVAL,
+    q_candidate_key_audit,
+    q_kaplan_meier_survival,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2743,6 +2749,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_mutual_information_lang_source,
         SQL_MUTUAL_INFORMATION_LANG_SOURCE,
         "MI(lang; source) over documents, µnat contingency fold",
+    ),
+    "kaplan_meier_survival": QuerySpec(
+        q_kaplan_meier_survival,
+        SQL_KAPLAN_MEIER_SURVIVAL,
+        "Kaplan-Meier over customer lifetimes, µnat log-domain product",
+    ),
+    "candidate_key_audit": QuerySpec(
+        q_candidate_key_audit,
+        SQL_CANDIDATE_KEY_AUDIT,
+        "Candidate-key profiling: rows vs distinct per column, is-key verdict",
     ),
 }
 
