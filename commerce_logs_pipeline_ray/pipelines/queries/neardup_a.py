@@ -121,8 +121,20 @@ WITH RECURSIVE words AS (
 """
 
 
+_NEARDUP_COMPONENTS_CACHE: dict = {}
+
+
 def _neardup_components(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """(node, component) over the exact-Jaccard near-dup pair graph."""
+    """(node, component) over the exact-Jaccard near-dup pair graph.
+
+    Memoized per (sf_dir, threshold): `dedup_clusters` and
+    `dedup_survivors` both consume the same component map, so within one
+    process the pair exchange + star contraction runs ONCE — the same
+    shared-intermediate pattern as the co-purchase edge artifact."""
+    key = (sf_dir, threshold)
+    hit = _NEARDUP_COMPONENTS_CACHE.get(key)
+    if hit is not None:
+        return hit.copy()
     from ...functions.dedup import ngram_jaccard_pairs
     from ...functions.graph import connected_components
 
@@ -131,7 +143,10 @@ def _neardup_components(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     edges = rd.from_pandas(
         pairs.rename(columns={"doc_a": "u", "doc_b": "v"})[["u", "v"]].astype("int64")
     )
-    return connected_components(edges)
+    comp = connected_components(edges)
+    _NEARDUP_COMPONENTS_CACHE.clear()  # bound memory: one corpus at a time
+    _NEARDUP_COMPONENTS_CACHE[key] = comp
+    return comp.copy()
 
 
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
