@@ -913,6 +913,14 @@ from .w50_survival_keys import (
     q_candidate_key_audit,
     q_kaplan_meier_survival,
 )  # noqa: F401
+from .w51_huffman_audio import (
+    SQL_AUDIO_CLIPPING_AUDIT,
+    SQL_HUFFMAN_CODE_LENGTHS,
+    ensure_audio_clip_ref_parquet,
+    ensure_huffman_ref_parquet,
+    q_audio_clipping_audit,
+    q_huffman_code_lengths,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2760,6 +2768,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_CANDIDATE_KEY_AUDIT,
         "Candidate-key profiling: rows vs distinct per column, is-key verdict",
     ),
+    "huffman_code_lengths": QuerySpec(
+        q_huffman_code_lengths,
+        SQL_HUFFMAN_CODE_LENGTHS,
+        "Canonical Huffman lengths over char frequencies, deterministic merges",
+    ),
+    "audio_clipping_audit": QuerySpec(
+        q_audio_clipping_audit,
+        SQL_AUDIO_CLIPPING_AUDIT,
+        "Per-clip WAV clipping ratio ppm, stdlib decoder vs scalar walk",
+    ),
 }
 
 
@@ -2797,4 +2815,6 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_jw_names_parquet(sf_dir)
     ensure_events_wide_parquet(sf_dir)
     ensure_lcs_ref_parquet(sf_dir)
+    ensure_huffman_ref_parquet(sf_dir)
+    ensure_audio_clip_ref_parquet(sf_dir)
 
