@@ -921,6 +921,12 @@ from .w51_huffman_audio import (
     q_audio_clipping_audit,
     q_huffman_code_lengths,
 )  # noqa: F401
+from .w52_itemsim_fresh import (
+    SQL_FRESHNESS_AUDIT,
+    SQL_ITEM_SIMILARITY_TOPK,
+    q_freshness_audit,
+    q_item_similarity_topk,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2777,6 +2783,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_audio_clipping_audit,
         SQL_AUDIO_CLIPPING_AUDIT,
         "Per-clip WAV clipping ratio ppm, stdlib decoder vs scalar walk",
+    ),
+    "item_similarity_topk": QuerySpec(
+        q_item_similarity_topk,
+        SQL_ITEM_SIMILARITY_TOPK,
+        "Item-item cosine top-10 from the shared edge artifact, quantized",
+    ),
+    "freshness_audit": QuerySpec(
+        q_freshness_audit,
+        SQL_FRESHNESS_AUDIT,
+        "Per-type data vintage: last day, staleness, last-day volume",
     ),
 }
 
