@@ -87,6 +87,7 @@ def link_records(
     max_dist: int = 2,
     window: int = LINKAGE_WINDOW,
     num_buckets: int = 64,
+    metric: str = "levenshtein",
 ) -> Dataset:
     """Multi-pass SORTED-NEIGHBORHOOD linkage (Hernández & Stolfo 1995,
     public method): two passes — block on the first-3-chars sorted by name,
@@ -155,7 +156,8 @@ def link_records(
             )
         na = np.concatenate(na_all)
         nb = np.concatenate(nb_all)
-        d = levenshtein_batch(list(na), list(nb))
+        kernel = damerau_levenshtein_batch if metric == "damerau" else levenshtein_batch
+        d = kernel(list(na), list(nb))
         keep = d <= max_dist
         a = np.concatenate(ida_all)[keep]
         b = np.concatenate(idb_all)[keep]
@@ -348,3 +350,60 @@ def jaro_winkler_batch(a_names, b_names) -> np.ndarray:
     eq = (A[:, :pref_w] == B[:, :pref_w]) & (cols[:pref_w][None, :] < np.minimum(la, lb)[:, None])
     pref = np.cumprod(eq, 1).sum(1)
     return np.where(jaro > 0.7, jaro + 0.1 * pref * (1.0 - jaro), jaro)
+
+
+def damerau_levenshtein_batch(a, b, chunk: int = 100_000) -> np.ndarray:
+    """TRUE Damerau-Levenshtein (unrestricted adjacent transpositions,
+    Damerau 1964 / Lowrance-Wagner 1975) for N ASCII string pairs at once —
+    pinned bitwise against DuckDB's ``damerau_levenshtein`` by fuzz tests.
+
+    Vectorization axis is the PAIR: the full (la+2)×(lb+2) matrix algorithm
+    (the ``da``/``db`` last-occurrence bookkeeping needs random access into
+    earlier rows, so no rolling-column trick) runs as L² fused numpy steps
+    over all pairs of a chunk; memory is bounded by ``chunk``·(L+2)²."""
+    a = list(a)
+    b = list(b)
+    out = np.zeros(len(a), np.int64)
+    for lo in range(0, len(a), chunk):
+        out[lo: lo + chunk] = _dl_chunk(a[lo: lo + chunk], b[lo: lo + chunk])
+    return out
+
+
+def _dl_chunk(a: list, b: list) -> np.ndarray:
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    A, la = _char_matrix(a)
+    B, lb = _char_matrix(b)
+    La, Lb = A.shape[1], B.shape[1]
+    maxd = (la + lb).astype(np.int32)
+    H = np.zeros((P, La + 2, Lb + 2), np.int32)
+    H[:, 0, :] = maxd[:, None]
+    H[:, :, 0] = maxd[:, None]
+    # H[1, j+1] = j where j <= lb, else maxd (out-of-range guard)
+    js = np.arange(Lb + 1, dtype=np.int32)
+    H[:, 1, 1:] = np.where(js[None, :] <= lb[:, None], js[None, :], maxd[:, None])
+    iss = np.arange(La + 1, dtype=np.int32)
+    H[:, 1:, 1] = np.where(iss[None, :] <= la[:, None], iss[None, :], maxd[:, None])
+    da = np.zeros((P, 128), np.int32)
+    rows = np.arange(P)
+    Hf = H.reshape(P, -1)
+    W = Lb + 2
+    for i in range(1, La + 1):
+        ai = A[:, i - 1].astype(np.int64)
+        in_a = i <= la
+        db = np.zeros(P, np.int32)
+        for j in range(1, Lb + 1):
+            bj = B[:, j - 1].astype(np.int64)
+            k = da[rows, bj & 127]
+            l = db
+            eq = (ai == bj) & in_a & (j <= lb)
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            db = np.where(eq, j, db)
+            trans = Hf[rows, k * W + l] + (i - k - 1) + 1 + (j - l - 1)
+            v = np.minimum(
+                np.minimum(H[:, i, j] + cost, H[:, i + 1, j] + 1),
+                np.minimum(H[:, i, j + 1] + 1, trans))
+            H[:, i + 1, j + 1] = v
+        da[rows[in_a], ai[in_a] & 127] = i
+    return Hf[rows, (la + 1) * W + (lb + 1)].astype(np.int64)

@@ -440,6 +440,13 @@ from .neardup_a import (
     q_unigram_surprisal,
     q_user_paths,
 )  # noqa: F401
+from .neardup_b import ensure_dirty_names_parquet  # noqa: F401
+from .w53_llr_damerau import (
+    SQL_DAMERAU_LINKAGE,
+    SQL_DUNNING_LLR_KEYWORDS,
+    q_damerau_linkage,
+    q_dunning_llr_keywords,
+)  # noqa: F401
 from .neardup_b import (
     SQL_BURST_DETECTION,
     SQL_COHORT_RETENTION,
@@ -2794,6 +2801,16 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_FRESHNESS_AUDIT,
         "Per-type data vintage: last day, staleness, last-day volume",
     ),
+    "dunning_llr_keywords": QuerySpec(
+        q_dunning_llr_keywords,
+        SQL_DUNNING_LLR_KEYWORDS,
+        "Dunning G2 keywords of src0 vs rest, munat-exact 2x2 fold",
+    ),
+    "damerau_linkage": QuerySpec(
+        q_damerau_linkage,
+        SQL_DAMERAU_LINKAGE,
+        "True Damerau-Levenshtein linkage, DL kernel bitwise vs DuckDB",
+    ),
 }
 
 
@@ -2833,4 +2850,5 @@ def prematerialize_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> No
     ensure_lcs_ref_parquet(sf_dir)
     ensure_huffman_ref_parquet(sf_dir)
     ensure_audio_clip_ref_parquet(sf_dir)
+    ensure_dirty_names_parquet(sf_dir)
 

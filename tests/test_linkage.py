@@ -105,3 +105,33 @@ def test_jaro_winkler_batch_bitwise_vs_duckdb():
         con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         for a, b in cases])
     assert (got == want).all()
+
+
+def test_damerau_levenshtein_batch_bitwise_vs_duckdb():
+    """The pair-vectorized TRUE-DL kernel must agree bitwise with DuckDB's
+    damerau_levenshtein — textbook cases ('ca'/'abc' = 2 distinguishes true
+    DL from OSA's 3) plus 2500 fuzz pairs with planted swaps."""
+    import duckdb
+    import numpy as np
+
+    from commerce_logs_pipeline_ray.functions.linkage import damerau_levenshtein_batch
+
+    cases = [("ca", "abc"), ("ab", "ba"), ("abcdef", "abdcef"),
+             ("spark", "sprak"), ("a", ""), ("", ""), ("abc", "abc"),
+             ("aa", "aaa"), ("abcd", "dcba"), ("xaxbx", "bxaxx")]
+    rng = np.random.default_rng(43)
+    alpha = list("abcd0123")
+    for _ in range(2500):
+        la, lb = rng.integers(0, 13, 2)
+        a = "".join(rng.choice(alpha, la)) if la else ""
+        b = "".join(rng.choice(alpha, lb)) if lb else ""
+        if rng.random() < 0.5 and la > 2:
+            p = int(rng.integers(0, la - 1))
+            b = a[:p] + a[p + 1] + a[p] + a[p + 2:]
+        cases.append((a, b))
+    con = duckdb.connect()
+    got = damerau_levenshtein_batch([x for x, _ in cases], [y for _, y in cases])
+    want = np.array([
+        con.execute("SELECT damerau_levenshtein(?, ?)", [x, y]).fetchone()[0]
+        for x, y in cases])
+    assert (got == want).all()
