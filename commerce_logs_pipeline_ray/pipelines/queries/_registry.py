@@ -934,6 +934,12 @@ from .w52_itemsim_fresh import (
     q_freshness_audit,
     q_item_similarity_topk,
 )  # noqa: F401
+from .w54_assort_index import (
+    SQL_DEGREE_ASSORTATIVITY,
+    SQL_PRICE_INDEX_LASPEYRES,
+    q_degree_assortativity,
+    q_price_index_laspeyres,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2810,6 +2816,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_damerau_linkage,
         SQL_DAMERAU_LINKAGE,
         "True Damerau-Levenshtein linkage, DL kernel bitwise vs DuckDB",
+    ),
+    "degree_assortativity": QuerySpec(
+        q_degree_assortativity,
+        SQL_DEGREE_ASSORTATIVITY,
+        "Newman degree assortativity of the co-purchase graph, exact ppm",
+    ),
+    "price_index_laspeyres": QuerySpec(
+        q_price_index_laspeyres,
+        SQL_PRICE_INDEX_LASPEYRES,
+        "Laspeyres price index per brand, quantized unit prices",
     ),
 }
 
