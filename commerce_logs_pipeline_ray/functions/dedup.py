@@ -260,6 +260,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     seed: int = 42,
     df_cutoff: int | None = None,
+    return_counts: bool = False,
 ) -> pd.DataFrame:
     """EXACT all pairs with word-k-gram-shingle Jaccard ≥ ``threshold``,
     distributed as a shingle inverted-index self-join (the classic exact
@@ -340,14 +341,17 @@ def ngram_jaccard_pairs(
         )
         j = g["c"] / (g["na"] + g["nb"] - g["c"])
         out = g.assign(jaccard=j)
-        return out.loc[out["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
+        cols = (["doc_a", "doc_b", "jaccard", "c", "na", "nb"]
+                if return_counts else ["doc_a", "doc_b", "jaccard"])
+        return out.loc[out["jaccard"] >= threshold, cols]
 
     result = bucketed_group_reduce(pair_stream, ["doc_a", "doc_b"], pair_reduce).to_pandas()
     if result.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="object"), "doc_b": pd.Series(dtype="object"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
+        empty = {"doc_a": pd.Series(dtype="object"), "doc_b": pd.Series(dtype="object"),
+                 "jaccard": pd.Series(dtype="float64")}
+        if return_counts:
+            empty.update({c: pd.Series(dtype="int64") for c in ["c", "na", "nb"]})
+        return pd.DataFrame(empty)
     return result.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -940,6 +940,12 @@ from .w54_assort_index import (
     q_degree_assortativity,
     q_price_index_laspeyres,
 )  # noqa: F401
+from .w55_containment_mase import (
+    SQL_FORECAST_BASELINE_COMPARE,
+    SQL_SHINGLE_CONTAINMENT_TOPK,
+    q_forecast_baseline_compare,
+    q_shingle_containment_topk,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2826,6 +2832,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_price_index_laspeyres,
         SQL_PRICE_INDEX_LASPEYRES,
         "Laspeyres price index per brand, quantized unit prices",
+    ),
+    "shingle_containment_topk": QuerySpec(
+        q_shingle_containment_topk,
+        SQL_SHINGLE_CONTAINMENT_TOPK,
+        "Broder containment top-10 (directed), shingle inverted-index join",
+    ),
+    "forecast_baseline_compare": QuerySpec(
+        q_forecast_baseline_compare,
+        SQL_FORECAST_BASELINE_COMPARE,
+        "Seasonal-7 vs 1-step naive error ratio per type, exact ppm",
     ),
 }
 
