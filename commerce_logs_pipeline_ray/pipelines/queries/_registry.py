@@ -946,6 +946,12 @@ from .w55_containment_mase import (
     q_forecast_baseline_compare,
     q_shingle_containment_topk,
 )  # noqa: F401
+from .w56_simpson_inspect import (
+    SQL_INSPECTION_PARADOX_AUDIT,
+    SQL_SIMPSONS_PARADOX_CHECK,
+    q_inspection_paradox_audit,
+    q_simpsons_paradox_check,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2842,6 +2848,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_forecast_baseline_compare,
         SQL_FORECAST_BASELINE_COMPARE,
         "Seasonal-7 vs 1-step naive error ratio per type, exact ppm",
+    ),
+    "simpsons_paradox_check": QuerySpec(
+        q_simpsons_paradox_check,
+        SQL_SIMPSONS_PARADOX_CHECK,
+        "Simpson reversal detector: per-year vs pooled lift signs, exact",
+    ),
+    "inspection_paradox_audit": QuerySpec(
+        q_inspection_paradox_audit,
+        SQL_INSPECTION_PARADOX_AUDIT,
+        "Waiting-time paradox: length-biased vs plain mean gap, exact ppm",
     ),
 }
 
