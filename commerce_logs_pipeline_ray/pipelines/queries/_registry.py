@@ -952,6 +952,14 @@ from .w56_simpson_inspect import (
     q_inspection_paradox_audit,
     q_simpsons_paradox_check,
 )  # noqa: F401
+from .w57_diversity import (
+    SQL_INVERSE_SIMPSON_DIVERSITY,
+    SQL_THEIL_INDEX_SUPPLIER_REVENUE,
+    SQL_VOCAB_RICHNESS_CHAO1,
+    q_inverse_simpson_diversity,
+    q_theil_index_supplier_revenue,
+    q_vocab_richness_chao1,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2858,6 +2866,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q_inspection_paradox_audit,
         SQL_INSPECTION_PARADOX_AUDIT,
         "Waiting-time paradox: length-biased vs plain mean gap, exact ppm",
+    ),
+    "vocab_richness_chao1": QuerySpec(
+        q_vocab_richness_chao1,
+        SQL_VOCAB_RICHNESS_CHAO1,
+        "Chao1 vocabulary-richness lower bound per source, integer-exact",
+    ),
+    "inverse_simpson_diversity": QuerySpec(
+        q_inverse_simpson_diversity,
+        SQL_INVERSE_SIMPSON_DIVERSITY,
+        "Hill 2-order diversity (effective vocab size) per source",
+    ),
+    "theil_index_supplier_revenue": QuerySpec(
+        q_theil_index_supplier_revenue,
+        SQL_THEIL_INDEX_SUPPLIER_REVENUE,
+        "Theil inequality of supplier revenue per nation, munat fold",
     ),
 }
 
