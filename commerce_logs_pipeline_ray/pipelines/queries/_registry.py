@@ -960,6 +960,12 @@ from .w57_diversity import (
     q_theil_index_supplier_revenue,
     q_vocab_richness_chao1,
 )  # noqa: F401
+from .w58_rank_corr import (
+    SQL_KENDALL_TAU_PRICE_SIZE,
+    SQL_SPEARMAN_RHO_PRICE_SIZE,
+    q_kendall_tau_price_size,
+    q_spearman_rho_price_size,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2881,6 +2887,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_theil_index_supplier_revenue,
         SQL_THEIL_INDEX_SUPPLIER_REVENUE,
         "Theil inequality of supplier revenue per nation, munat fold",
+    ),
+    "kendall_tau_price_size": QuerySpec(
+        q_kendall_tau_price_size,
+        SQL_KENDALL_TAU_PRICE_SIZE,
+        "Kendall tau via bounded-cardinality group crossings vs O(n^2) oracle",
+    ),
+    "spearman_rho_price_size": QuerySpec(
+        q_spearman_rho_price_size,
+        SQL_SPEARMAN_RHO_PRICE_SIZE,
+        "Spearman rho with 2x-integer midranks, cross-multiplied",
     ),
 }
 
