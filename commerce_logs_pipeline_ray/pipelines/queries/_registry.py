@@ -966,6 +966,12 @@ from .w58_rank_corr import (
     q_kendall_tau_price_size,
     q_spearman_rho_price_size,
 )  # noqa: F401
+from .w59_logrank_activity import (
+    SQL_ACTIVITY_TRANSITION_MATRIX,
+    SQL_LOGRANK_GROUPS,
+    q_activity_transition_matrix,
+    q_logrank_groups,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2897,6 +2903,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_spearman_rho_price_size,
         SQL_SPEARMAN_RHO_PRICE_SIZE,
         "Spearman rho with 2x-integer midranks, cross-multiplied",
+    ),
+    "logrank_groups": QuerySpec(
+        q_logrank_groups,
+        SQL_LOGRANK_GROUPS,
+        "Log-rank O-E stream between even/odd customer cohorts, exact",
+    ),
+    "activity_transition_matrix": QuerySpec(
+        q_activity_transition_matrix,
+        SQL_ACTIVITY_TRANSITION_MATRIX,
+        "Month-over-month activity 2x2: stay/churn/reactivate counts",
     ),
 }
 
