@@ -139,11 +139,23 @@ def link_records(
             ids = g[id_col].to_numpy(np.int64)
             names = g[name_col].to_numpy()
             lens = np.fromiter((len(s) for s in names), np.int64, n)
+            # char-multiset L1 bound: every unit edit (incl. a transposition,
+            # which leaves the multiset unchanged) moves the histogram by at
+            # most 2 in L1 — SOUND for Levenshtein AND Damerau verify
+            hist = np.zeros((n, 128), np.int16)
+            for i, s in enumerate(names):
+                bb = np.frombuffer(s.encode("ascii", "replace"), np.uint8)
+                np.add.at(hist[i], bb & 127, 1)
             for off in range(1, min(window, n - 1) + 1):
                 ci = np.arange(n - off)
                 cj = ci + off
                 band = np.abs(lens[ci] - lens[cj]) <= max_dist
                 ci, cj = ci[band], cj[band]
+                if not len(ci):
+                    continue
+                l1 = np.abs(hist[ci].astype(np.int32) - hist[cj]).sum(1)
+                near = l1 <= 2 * max_dist
+                ci, cj = ci[near], cj[near]
                 if not len(ci):
                     continue
                 na_all.append(names[ci])
