@@ -972,6 +972,12 @@ from .w59_logrank_activity import (
     q_activity_transition_matrix,
     q_logrank_groups,
 )  # noqa: F401
+from .w60_lorenz_lindley import (
+    SQL_LINDLEY_QUEUE_AUDIT,
+    SQL_LORENZ_CURVE_SUPPLIERS,
+    q_lindley_queue_audit,
+    q_lorenz_curve_suppliers,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2913,6 +2919,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_activity_transition_matrix,
         SQL_ACTIVITY_TRANSITION_MATRIX,
         "Month-over-month activity 2x2: stay/churn/reactivate counts",
+    ),
+    "lorenz_curve_suppliers": QuerySpec(
+        q_lorenz_curve_suppliers,
+        SQL_LORENZ_CURVE_SUPPLIERS,
+        "Lorenz curve deciles of supplier revenue, cumulative share ppm",
+    ),
+    "lindley_queue_audit": QuerySpec(
+        q_lindley_queue_audit,
+        SQL_LINDLEY_QUEUE_AUDIT,
+        "Lindley FIFO waiting-time replay per type, cumsum-minus-min scan",
     ),
 }
 
