@@ -978,6 +978,12 @@ from .w60_lorenz_lindley import (
     q_lindley_queue_audit,
     q_lorenz_curve_suppliers,
 )  # noqa: F401
+from .w61_eb_cuped import (
+    SQL_CUPED_ADJUSTMENT,
+    SQL_EB_SHRUNK_RATES,
+    q_cuped_adjustment,
+    q_eb_shrunk_rates,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2929,6 +2935,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_lindley_queue_audit,
         SQL_LINDLEY_QUEUE_AUDIT,
         "Lindley FIFO waiting-time replay per type, cumsum-minus-min scan",
+    ),
+    "eb_shrunk_rates": QuerySpec(
+        q_eb_shrunk_rates,
+        SQL_EB_SHRUNK_RATES,
+        "Empirical-Bayes purchase-rate shrinkage per nation, exact rational",
+    ),
+    "cuped_adjustment": QuerySpec(
+        q_cuped_adjustment,
+        SQL_CUPED_ADJUSTMENT,
+        "CUPED theta and rho^2 over per-user pre/post sums, factored quantization",
     ),
 }
 
