@@ -984,6 +984,12 @@ from .w61_eb_cuped import (
     q_cuped_adjustment,
     q_eb_shrunk_rates,
 )  # noqa: F401
+from .w62_trend_runs import (
+    SQL_MANN_KENDALL_TREND,
+    SQL_RUNS_TEST_AUDIT,
+    q_mann_kendall_trend,
+    q_runs_test_audit,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2945,6 +2951,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cuped_adjustment,
         SQL_CUPED_ADJUSTMENT,
         "CUPED theta and rho^2 over per-user pre/post sums, factored quantization",
+    ),
+    "mann_kendall_trend": QuerySpec(
+        q_mann_kendall_trend,
+        SQL_MANN_KENDALL_TREND,
+        "Mann-Kendall S over daily revenue, vectorized sign-pair fold",
+    ),
+    "runs_test_audit": QuerySpec(
+        q_runs_test_audit,
+        SQL_RUNS_TEST_AUDIT,
+        "Wald-Wolfowitz above/below-median runs over daily revenue",
     ),
 }
 
