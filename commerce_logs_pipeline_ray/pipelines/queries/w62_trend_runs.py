@@ -108,9 +108,9 @@ s AS (
 f AS (
   SELECT sgn, LAG(sgn) OVER (ORDER BY day_id) AS prev FROM s)
 SELECT (SELECT COUNT(*) FROM d) AS n_days,
-       CAST((SELECT SUM(sgn) FROM s) AS BIGINT) AS n_above,
-       CAST((SELECT COUNT(*) - SUM(sgn) FROM s) AS BIGINT) AS n_below,
-       CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_runs
+       CAST(COALESCE((SELECT SUM(sgn) FROM s), 0) AS BIGINT) AS n_above,
+       CAST(COALESCE((SELECT COUNT(*) - SUM(sgn) FROM s), 0) AS BIGINT) AS n_below,
+       CAST(COALESCE(SUM(CASE WHEN prev IS NULL OR sgn <> prev
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
 FROM f
 """

@@ -64,4 +64,7 @@ def test_trend_runs(mode, ray_session, tmp_path_factory):
         assert mk.iloc[0]["n_tie_pairs"] == n * (n - 1) // 2
         assert rt.iloc[0]["n_runs"] == 0  # all values equal the median → dropped
     if mode == "alternating":
-        assert rt.iloc[0]["n_runs"] == rt.iloc[0]["n_above"] + rt.iloc[0]["n_below"]
+        # the lower-median (10.0) half drops as ties → only the 90.0 days
+        # remain, all on one side: exactly one run
+        assert rt.iloc[0]["n_runs"] == 1
+        assert rt.iloc[0]["n_below"] == 0 and rt.iloc[0]["n_above"] == 30
