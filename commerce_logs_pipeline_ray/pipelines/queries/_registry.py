@@ -990,6 +990,12 @@ from .w62_trend_runs import (
     q_mann_kendall_trend,
     q_runs_test_audit,
 )  # noqa: F401
+from .w63_robust_stats import (
+    SQL_HODGES_LEHMANN_LOCATION,
+    SQL_SIEGEL_REPEATED_MEDIANS,
+    q_hodges_lehmann_location,
+    q_siegel_repeated_medians,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2961,6 +2967,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_runs_test_audit,
         SQL_RUNS_TEST_AUDIT,
         "Wald-Wolfowitz above/below-median runs over daily revenue",
+    ),
+    "hodges_lehmann_location": QuerySpec(
+        q_hodges_lehmann_location,
+        SQL_HODGES_LEHMANN_LOCATION,
+        "Hodges-Lehmann pseudomedian of daily revenue (2x-integer Walsh sums)",
+    ),
+    "siegel_repeated_medians": QuerySpec(
+        q_siegel_repeated_medians,
+        SQL_SIEGEL_REPEATED_MEDIANS,
+        "Siegel repeated-median slope, ppm-quantized pairwise slopes",
     ),
 }
 
