@@ -996,6 +996,12 @@ from .w63_robust_stats import (
     q_hodges_lehmann_location,
     q_siegel_repeated_medians,
 )  # noqa: F401
+from .w64_bridge_benford import (
+    SQL_BENFORD_MAD_GRADE,
+    SQL_REVENUE_BRIDGE_DECOMPOSITION,
+    q_benford_mad_grade,
+    q_revenue_bridge_decomposition,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2977,6 +2983,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_siegel_repeated_medians,
         SQL_SIEGEL_REPEATED_MEDIANS,
         "Siegel repeated-median slope, ppm-quantized pairwise slopes",
+    ),
+    "revenue_bridge_decomposition": QuerySpec(
+        q_revenue_bridge_decomposition,
+        SQL_REVENUE_BRIDGE_DECOMPOSITION,
+        "Price/volume/residual revenue bridge per brand, cent-exact",
+    ),
+    "benford_mad_grade": QuerySpec(
+        q_benford_mad_grade,
+        SQL_BENFORD_MAD_GRADE,
+        "Nigrini MAD conformity grade on first digits of order totals",
     ),
 }
 
