@@ -1002,6 +1002,10 @@ from .w64_bridge_benford import (
     q_benford_mad_grade,
     q_revenue_bridge_decomposition,
 )  # noqa: F401
+from .w65_apportion import (
+    SQL_SEAT_APPORTIONMENT_COMPARE,
+    q_seat_apportionment_compare,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -2993,6 +2997,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_benford_mad_grade,
         SQL_BENFORD_MAD_GRADE,
         "Nigrini MAD conformity grade on first digits of order totals",
+    ),
+    "seat_apportionment_compare": QuerySpec(
+        q_seat_apportionment_compare,
+        SQL_SEAT_APPORTIONMENT_COMPARE,
+        "D'Hondt vs Sainte-Lague 100-seat allocation over nation order counts",
     ),
 }
 
