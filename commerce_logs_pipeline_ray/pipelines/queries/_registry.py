@@ -1006,6 +1006,12 @@ from .w65_apportion import (
     SQL_SEAT_APPORTIONMENT_COMPARE,
     q_seat_apportionment_compare,
 )  # noqa: F401
+from .w66_portfolio_ccf import (
+    SQL_CROSS_CORRELATION_SEGMENTS,
+    SQL_MIN_VARIANCE_WEIGHTS,
+    q_cross_correlation_segments,
+    q_min_variance_weights,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3002,6 +3008,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_seat_apportionment_compare,
         SQL_SEAT_APPORTIONMENT_COMPARE,
         "D'Hondt vs Sainte-Lague 100-seat allocation over nation order counts",
+    ),
+    "min_variance_weights": QuerySpec(
+        q_min_variance_weights,
+        SQL_MIN_VARIANCE_WEIGHTS,
+        "Two-asset minimum-variance weight over segment revenue, exact ppm",
+    ),
+    "cross_correlation_segments": QuerySpec(
+        q_cross_correlation_segments,
+        SQL_CROSS_CORRELATION_SEGMENTS,
+        "Lead/lag Pearson rho between segment series at lags -1/0/1",
     ),
 }
 
