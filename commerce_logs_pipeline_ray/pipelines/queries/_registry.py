@@ -1012,6 +1012,12 @@ from .w66_portfolio_ccf import (
     q_cross_correlation_segments,
     q_min_variance_weights,
 )  # noqa: F401
+from .w67_knapsack_gaps import (
+    SQL_COVERAGE_GAP_AUDIT,
+    SQL_GREEDY_KNAPSACK_PLAN,
+    q_coverage_gap_audit,
+    q_greedy_knapsack_plan,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3018,6 +3024,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cross_correlation_segments,
         SQL_CROSS_CORRELATION_SEGMENTS,
         "Lead/lag Pearson rho between segment series at lags -1/0/1",
+    ),
+    "greedy_knapsack_plan": QuerySpec(
+        q_greedy_knapsack_plan,
+        SQL_GREEDY_KNAPSACK_PLAN,
+        "Density-greedy knapsack over parts, ordered-cumsum admission",
+    ),
+    "coverage_gap_audit": QuerySpec(
+        q_coverage_gap_audit,
+        SQL_COVERAGE_GAP_AUDIT,
+        "Largest internal silent window per event type",
     ),
 }
 
