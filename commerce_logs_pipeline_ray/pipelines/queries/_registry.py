@@ -1018,6 +1018,12 @@ from .w67_knapsack_gaps import (
     q_coverage_gap_audit,
     q_greedy_knapsack_plan,
 )  # noqa: F401
+from .w68_control_pot import (
+    SQL_CONTROL_CHART_VIOLATIONS,
+    SQL_POT_EXCEEDANCE_CLUSTERS,
+    q_control_chart_violations,
+    q_pot_exceedance_clusters,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3034,6 +3040,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_coverage_gap_audit,
         SQL_COVERAGE_GAP_AUDIT,
         "Largest internal silent window per event type",
+    ),
+    "control_chart_violations": QuerySpec(
+        q_control_chart_violations,
+        SQL_CONTROL_CHART_VIOLATIONS,
+        "Shewhart 3-sigma violations + longest one-side run, no sqrt",
+    ),
+    "pot_exceedance_clusters": QuerySpec(
+        q_pot_exceedance_clusters,
+        SQL_POT_EXCEEDANCE_CLUSTERS,
+        "Peaks-over-threshold day clusters above rank-p90, theta ppm",
     ),
 }
 
