@@ -121,8 +121,8 @@ def q_cuped_adjustment(sf_dir: str) -> pd.DataFrame:
     users = bucketed_group_reduce(ev, ["user_id"], per_user)
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["x"].to_numpy(np.int64)
-        y = df["y"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64).astype(object)
+        y = df["y"].to_numpy(np.int64).astype(object)
         return pd.DataFrame([{"n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
                               "sxx": int((x * x).sum()), "syy": int((y * y).sum()),
                               "sxy": int((x * y).sum())}])

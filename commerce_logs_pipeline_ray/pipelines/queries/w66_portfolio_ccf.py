@@ -68,10 +68,11 @@ def q_min_variance_weights(sf_dir: str) -> pd.DataFrame:
     if n < 2:
         return pd.DataFrame({c: pd.Series([], dtype="int64")
                              for c in ["n_days", "w_a_ppm"]})
+    ao, bo = a.astype(object), b.astype(object)
     sa, sb = int(a.sum()), int(b.sum())
-    va = n * int((a * a).sum()) - sa * sa
-    vb = n * int((b * b).sum()) - sb * sb
-    cv = n * int((a.astype(object) * b).sum()) - sa * sb
+    va = n * int((ao * ao).sum()) - sa * sa  # object sums: Σx² passes 2⁶³
+    vb = n * int((bo * bo).sum()) - sb * sb
+    cv = n * int((ao * bo).sum()) - sa * sb
     den = va + vb - 2 * cv
     if den == 0:
         return pd.DataFrame({c: pd.Series([], dtype="int64")
@@ -125,15 +126,19 @@ def q_cross_correlation_segments(sf_dir: str) -> pd.DataFrame:
         n = len(x)
         if n < 2:
             continue
+        xo, yo = x.astype(object), y.astype(object)
         sx, sy = int(x.sum()), int(y.sum())
-        vx = n * int((x * x).sum()) - sx * sx
-        vy = n * int((y * y).sum()) - sy * sy
-        num = n * int((x.astype(object) * y).sum()) - sx * sy
+        vx = n * int((xo * xo).sum()) - sx * sx
+        vy = n * int((yo * yo).sum()) - sy * sy
+        num = n * int((xo * yo).sum()) - sx * sy
         if vx <= 0 or vy <= 0:
             continue
         den = int(math.floor(math.sqrt(float(vx) * float(vy))))
         rows.append({"lag": lag, "n_pairs": n,
                      "ccf_ppm": _tdiv(1_000_000 * num, den)})
+    if not rows:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["lag", "n_pairs", "ccf_ppm"]})
     out = pd.DataFrame(rows).sort_values("lag", ignore_index=True)
     return _i64(out, ["lag", "n_pairs", "ccf_ppm"])
 
