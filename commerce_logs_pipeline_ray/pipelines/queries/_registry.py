@@ -1024,6 +1024,10 @@ from .w68_control_pot import (
     q_control_chart_violations,
     q_pot_exceedance_clusters,
 )  # noqa: F401
+from .w69_hierarchy import (
+    SQL_HIERARCHY_ROLLUP_SHARES,
+    q_hierarchy_rollup_shares,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3050,6 +3054,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_pot_exceedance_clusters,
         SQL_POT_EXCEEDANCE_CLUSTERS,
         "Peaks-over-threshold day clusters above rank-p90, theta ppm",
+    ),
+    "hierarchy_rollup_shares": QuerySpec(
+        q_hierarchy_rollup_shares,
+        SQL_HIERARCHY_ROLLUP_SHARES,
+        "Region/nation/top-supplier rollup with share-of-parent ppm",
     ),
 }
 
