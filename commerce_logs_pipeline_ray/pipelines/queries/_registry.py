@@ -1028,6 +1028,11 @@ from .w69_hierarchy import (
     SQL_HIERARCHY_ROLLUP_SHARES,
     q_hierarchy_rollup_shares,
 )  # noqa: F401
+from .w70_ipc_source import (
+    SQL_IPC_INGEST_STATS,
+    ensure_documents_ipc,
+    q_ipc_ingest_stats,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3059,6 +3064,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_hierarchy_rollup_shares,
         SQL_HIERARCHY_ROLLUP_SHARES,
         "Region/nation/top-supplier rollup with share-of-parent ppm",
+    ),
+    "ipc_ingest_stats": QuerySpec(
+        q_ipc_ingest_stats,
+        SQL_IPC_INGEST_STATS,
+        "Arrow IPC source format: distributed binary-file decode + combiners",
     ),
 }
 
