@@ -1033,6 +1033,10 @@ from .w70_ipc_source import (
     ensure_documents_ipc,
     q_ipc_ingest_stats,
 )  # noqa: F401
+from .w71_setcover import (
+    SQL_GREEDY_SET_COVER_SOURCES,
+    q_greedy_set_cover_sources,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3069,6 +3073,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ipc_ingest_stats,
         SQL_IPC_INGEST_STATS,
         "Arrow IPC source format: distributed binary-file decode + combiners",
+    ),
+    "greedy_set_cover_sources": QuerySpec(
+        q_greedy_set_cover_sources,
+        SQL_GREEDY_SET_COVER_SOURCES,
+        "Greedy set cover of the vocabulary by sources, 5 unrolled picks",
     ),
 }
 
