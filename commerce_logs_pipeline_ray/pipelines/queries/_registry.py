@@ -1037,6 +1037,10 @@ from .w71_setcover import (
     SQL_GREEDY_SET_COVER_SOURCES,
     q_greedy_set_cover_sources,
 )  # noqa: F401
+from .w72_lm_orders import (
+    SQL_NGRAM_ORDER_COMPARE,
+    q_ngram_order_compare,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3078,6 +3082,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_greedy_set_cover_sources,
         SQL_GREEDY_SET_COVER_SOURCES,
         "Greedy set cover of the vocabulary by sources, 5 unrolled picks",
+    ),
+    "ngram_order_compare": QuerySpec(
+        q_ngram_order_compare,
+        SQL_NGRAM_ORDER_COMPARE,
+        "Unigram vs bigram cross-entropy (add-one, munat) and the order gain",
     ),
 }
 
