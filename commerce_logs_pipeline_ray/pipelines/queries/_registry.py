@@ -1041,6 +1041,12 @@ from .w72_lm_orders import (
     SQL_NGRAM_ORDER_COMPARE,
     q_ngram_order_compare,
 )  # noqa: F401
+from .w73_power_aspect import (
+    SQL_ABTEST_POWER_MDE,
+    SQL_MEDIA_ASPECT_RATIO_AUDIT,
+    q_abtest_power_mde,
+    q_media_aspect_ratio_audit,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3087,6 +3093,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ngram_order_compare,
         SQL_NGRAM_ORDER_COMPARE,
         "Unigram vs bigram cross-entropy (add-one, munat) and the order gain",
+    ),
+    "abtest_power_mde": QuerySpec(
+        q_abtest_power_mde,
+        SQL_ABTEST_POWER_MDE,
+        "Two-proportion MDE per nation at alpha=.05/power=.8",
+    ),
+    "media_aspect_ratio_audit": QuerySpec(
+        q_media_aspect_ratio_audit,
+        SQL_MEDIA_ASPECT_RATIO_AUDIT,
+        "Aspect-ratio buckets over media by integer cross-multiplication",
     ),
 }
 
