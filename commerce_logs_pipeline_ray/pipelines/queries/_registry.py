@@ -1047,6 +1047,12 @@ from .w73_power_aspect import (
     q_abtest_power_mde,
     q_media_aspect_ratio_audit,
 )  # noqa: F401
+from .w74_motion_digits import (
+    SQL_NEWCOMB_SECOND_DIGIT,
+    SQL_VIDEO_MOTION_ENERGY,
+    q_newcomb_second_digit,
+    q_video_motion_energy,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3103,6 +3109,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_media_aspect_ratio_audit,
         SQL_MEDIA_ASPECT_RATIO_AUDIT,
         "Aspect-ratio buckets over media by integer cross-multiplication",
+    ),
+    "video_motion_energy": QuerySpec(
+        q_video_motion_energy,
+        SQL_VIDEO_MOTION_ENERGY,
+        "Per-video sum |delta luminance| over decoded frames, top-10",
+    ),
+    "newcomb_second_digit": QuerySpec(
+        q_newcomb_second_digit,
+        SQL_NEWCOMB_SECOND_DIGIT,
+        "Second-digit Newcomb-Benford test on order totals",
     ),
 }
 
