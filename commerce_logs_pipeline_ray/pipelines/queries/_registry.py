@@ -1053,6 +1053,12 @@ from .w74_motion_digits import (
     q_newcomb_second_digit,
     q_video_motion_energy,
 )  # noqa: F401
+from .w75_fd_fanout import (
+    SQL_FK_FANOUT_PROFILE,
+    SQL_FREEDMAN_DIACONIS_HISTOGRAM,
+    q_fk_fanout_profile,
+    q_freedman_diaconis_histogram,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3119,6 +3125,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_newcomb_second_digit,
         SQL_NEWCOMB_SECOND_DIGIT,
         "Second-digit Newcomb-Benford test on order totals",
+    ),
+    "freedman_diaconis_histogram": QuerySpec(
+        q_freedman_diaconis_histogram,
+        SQL_FREEDMAN_DIACONIS_HISTOGRAM,
+        "FD-rule histogram: exact rank quartiles, mirrored POWER width",
+    ),
+    "fk_fanout_profile": QuerySpec(
+        q_fk_fanout_profile,
+        SQL_FK_FANOUT_PROFILE,
+        "Children-per-parent fanout stats for three relationships",
     ),
 }
 
