@@ -1059,6 +1059,12 @@ from .w75_fd_fanout import (
     q_fk_fanout_profile,
     q_freedman_diaconis_histogram,
 )  # noqa: F401
+from .w76_abc_tiers import (
+    SQL_ABC_XYZ_MATRIX,
+    SQL_VALUE_TIER_MIGRATION,
+    q_abc_xyz_matrix,
+    q_value_tier_migration,
+)  # noqa: F401
 from .w36_tpch_completion import (
     SQL_BRACKETED_REVENUE,
     SQL_GLOBAL_SALES_OPPORTUNITY,
@@ -3135,6 +3141,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q_fk_fanout_profile,
         SQL_FK_FANOUT_PROFILE,
         "Children-per-parent fanout stats for three relationships",
+    ),
+    "abc_xyz_matrix": QuerySpec(
+        q_abc_xyz_matrix,
+        SQL_ABC_XYZ_MATRIX,
+        "ABC x XYZ inventory grid: cum-revenue bands x demand dispersion",
+    ),
+    "value_tier_migration": QuerySpec(
+        q_value_tier_migration,
+        SQL_VALUE_TIER_MIGRATION,
+        "Year-over-year spend-tier 3x3 transition matrix",
     ),
 }
 
